@@ -1,0 +1,277 @@
+"""Vectorized addr-spec tokenizer — Arrow fast path + scalar fallback.
+
+The reference parses one string at a time in Rust
+(``/root/reference/rust-lib/src/nom_parser.rs``).  Our engine re-expresses
+the same grammar as a two-tier *batch* kernel:
+
+* **fast path** — a single anchored RE2 pattern run over the whole Arrow
+  string column with ``pyarrow.compute`` (``match_substring_regex`` /
+  ``extract_regex``), covering the plain ``dot-atom@dot-atom`` shape that
+  dominates real traffic.  The pattern is constructed so that *every*
+  full match is strict-valid under the reference grammar AND its
+  canonical form equals the verbatim text (no CFWS/quoting present), so
+  no per-row Python runs for these rows.
+* **slow path** — the scalar PEG parser (:mod:`.grammar`, a faithful
+  reimplementation of nom_parser.rs) applied only to the minority of
+  rows the fast pattern rejects (quoted strings, domain literals, CFWS,
+  comments, CRLF folding, obsolete productions).
+
+Grammar notes baked into the fast pattern (citations into /root/reference):
+
+* per-label no-leading/trailing ``-`` — nom_parser.rs:121-138;
+* RFC 6532: any non-ASCII scalar is atext — nom_parser.rs:590-592,
+  expressed as ``[^\\x00-\\x7F]`` in RE2;
+* exactly one structural ``@`` (atext excludes ``@``), mirroring nom's
+  structural split rather than the JS regex's ``lastIndexOf("@")``
+  (npm-packages/regex/src/index.ts:71 divergence).
+
+Also hosts the free-text mention scanner used by the extraction stage:
+angle-bracketed ``<addr-spec>`` spans (parsed with the full grammar) and
+bare plain-shape tokens, emitted in document order.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator, List, Optional, Tuple
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .grammar import ParsedAddress, canonical_key, parse_address
+
+# --- RE2 (pyarrow) pattern pieces -----------------------------------------
+_SYM = "!#$%&'*+\\-/=?^_`{|}~"  # atext symbols, '-' escaped
+_A = f"[A-Za-z0-9{_SYM}]|[^\\x00-\\x7F]"          # atext (incl. '-', RFC 6532)
+_ND = f"[A-Za-z0-9{_SYM.replace(chr(92) + '-', '')}]|[^\\x00-\\x7F]"  # atext minus '-'
+_LABEL = f"(?:{_ND})(?:(?:{_A})*(?:{_ND}))?"       # no leading/trailing dash
+_DOT_ATOM_TEXT = f"{_LABEL}(?:\\.{_LABEL})*"
+PLAIN_FULL = f"^{_DOT_ATOM_TEXT}@{_DOT_ATOM_TEXT}$"
+PLAIN_EXTRACT = f"^(?P<local_part>{_DOT_ATOM_TEXT})@(?P<domain>{_DOT_ATOM_TEXT})$"
+
+# --- Python `re` equivalents for the free-text scanner --------------------
+_PSYM = re.escape("!#$%&'*+-/=?^_`{|}~")
+_PSYM_ND = re.escape("!#$%&'*+/=?^_`{|}~")  # atext symbols minus '-'
+_PA = f"[A-Za-z0-9{_PSYM}\\u0080-\\U0010FFFF]"
+_PND = f"[A-Za-z0-9{_PSYM_ND}\\u0080-\\U0010FFFF]"
+_PLABEL = f"{_PND}(?:{_PA}*{_PND})?"
+_PDAT = f"{_PLABEL}(?:\\.{_PLABEL})*"
+PLAIN_RE = re.compile(f"{_PDAT}@{_PDAT}")
+# \A/\Z, not ^/$: Python's $ matches before a trailing newline, which would
+# wrongly accept "test@iana.org\n" (isemail case 99 expects reject)
+PLAIN_FULL_RE = re.compile(f"\\A{_PDAT}@{_PDAT}\\Z")
+ANGLE_RE = re.compile(r"<([^<>]*)>")
+# bare token boundary: not preceded/followed by an atext/dot/@ char
+_BOUND = f"[A-Za-z0-9{_PSYM}.@\\u0080-\\U0010FFFF]"
+BARE_RE = re.compile(f"(?<!{_BOUND})({_PDAT}@{_PDAT})(?!{_BOUND})")
+
+
+def _plain_mask(arr: pa.Array) -> np.ndarray:
+    m = pc.match_substring_regex(arr, PLAIN_FULL)
+    m = pc.fill_null(m, False)
+    return np.asarray(m.to_numpy(zero_copy_only=False), dtype=bool)
+
+
+def validate_column(
+    arr: pa.ChunkedArray | pa.Array, is_lax: bool = False
+) -> Tuple[np.ndarray, List[Optional[ParsedAddress]]]:
+    """Scalar-result variant (tests / small batches): (valid_mask, parsed).
+
+    Plain dot-atom@dot-atom rows are classified by one vectorized RE2
+    pass; only the rejected minority runs the scalar grammar.
+    """
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    plain = _plain_mask(arr)
+    valid = plain.copy()
+    parsed: List[Optional[ParsedAddress]] = [None] * n
+    slow_idx = np.flatnonzero(~plain)
+    slow_vals = arr.take(pa.array(slow_idx)).to_pylist() if len(slow_idx) else []
+    for i in np.flatnonzero(plain):
+        s = arr[int(i)].as_py()
+        at = s.index("@")
+        lp, dom = s[:at], s[at + 1 :]
+        parsed[i] = ParsedAddress(lp, dom, lp, dom, True)
+    for i, s in zip(slow_idx, slow_vals):
+        if s is None:
+            continue
+        r = parse_address(s, is_lax)
+        if r is not None:
+            valid[i] = True
+            parsed[i] = r
+    return valid, parsed
+
+
+def tokenize_batch(batch: pa.Table, column: str = "address", is_lax: bool = False) -> pa.Table:
+    """Fully vectorized batch kernel: the ``EmailAddress::parse`` analog
+    as a map_batches stage over a whole-string address column.
+
+    Plain rows (the overwhelming majority) never touch per-row Python:
+    one RE2 match + one RE2 extract + Arrow string kernels produce every
+    output column zero-copy; the scalar grammar runs only on the
+    non-plain minority (quoting/CFWS/literals/obs productions).
+    """
+    arr = batch[column]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    plain = _plain_mask(arr)
+
+    ext = pc.extract_regex(arr, PLAIN_EXTRACT)
+    local = pc.struct_field(ext, "local_part")
+    domain = pc.struct_field(ext, "domain")
+    # canonical key for plain+ASCII rows: local @ lower(domain), vectorized.
+    # (matches grammar.canonical_key's ASCII path bit-for-bit)
+    key_vec = pc.binary_join_element_wise(local, pc.utf8_lower(domain), "@")
+
+    ascii_mask = np.asarray(
+        pc.fill_null(pc.string_is_ascii(arr), True).to_numpy(zero_copy_only=False),
+        dtype=bool,
+    )
+    easy = plain & ascii_mask
+
+    valid = easy.copy()
+    # slow path: non-plain rows OR plain-but-non-ASCII (NFC handling).
+    # Merged back with replace_with_mask so the vectorized majority columns
+    # are never converted to Python objects.
+    slow_idx = np.flatnonzero(~easy)
+    if len(slow_idx):
+        s_local: List[Optional[str]] = []
+        s_domain: List[Optional[str]] = []
+        s_lc: List[Optional[str]] = []
+        s_dc: List[Optional[str]] = []
+        s_key: List[Optional[str]] = []
+        s_strict: List[bool] = []
+        slow_vals = arr.take(pa.array(slow_idx)).to_pylist()
+        for i, s in zip(slow_idx, slow_vals):
+            p = _parse_candidate(s, is_lax) if s is not None else None
+            if p is None:
+                s_local.append(None)
+                s_domain.append(None)
+                s_lc.append(None)
+                s_dc.append(None)
+                s_key.append(None)
+                s_strict.append(False)
+            else:
+                valid[i] = True
+                s_local.append(p.local)
+                s_domain.append(p.domain)
+                s_lc.append(p.local_canon)
+                s_dc.append(p.domain_canon)
+                s_key.append(p.canonical_key)
+                s_strict.append(p.is_strict)
+        slow_mask = pa.array(~easy)
+        local_a = pc.replace_with_mask(local, slow_mask, pa.array(s_local, pa.string()))
+        domain_a = pc.replace_with_mask(domain, slow_mask, pa.array(s_domain, pa.string()))
+        lc_a = pc.replace_with_mask(local, slow_mask, pa.array(s_lc, pa.string()))
+        dc_a = pc.replace_with_mask(domain, slow_mask, pa.array(s_dc, pa.string()))
+        key_a = pc.replace_with_mask(key_vec, slow_mask, pa.array(s_key, pa.string()))
+        strict_a = pc.replace_with_mask(
+            pa.array(plain), slow_mask, pa.array(s_strict, pa.bool_())
+        )
+    else:
+        local_a, domain_a, lc_a, dc_a, key_a = local, domain, local, domain, key_vec
+        strict_a = pa.array(plain, pa.bool_())
+    return (
+        batch.append_column("is_valid", pa.array(valid, pa.bool_()))
+        .append_column("local_part", local_a)
+        .append_column("domain", domain_a)
+        .append_column("local_canon", lc_a)
+        .append_column("domain_canon", dc_a)
+        .append_column("is_strict", strict_a)
+        .append_column("canonical_key", key_a)
+    )
+
+
+def _parse_candidate(s: str, is_lax: bool) -> Optional[ParsedAddress]:
+    if PLAIN_FULL_RE.match(s):
+        at = s.index("@")
+        return ParsedAddress(s[:at], s[at + 1 :], s[:at], s[at + 1 :], True)
+    return parse_address(s, is_lax)
+
+
+def scan_text(text: str, is_lax: bool = True) -> Iterator[Tuple[int, ParsedAddress]]:
+    """Yield (start_offset, ParsedAddress) for each address mention in free
+    text, in document order.
+
+    Extraction contract: ``<...>`` spans are parsed as full addr-specs with
+    the complete (lax) grammar — the RFC 5322 angle-addr convention — and
+    bare tokens of plain dot-atom@dot-atom shape are matched outside those
+    spans.  Every bare emission is strict-valid by construction of the
+    pattern (see module docstring).
+    """
+    spans: List[Tuple[int, int]] = []
+    for m in ANGLE_RE.finditer(text):
+        inner = m.group(1)
+        p = _parse_candidate(inner, is_lax)
+        if p is not None:
+            # only a *successfully parsed* span shadows the bare scanner;
+            # a failed span may still contain bare mentions inside it
+            spans.append((m.start(), m.end()))
+            yield m.start(), p
+    if "@" in text:
+        covered = spans
+        for m in BARE_RE.finditer(text):
+            s, e = m.span(1)
+            if any(cs <= s < ce for cs, ce in covered):
+                continue
+            tok = m.group(1)
+            at = tok.index("@")
+            yield s, ParsedAddress(tok[:at], tok[at + 1 :], tok[:at], tok[at + 1 :], True)
+
+
+def extract_mentions_batch(batch: pa.Table, is_lax: bool = True) -> pa.Table:
+    """map_batches kernel: transcripts(text) -> one output row per mention.
+
+    Emits (conv_id, turn_idx, mention_idx, address, local_part, domain,
+    local_canon, domain_canon, canonical_key, is_strict).  The per-row
+    Python loop only drives C-speed compiled regex scans; rows whose text
+    lacks both '@' and '<' are skipped via a vectorized prefilter.
+    """
+    conv = batch["conv_id"].to_pylist()
+    turn = batch["turn_idx"].to_pylist()
+    texts = batch["text"]
+    has_candidate = pc.or_(
+        pc.match_substring(texts, "@"), pc.match_substring(texts, "<")
+    ).to_numpy(zero_copy_only=False)
+    texts_py = texts.to_pylist()
+
+    o_conv: List[str] = []
+    o_turn: List[int] = []
+    o_mi: List[int] = []
+    o_addr: List[str] = []
+    o_local: List[str] = []
+    o_dom: List[str] = []
+    o_lc: List[str] = []
+    o_dc: List[str] = []
+    o_key: List[str] = []
+    o_strict: List[bool] = []
+    for i in np.flatnonzero(np.asarray(has_candidate, dtype=bool)):
+        found = sorted(scan_text(texts_py[i], is_lax), key=lambda t: t[0])
+        for mi, (_pos, p) in enumerate(found):
+            o_conv.append(conv[i])
+            o_turn.append(turn[i])
+            o_mi.append(mi)
+            o_addr.append(p.address)
+            o_local.append(p.local)
+            o_dom.append(p.domain)
+            o_lc.append(p.local_canon)
+            o_dc.append(p.domain_canon)
+            o_key.append(p.canonical_key)
+            o_strict.append(p.is_strict)
+    return pa.table(
+        {
+            "conv_id": pa.array(o_conv, pa.string()),
+            "turn_idx": pa.array(o_turn, pa.int32()),
+            "mention_idx": pa.array(o_mi, pa.int32()),
+            "address": pa.array(o_addr, pa.string()),
+            "local_part": pa.array(o_local, pa.string()),
+            "domain": pa.array(o_dom, pa.string()),
+            "local_canon": pa.array(o_lc, pa.string()),
+            "domain_canon": pa.array(o_dc, pa.string()),
+            "canonical_key": pa.array(o_key, pa.string()),
+            "is_strict": pa.array(o_strict, pa.bool_()),
+        }
+    )

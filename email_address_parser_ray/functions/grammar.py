@@ -545,11 +545,16 @@ class ParsedAddress:
 
 
 def canonical_key(local_canon: str, domain_canon: str) -> str:
-    return (
-        unicodedata.normalize("NFC", local_canon)
-        + "@"
-        + unicodedata.normalize("NFC", domain_canon).casefold()
-    )
+    """Engine-derived matching key. ASCII stays on the cheap path (plain
+    ``str.lower`` on the domain) so the scalar result is bit-identical to
+    the vectorized Arrow kernel (:mod:`.fastpath`); non-ASCII gets
+    NFC + casefold (computed in Python on both paths)."""
+    l = local_canon if local_canon.isascii() else unicodedata.normalize("NFC", local_canon)
+    if domain_canon.isascii():
+        d = domain_canon.lower()
+    else:
+        d = unicodedata.normalize("NFC", domain_canon).casefold()
+    return l + "@" + d
 
 
 def _address_spec(s: str, strict: bool) -> Optional[ParsedAddress]:
