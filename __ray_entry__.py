@@ -1,16 +1,14 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here (or in the library) calls ``ray.init``/``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+The transcript input table (BASELINE.json ``input_hint`` shape) is not
+part of the driver-provided testdata, so it is synthesised
+deterministically per scale factor (seeded, cached under /tmp —
+``email_address_parser_ray.sources.transcripts``); its gold tables are
+the SQL oracles for the record-linkage queries.  All other queries run
+over the driver's own parquet tables (pre-registered DuckDB views).
 """
 
 from __future__ import annotations
@@ -18,27 +16,344 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+SF_CORRECTNESS = "/root/testdata/sf0.01"
+
+
+def _tcache(sf_dir: str) -> str:
+    from email_address_parser_ray.sources.transcripts import ensure_transcripts
+
+    return ensure_transcripts(sf_dir)
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: transcripts → extract → block → score → cluster
+    at sf0.001; returns the cluster-assignment Dataset."""
+    from email_address_parser_ray.pipelines.resolve import resolve
+
+    root = _tcache("/root/testdata/sf0.001")
+    return resolve(f"{root}/transcripts")["clusters"]
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
+
+def _q_extract_mentions(sf_dir: str):
+    from email_address_parser_ray.pipelines.resolve import (
+        extract_mentions, read_transcripts,
+    )
+
+    root = _tcache(sf_dir)
+    ds = extract_mentions(read_transcripts(f"{root}/transcripts"))
+    return ds.select_columns(["conv_id", "turn_idx", "mention_idx", "address"])
+
+
+def _q_turn_roundtrip(sf_dir: str):
+    """Per-turn text equality invariant: transcripts pass through the
+    extraction-annotation stage and come out byte-identical under the
+    stable (conv_id, turn_idx) key."""
+    import ray.data as rd
+    from email_address_parser_ray.functions.fastpath import extract_mentions_batch
+
+    root = _tcache(sf_dir)
+    ds = rd.read_parquet(f"{root}/transcripts", columns=["conv_id", "turn_idx", "text"])
+
+    def annotate(t: pa.Table) -> pa.Table:
+        mentions = extract_mentions_batch(t)
+        per_turn = mentions.group_by(["conv_id", "turn_idx"]).aggregate(
+            [("mention_idx", "count")]
+        )
+        counts = {
+            (c, i): n
+            for c, i, n in zip(
+                per_turn["conv_id"].to_pylist(),
+                per_turn["turn_idx"].to_pylist(),
+                per_turn["mention_idx_count"].to_pylist(),
+            )
+        }
+        n_m = [
+            counts.get((c, i), 0)
+            for c, i in zip(t["conv_id"].to_pylist(), t["turn_idx"].to_pylist())
+        ]
+        return t.append_column("n_mentions", pa.array(n_m, pa.int64()))
+
+    return ds.map_batches(annotate, batch_format="pyarrow").select_columns(
+        ["conv_id", "turn_idx", "text"]
+    )
+
+
+def _q_exact_entities(sf_dir: str):
+    """A9 exact-equality semantics: distinct verbatim addresses + counts."""
+    from ray.data.aggregate import Sum
+    from email_address_parser_ray.pipelines.resolve import (
+        extract_mentions, read_transcripts,
+    )
+
+    root = _tcache(sf_dir)
+    ds = extract_mentions(read_transcripts(f"{root}/transcripts"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        return t.group_by("address").aggregate([("address", "count")]).rename_columns(
+            ["address", "p_cnt"]
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("address")
+        .aggregate(Sum("p_cnt", alias_name="n_mentions"))
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {"address": t["address"], "n_mentions": pc.cast(t["n_mentions"], pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _q_resolve_clusters(sf_dir: str):
+    from email_address_parser_ray.pipelines.resolve import cluster_sizes, resolve
+
+    root = _tcache(sf_dir)
+    res = resolve(f"{root}/transcripts")
+    return cluster_sizes(res["clusters"])
+
+
+def _q_match_edges(sf_dir: str):
+    """Accepted match pairs (rules + scores) — rows-only check."""
+    from email_address_parser_ray.pipelines.resolve import resolve
+
+    root = _tcache(sf_dir)
+    return resolve(f"{root}/transcripts")["edges"]
+
+
+def _q_docs_exact_dedup(sf_dir: str):
+    import ray.data as rd
+    from email_address_parser_ray.stages.dedup import exact_dedup
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return exact_dedup(docs)
+
+
+def _q_docs_token_stats(sf_dir: str):
+    import ray.data as rd
+    from email_address_parser_ray.functions.textstats import token_stats
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return docs.map_batches(token_stats, batch_format="pyarrow")
+
+
+def _q_docs_quality(sf_dir: str):
+    import ray.data as rd
+    from email_address_parser_ray.functions.textstats import quality_stats
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return docs.map_batches(quality_stats, batch_format="pyarrow")
+
+
+def _q_docs_fingerprint(sf_dir: str):
+    import ray.data as rd
+    from email_address_parser_ray.functions.textstats import fingerprint
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return docs.map_batches(fingerprint, batch_format="pyarrow")
+
+
+def _q_docs_lang_id(sf_dir: str):
+    import ray.data as rd
+    from email_address_parser_ray.functions.textstats import lang_id
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return docs.map_batches(lang_id, batch_format="pyarrow")
+
+
+def _q_minhash_dedup(sf_dir: str):
+    import ray.data as rd
+    from email_address_parser_ray.stages.dedup import minhash_dedup_clusters
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return minhash_dedup_clusters(docs, threshold=0.7)
+
+
+def _q_simhash_pairs(sf_dir: str):
+    import ray.data as rd
+    from email_address_parser_ray.stages.dedup import simhash_near_dups
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return simhash_near_dups(docs, max_hamming=3)
+
+
+def _q_embedding_neardup(sf_dir: str):
+    import ray.data as rd
+    from email_address_parser_ray.stages.ann import embedding_near_dup_pairs
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return embedding_near_dup_pairs(emb, d=64, threshold=0.95)
+
+
+def _query_vector(sf_dir: str) -> np.ndarray:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    idx = t["vec_id"].to_pylist().index(0)
+    return np.asarray(t["embedding"][idx].as_py(), dtype=np.float64)
+
+
+def _q_ann_topk(sf_dir: str):
+    import ray.data as rd
+    from email_address_parser_ray.stages.ann import brute_force_topk
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return brute_force_topk(emb, _query_vector(sf_dir), k=10)
+
+
+def _q_ann_lsh_topk(sf_dir: str):
+    import ray.data as rd
+    from email_address_parser_ray.stages.ann import lsh_topk
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return lsh_topk(emb, _query_vector(sf_dir), k=10)
+
+
+def _q_media_features(sf_dir: str):
+    import ray.data as rd
+    from email_address_parser_ray.stages.multimodal import (
+        media_features, synthesize_media_table,
+    )
+
+    media = rd.from_arrow(synthesize_media_table(256))
+    return media_features(media)
+
+
+def _rel(name):
+    def f(sf_dir: str):
+        from email_address_parser_ray.pipelines import relational
+
+        return getattr(relational, name)(sf_dir)
+
+    return f
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # record-linkage flagship family
+        "extract_mentions": _q_extract_mentions,
+        "turn_roundtrip": _q_turn_roundtrip,
+        "exact_entities": _q_exact_entities,
+        "resolve_clusters": _q_resolve_clusters,
+        "match_edges": _q_match_edges,
+        # relational operator coverage
+        "q1_lineitem": _rel("q1_lineitem"),
+        "q3_top_orders": _rel("q3_top_orders"),
+        "events_hourly": _rel("events_hourly"),
+        "top_customers": _rel("top_customers"),
+        "distinct_segments": _rel("distinct_segments"),
+        # training-data ops
+        "docs_exact_dedup": _q_docs_exact_dedup,
+        "docs_token_stats": _q_docs_token_stats,
+        "docs_quality": _q_docs_quality,
+        "docs_fingerprint": _q_docs_fingerprint,
+        "docs_lang_id": _q_docs_lang_id,
+        "minhash_dedup": _q_minhash_dedup,
+        "simhash_pairs": _q_simhash_pairs,
+        "embedding_neardup": _q_embedding_neardup,
+        "ann_topk": _q_ann_topk,
+        "ann_lsh_topk": _q_ann_lsh_topk,
+        "media_features": _q_media_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    # the record-linkage oracles read the synthesized gold tables; make
+    # sure they exist before DuckDB runs
+    root = _tcache(SF_CORRECTNESS)
+    gm = f"read_parquet('{root}/gold_mentions.parquet')"
+    ge = f"read_parquet('{root}/gold_entities.parquet')"
+    tr = f"read_parquet('{root}/transcripts/*.parquet')"
+    return {
+        "extract_mentions": (
+            f"SELECT conv_id, turn_idx, mention_idx, address FROM {gm}"
+        ),
+        "turn_roundtrip": f"SELECT conv_id, turn_idx, text FROM {tr}",
+        "exact_entities": (
+            f"SELECT address, CAST(count(*) AS BIGINT) AS n_mentions "
+            f"FROM {gm} GROUP BY address"
+        ),
+        "resolve_clusters": (
+            f"WITH mentioned AS (SELECT DISTINCT address FROM {gm}), "
+            f"surf AS (SELECT DISTINCT g.entity_id, g.address FROM {ge} g "
+            f"JOIN mentioned m USING (address)), "
+            f"sz AS (SELECT entity_id, CAST(count(*) AS BIGINT) AS cluster_size "
+            f"FROM surf GROUP BY entity_id) "
+            f"SELECT surf.address AS address, sz.cluster_size AS cluster_size "
+            f"FROM surf JOIN sz USING (entity_id)"
+        ),
+        "q1_lineitem": (
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(ROUND(sum(l_quantity) * 100) AS BIGINT) AS sum_qty_cents, "
+            "CAST(ROUND(sum(l_extendedprice) * 100) AS BIGINT) AS sum_base_price_cents, "
+            "CAST(ROUND(sum(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT) AS sum_disc_price_cents, "
+            "CAST(count(*) AS BIGINT) AS count_order "
+            "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
+            "GROUP BY l_returnflag, l_linestatus"
+        ),
+        "q3_top_orders": (
+            "SELECT o_orderkey, "
+            "CAST(ROUND(sum(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT) AS revenue_cents "
+            "FROM customer JOIN orders ON c_custkey = o_custkey "
+            "JOIN lineitem ON l_orderkey = o_orderkey "
+            "WHERE c_mktsegment = 'BUILDING' "
+            "GROUP BY o_orderkey ORDER BY revenue_cents DESC, o_orderkey LIMIT 10"
+        ),
+        "events_hourly": (
+            "SELECT event_type, date_trunc('hour', ts) AS hour, "
+            "CAST(count(*) AS BIGINT) AS n_events, "
+            "CAST(ROUND(sum(value) * 100) AS BIGINT) AS sum_value_cents "
+            "FROM events GROUP BY event_type, date_trunc('hour', ts)"
+        ),
+        "top_customers": (
+            "SELECT c_custkey, c_name, "
+            "CAST(ROUND(sum(o_totalprice) * 100) AS BIGINT) AS total_spent_cents, "
+            "CAST(count(*) AS BIGINT) AS n_orders "
+            "FROM customer JOIN orders ON c_custkey = o_custkey "
+            "GROUP BY c_custkey, c_name "
+            "ORDER BY total_spent_cents DESC, c_custkey LIMIT 20"
+        ),
+        "distinct_segments": "SELECT DISTINCT c_mktsegment FROM customer",
+        "docs_exact_dedup": (
+            "SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, "
+            "CAST(count(*) AS BIGINT) AS n_copies FROM documents GROUP BY text"
+        ),
+        "docs_token_stats": (
+            "SELECT doc_id, "
+            "CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens, "
+            "CAST(length(text) AS BIGINT) AS n_chars, "
+            "CAST(length(regexp_extract_all(text, "
+            "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpeish "
+            "FROM documents"
+        ),
+        "docs_quality": (
+            "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, "
+            "CAST(length(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS n_punct, "
+            "CAST(length(regexp_extract_all(text, '[A-Z]')) AS BIGINT) AS n_upper, "
+            "CAST(length(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit, "
+            "CAST(length(regexp_extract_all(text, '[.,;:!?]')) * 1000000 "
+            "  // greatest(length(text), 1) AS BIGINT) AS punct_ppm, "
+            "CAST(length(regexp_extract_all(text, '[ ]')) * 1000000 "
+            "  // greatest(length(text), 1) AS BIGINT) AS space_ppm "
+            "FROM documents"
+        ),
+        "docs_fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents",
+        "ann_topk": (
+            "WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0) "
+            "SELECT e.vec_id, CAST(ROUND(list_cosine_similarity(e.embedding, "
+            "q.embedding) * 10000) AS BIGINT) AS cos_e4 "
+            "FROM embeddings e, q ORDER BY cos_e4 DESC, e.vec_id LIMIT 10"
+        ),
+        # rows-only (non-SQL-expressible): match_edges, docs_lang_id,
+        # minhash_dedup, simhash_pairs, embedding_neardup, ann_lsh_topk,
+        # media_features
+    }

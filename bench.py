@@ -1,0 +1,141 @@
+"""Benchmark harness — headline pipelines over $GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <headline sec>, "unit": "sec",
+   "queries": {...per-pipeline sec...}, "sf": ..., "num_cpus": N,
+   "turns_per_sec": ...}
+
+``--scaling`` runs the headline pipeline in two fresh processes
+(num_cpus=8 and num_cpus=32 by default) on the same input and reports
+both throughputs + scaling efficiency — the sandbox stand-in for the
+north rule's N vs 4N-node cluster comparison.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _bench_queries(sf_dir: str) -> dict:
+    """Timed pipelines (consumed fully; results discarded)."""
+    from email_address_parser_ray.pipelines.resolve import resolve
+    from email_address_parser_ray.pipelines import relational
+    from email_address_parser_ray.sources.transcripts import ensure_transcripts
+    from email_address_parser_ray.stages.dedup import minhash_dedup_clusters
+
+    root = ensure_transcripts(sf_dir)
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        n = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return n
+
+    # headline: full record-linkage pipeline, counted by consuming clusters
+    def run_resolve():
+        res = resolve(f"{root}/transcripts")
+        return res["clusters"].count()
+
+    timed("resolve", run_resolve)
+
+    def run_extract():
+        from email_address_parser_ray.pipelines.resolve import (
+            extract_mentions, read_transcripts,
+        )
+
+        return extract_mentions(read_transcripts(f"{root}/transcripts")).count()
+
+    timed("extract", run_extract)
+    timed("q1_lineitem", lambda: relational.q1_lineitem(sf_dir).count())
+    timed("events_hourly", lambda: relational.events_hourly(sf_dir).count())
+    timed(
+        "minhash_dedup",
+        lambda: minhash_dedup_clusters(__import__("ray").data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )).count(),
+    )
+    return timings
+
+
+def main() -> None:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import ray.data as rd
+
+    ctx = rd.DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from email_address_parser_ray.sources.transcripts import ensure_transcripts
+    import pyarrow.dataset as pds
+
+    root = ensure_transcripts(SF_DIR)
+    n_turns = pds.dataset(f"{root}/transcripts").count_rows()
+
+    # warm page cache (untimed) so we measure compute+shuffle, not cold disk
+    _ = pds.dataset(f"{root}/transcripts").to_table(columns=["turn_idx"])
+
+    timings = _bench_queries(SF_DIR)
+    headline = timings["resolve"]
+    out = {
+        "metric": "resolve_pipeline_sec_sf_dir",
+        "value": headline,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "n_turns": n_turns,
+        "turns_per_sec": round(n_turns / headline, 1) if headline else None,
+    }
+    ray.shutdown()
+    print(json.dumps(out))
+
+
+def scaling() -> None:
+    lo, hi = 8, 32
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        res = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+        )
+        return json.loads(res.stdout.strip().splitlines()[-1])
+
+    r_lo = run(lo)
+    r_hi = run(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    print(
+        json.dumps(
+            {
+                "sec_8": t_lo,
+                "sec_32": t_hi,
+                "turns_per_sec_8": r_lo["turns_per_sec"],
+                "turns_per_sec_32": r_hi["turns_per_sec"],
+                "scaling_efficiency": round(eff, 3),
+                "sf": SF_DIR,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

@@ -1,0 +1,121 @@
+"""Text-analysis kernels for the training-data pipeline operators.
+
+All shaped as vectorized ``map_batches`` bodies over the ``documents``
+table (doc_id, text, lang, source, n_chars).  Where a kernel is
+SQL-expressible it has a DuckDB oracle in ``__ray_entry__.oracle_sql``
+(token/char counts, punctuation ratios, md5 fingerprints); heuristics
+(language ID) are rows-only checks.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from typing import Dict, List
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_WS = re.compile(r"\s+")
+_TOKEN_RE = r"\S+"
+_PUNCT_RE = "[.,;:!?]"
+_BPEISH = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+
+# tiny per-language stopword lists for the n-gram/stopword language heuristic
+_STOPWORDS: Dict[str, set] = {
+    "en": {"the", "a", "and", "of", "to", "in", "is", "that", "it", "for"},
+    "es": {"el", "la", "de", "que", "y", "en", "un", "una", "es", "por"},
+    "fr": {"le", "la", "de", "et", "les", "des", "un", "une", "est", "dans"},
+    "de": {"der", "die", "das", "und", "ist", "von", "ein", "eine", "zu", "mit"},
+}
+
+
+def token_stats(batch: pa.Table) -> pa.Table:
+    """doc_id, n_tokens (whitespace), n_chars, n_bpeish — fully vectorized."""
+    text = batch["text"]
+    n_tokens = pc.count_substring_regex(text, _TOKEN_RE)
+    n_chars = pc.utf8_length(text)
+    # BPE-ish token count: letter runs + digit runs + single symbols
+    n_bpeish = pc.count_substring_regex(text, r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_tokens": pc.cast(n_tokens, pa.int64()),
+            "n_chars": pc.cast(n_chars, pa.int64()),
+            "n_bpeish": pc.cast(n_bpeish, pa.int64()),
+        }
+    )
+
+
+def quality_stats(batch: pa.Table) -> pa.Table:
+    """Length/punctuation quality features, integer micro-ratios so the
+    DuckDB oracle hashes identically (no float fuzz)."""
+    text = batch["text"]
+    n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+    n_punct = pc.cast(pc.count_substring_regex(text, _PUNCT_RE), pa.int64())
+    n_upper = pc.cast(pc.count_substring_regex(text, "[A-Z]"), pa.int64())
+    n_digit = pc.cast(pc.count_substring_regex(text, "[0-9]"), pa.int64())
+    n_space = pc.cast(pc.count_substring_regex(text, "[ ]"), pa.int64())
+    denom = pc.max_element_wise(n_chars, pa.scalar(1, pa.int64()))
+    punct_ppm = pc.cast(
+        pc.divide(pc.multiply(n_punct, pa.scalar(1_000_000, pa.int64())), denom),
+        pa.int64(),
+    )
+    space_ppm = pc.cast(
+        pc.divide(pc.multiply(n_space, pa.scalar(1_000_000, pa.int64())), denom),
+        pa.int64(),
+    )
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_chars": n_chars,
+            "n_punct": n_punct,
+            "n_upper": n_upper,
+            "n_digit": n_digit,
+            "punct_ppm": punct_ppm,
+            "space_ppm": space_ppm,
+        }
+    )
+
+
+def fingerprint(batch: pa.Table) -> pa.Table:
+    """doc_id, fp = md5(text) — content fingerprint (matches DuckDB md5())."""
+    texts = batch["text"].to_pylist()
+    fps = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
+    return pa.table(
+        {"doc_id": batch["doc_id"], "fp": pa.array(fps, pa.string())}
+    )
+
+
+def lang_id(batch: pa.Table) -> pa.Table:
+    """Stopword-overlap language heuristic (rows-only check: no SQL oracle).
+
+    Scores each supported language by stopword hit-rate over lowercased
+    whitespace tokens; 'und' (undetermined) when nothing scores.
+    """
+    texts = batch["text"].to_pylist()
+    langs: List[str] = []
+    scores: List[float] = []
+    for t in texts:
+        toks = _WS.split(t.lower().strip())
+        if not toks:
+            langs.append("und")
+            scores.append(0.0)
+            continue
+        best_lang, best = "und", 0.0
+        tokset = toks if len(toks) < 64 else toks[:256]
+        for lang, sw in _STOPWORDS.items():
+            hits = sum(1 for w in tokset if w in sw)
+            s = hits / len(tokset)
+            if s > best:
+                best_lang, best = lang, s
+        langs.append(best_lang if best > 0.02 else "und")
+        scores.append(best)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "lang_pred": pa.array(langs, pa.string()),
+            "lang_score": pa.array(np.round(scores, 6), pa.float64()),
+        }
+    )

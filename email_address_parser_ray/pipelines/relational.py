@@ -1,0 +1,219 @@
+"""Relational operator coverage over the TPC-H-ish test tables.
+
+These pipelines exercise the engine's generic operator surface
+(SURVEY §2.d: aggregations, joins, sorts/limits, set ops) the same way a
+user of the reference-derived engine would run ad-hoc analytics next to
+the record-linkage flagship.  Patterns:
+
+* aggregations pre-combine inside ``map_batches`` (partial per-batch
+  group_by) before the one hash shuffle;
+* small-side joins broadcast via ``ray.put`` + per-batch filter/merge —
+  never a two-sided shuffle for a dimension table;
+* top-k = per-batch partial top-k (or grouped aggregate) then a final
+  tiny sort+limit;
+* monetary sums are rounded to 2 decimals at the end so results hash
+  identically to the DuckDB oracle regardless of summation order.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data.aggregate import Count, Sum
+
+
+def _cents(x):
+    """double → integer cents (round-half-away, matching DuckDB ROUND).
+
+    Monetary aggregates are emitted as int64 cents so results hash
+    identically to the SQL oracle regardless of float summation order."""
+    return pc.cast(
+        pc.round(pc.multiply(x, pa.scalar(100.0)), round_mode="half_towards_infinity"),
+        pa.int64(),
+    )
+
+
+def q1_lineitem(sf_dir: str):
+    """TPC-H Q1-style pricing summary (groupby-agg with partial combine)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+            "l_discount", "l_shipdate",
+        ],
+    )
+    cutoff = pa.scalar(pd.Timestamp("1998-09-02"), pa.timestamp("us"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"], cutoff))
+        disc = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        t = t.append_column("disc_price", disc)
+        return t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "sum"), ("l_extendedprice", "sum"),
+             ("disc_price", "sum"), ("l_quantity", "count")]
+        ).rename_columns(
+            ["l_returnflag", "l_linestatus", "p_qty", "p_base", "p_disc", "p_cnt"]
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("p_qty", alias_name="sum_qty"),
+            Sum("p_base", alias_name="sum_base_price"),
+            Sum("p_disc", alias_name="sum_disc_price"),
+            Sum("p_cnt", alias_name="count_order"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "sum_qty_cents": _cents(t["sum_qty"]),
+                "sum_base_price_cents": _cents(t["sum_base_price"]),
+                "sum_disc_price_cents": _cents(t["sum_disc_price"]),
+                "count_order": pc.cast(t["count_order"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def q3_top_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10):
+    """Broadcast-join customer filter onto orders, shuffle-join-free
+    revenue per order over lineitem, top-k with deterministic tiebreak."""
+    import ray
+    import ray.data as rd
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    keys = cust.map_batches(
+        lambda t: t.filter(pc.equal(t["c_mktsegment"], segment)).select(["c_custkey"]),
+        batch_format="pyarrow",
+    ).to_pandas()
+    custkeys_ref = ray.put(frozenset(keys["c_custkey"]))
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+
+    def filter_orders(t: pa.Table) -> pa.Table:
+        ks = ray.get(custkeys_ref)
+        mask = pc.is_in(t["o_custkey"], value_set=pa.array(sorted(ks), pa.int64()))
+        return t.filter(mask).select(["o_orderkey"])
+
+    okeys = orders.map_batches(filter_orders, batch_format="pyarrow").to_pandas()
+    okeys_ref = ray.put(pa.array(sorted(set(okeys["o_orderkey"])), pa.int64()))
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    def partial_rev(t: pa.Table) -> pa.Table:
+        ks = ray.get(okeys_ref)
+        t = t.filter(pc.is_in(t["l_orderkey"], value_set=ks))
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        t = pa.table({"o_orderkey": t["l_orderkey"], "rev": rev})
+        return t.group_by("o_orderkey").aggregate([("rev", "sum")]).rename_columns(
+            ["o_orderkey", "p_rev"]
+        )
+
+    agg = (
+        li.map_batches(partial_rev, batch_format="pyarrow")
+        .groupby("o_orderkey")
+        .aggregate(Sum("p_rev", alias_name="revenue"))
+    )
+    rounded = agg.map_batches(
+        lambda t: pa.table(
+            {"o_orderkey": t["o_orderkey"], "revenue_cents": _cents(t["revenue"])}
+        ),
+        batch_format="pyarrow",
+    )
+    return rounded.sort(["revenue_cents", "o_orderkey"], descending=[True, False]).limit(k)
+
+
+def events_hourly(sf_dir: str):
+    """Tumbling 1-hour window aggregate over the events stream table."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(t["ts"], unit="hour")
+        t2 = pa.table({"event_type": t["event_type"], "hour": hour, "value": t["value"]})
+        return t2.group_by(["event_type", "hour"]).aggregate(
+            [("value", "sum"), ("value", "count")]
+        ).rename_columns(["event_type", "hour", "p_sum", "p_cnt"])
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .aggregate(Sum("p_sum", alias_name="sum_value"), Sum("p_cnt", alias_name="n_events"))
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "event_type": t["event_type"],
+                "hour": t["hour"],
+                "n_events": pc.cast(t["n_events"], pa.int64()),
+                "sum_value_cents": _cents(t["sum_value"]),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def top_customers(sf_dir: str, k: int = 20):
+    """orders groupby-agg + broadcast dimension join (customer names)."""
+    import ray
+    import ray.data as rd
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return t.group_by("o_custkey").aggregate(
+            [("o_totalprice", "sum"), ("o_totalprice", "count")]
+        ).rename_columns(["o_custkey", "p_sum", "p_cnt"])
+
+    agg = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("p_sum", alias_name="total_spent"), Sum("p_cnt", alias_name="n_orders"))
+    )
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
+    cust_ref = ray.put(cust.to_pandas())
+
+    def attach(t: pa.Table) -> pa.Table:
+        cd = ray.get(cust_ref)
+        df = t.to_pandas().merge(cd, left_on="o_custkey", right_on="c_custkey")
+        return pa.table(
+            {
+                "c_custkey": pa.array(df["c_custkey"], pa.int64()),
+                "c_name": pa.array(df["c_name"], pa.string()),
+                "total_spent_cents": _cents(pa.array(df["total_spent"], pa.float64())),
+                "n_orders": pa.array(df["n_orders"], pa.int64()),
+            }
+        )
+
+    joined = agg.map_batches(attach, batch_format="pyarrow")
+    return joined.sort(["total_spent_cents", "c_custkey"], descending=[True, False]).limit(k)
+
+
+def distinct_segments(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_mktsegment"])
+    return (
+        ds.map_batches(
+            lambda t: t.group_by("c_mktsegment").aggregate([]), batch_format="pyarrow"
+        )
+        .groupby("c_mktsegment")
+        .map_groups(lambda g: g.head(1), batch_format="pandas")
+    )

@@ -1,0 +1,128 @@
+"""The flagship pipeline: transcripts → extracted mentions → blocking →
+pair scoring → transitive clustering (+ checkpointed, resumable stages).
+
+Stage graph (every arrow is streaming; shuffles marked):
+
+    read_parquet(transcripts)                      [column-pruned read]
+      → map_batches(extract_mentions)              [stateless, vectorized]
+      → build_nodes: partial agg + groupby(address)      [shuffle 1]
+      → explode_block_keys → groupby(block_key) pairs    [shuffle 2]
+      → map_batches(PairScorer actor pool)         [stateful actor pool]
+      → connected_components                       [iterated shuffles]
+      → assignments (address, cluster_id) joined back onto mentions
+
+Config knobs mirror the reference's only extension surface
+(``ParsingOptions{is_lax}`` — email_address.rs:17-27) plus the engine's
+blocking/scoring/clustering parameters.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Optional
+
+import pyarrow as pa
+
+from ..functions.fastpath import extract_mentions_batch
+from ..stages.blocking import build_nodes, candidate_pairs
+from ..stages.clustering import connected_components
+from ..stages.scoring import score_pairs
+from ..state.checkpoint import fingerprint, run_stage
+
+
+@dataclass(frozen=True)
+class ResolveConfig:
+    is_lax: bool = True
+    scorer_concurrency: int = 4
+    extract_batch_size: int = 8192
+    max_rounds: int = 16
+
+
+def read_transcripts(transcripts_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(
+        transcripts_dir, columns=["conv_id", "turn_idx", "text"]
+    )
+
+
+def extract_mentions(transcripts_ds, cfg: ResolveConfig = ResolveConfig()):
+    return transcripts_ds.map_batches(
+        lambda t: extract_mentions_batch(t, cfg.is_lax),
+        batch_format="pyarrow",
+        batch_size=cfg.extract_batch_size,
+    )
+
+
+def resolve(
+    transcripts_dir: str,
+    cfg: ResolveConfig = ResolveConfig(),
+    checkpoint_root: Optional[str] = None,
+):
+    """Run the full pipeline; returns dict of result Datasets.
+
+    With ``checkpoint_root`` set, every stage persists to Parquet with a
+    lineage manifest and reruns resume from the first stale stage.
+    """
+    mentions = extract_mentions(read_transcripts(transcripts_dir), cfg)
+    if checkpoint_root is None:
+        nodes = build_nodes(mentions)
+        pairs = candidate_pairs(nodes)
+        edges = score_pairs(pairs, concurrency=cfg.scorer_concurrency)
+        clusters = connected_components(nodes, edges, cfg.max_rounds)
+        return {"mentions": mentions, "nodes": nodes, "edges": edges, "clusters": clusters}
+
+    base_fp = fingerprint(transcripts_dir, cfg)
+    mentions_ds, m_man = run_stage(
+        checkpoint_root, "mentions", base_fp, lambda: mentions
+    )
+    nodes_ds, n_man = run_stage(
+        checkpoint_root, "nodes", fingerprint(base_fp, m_man["rows"]),
+        lambda: build_nodes(mentions_ds),
+    )
+    edges_ds, e_man = run_stage(
+        checkpoint_root, "edges", fingerprint(base_fp, n_man["rows"]),
+        lambda: score_pairs(candidate_pairs(nodes_ds), concurrency=cfg.scorer_concurrency),
+    )
+    cl_fp = fingerprint(base_fp, e_man["rows"])
+    # round checkpoints are keyed by the stage fingerprint so a stale
+    # rounds dir from different inputs can never be resumed
+    cc_dir = os.path.join(checkpoint_root, f"cc_rounds_{cl_fp}")
+    os.makedirs(cc_dir, exist_ok=True)
+    clusters_ds, _ = run_stage(
+        checkpoint_root, "clusters", cl_fp,
+        lambda: connected_components(nodes_ds, edges_ds, cfg.max_rounds, cc_dir),
+    )
+    return {
+        "mentions": mentions_ds,
+        "nodes": nodes_ds,
+        "edges": edges_ds,
+        "clusters": clusters_ds,
+    }
+
+
+def cluster_sizes(clusters_ds):
+    """(address, cluster_size) per unique surface — the resolve_clusters
+    query result (oracle: gold entity partition restricted to mentioned
+    surfaces)."""
+    from ray.data.aggregate import Count
+
+    sizes = clusters_ds.groupby("cluster_id").aggregate(Count(alias_name="cluster_size"))
+    # broadcast-join the (small) size table back onto assignments
+    import pandas as pd
+    import ray
+
+    size_ref = ray.put(sizes.to_pandas())
+
+    def attach(batch: pa.Table) -> pa.Table:
+        sz = ray.get(size_ref)
+        df = batch.to_pandas().merge(sz, on="cluster_id", how="left")
+        return pa.table(
+            {
+                "address": pa.array(df["address"], pa.string()),
+                "cluster_size": pa.array(df["cluster_size"], pa.int64()),
+            }
+        )
+
+    return clusters_ds.map_batches(attach, batch_format="pyarrow")

@@ -47,6 +47,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 SEED = 20260817
+GEN_VERSION = 2  # bump to invalidate /tmp caches when synthesis rules change
 CACHE_ROOT = "/tmp/eap_ray_cache"
 TURNS_PER_SF = 5_000_000  # sf0.001 -> 5k turns, sf0.01 -> 50k, sf0.1 -> 500k
 ENTITIES_PER_SF = 16_000
@@ -166,20 +167,31 @@ def build_entities(sf: float) -> List[dict]:
     return entities
 
 
-def _exotic_addresses() -> List[Tuple[str, str, str]]:
-    """(address, local, domain) positives from the reference conformance corpus
-    (same cartesian as rust-lib/build.rs:87-126), planted verbatim in <...>."""
+def _exotic_addresses() -> List[Tuple[str, str, str, int]]:
+    """(address, local, domain, entity_id) positives from the reference
+    conformance corpus (same cartesian as rust-lib/build.rs:87-126),
+    planted verbatim in <...>.
+
+    Entity ids group corpus addresses by *canonical key* (comments/CFWS
+    stripped, quoted-strings unquoted, domain case-folded): distinct
+    surface spellings of the same canonical address are the same
+    identity — e.g. ``"test"@iana.org`` and ``test@iana.org``."""
     from ..functions.corpus import load_corpus
+    from ..functions.grammar import parse_address
 
     corpus = load_corpus()
-    out = []
+    raw = []
     for lp in corpus.valid_local_parts:
         for d in corpus.valid_domains:
             addr = f"{lp}@{d}"
             if "<" in addr or ">" in addr:
                 continue
-            out.append((addr, lp, d))
-    return out
+            p = parse_address(addr, is_lax=True)
+            raw.append((addr, lp, d, p.canonical_key if p else addr))
+    canon_ids = {k: i for i, k in enumerate(sorted({r[3] for r in raw}))}
+    return [
+        (addr, lp, d, 1_000_000 + canon_ids[ck]) for addr, lp, d, ck in raw
+    ]
 
 
 def synthesize_tables(sf: float) -> Dict[str, pa.Table]:
@@ -239,10 +251,10 @@ def synthesize_tables(sf: float) -> Dict[str, pa.Table]:
                     n_mention_draws += 1
                     # every ~29th mention is an exotic corpus address in <...>
                     if n_mention_draws % 29 == 0 and exotics:
-                        addr, lp, dom = exotics[exotic_cursor % len(exotics)]
+                        addr, lp, dom, eid = exotics[exotic_cursor % len(exotics)]
                         exotic_cursor += 1
                         frags.append(f"<{addr}>")
-                        m_eid.append(1_000_000 + (exotic_cursor - 1) % len(exotics))
+                        m_eid.append(eid)
                         m_style.append(STYLE_EXOTIC)
                         m_addr.append(addr)
                         m_local.append(lp)
@@ -306,8 +318,8 @@ def synthesize_tables(sf: float) -> Dict[str, pa.Table]:
                 seen.add(addr)
                 ge_eid.append(ent["entity_id"])
                 ge_addr.append(addr)
-    for i, (addr, _, _) in enumerate(_exotic_addresses()):
-        ge_eid.append(1_000_000 + i)
+    for addr, _, _, eid in _exotic_addresses():
+        ge_eid.append(eid)
         ge_addr.append(addr)
     gold_entities = pa.table(
         {
@@ -340,8 +352,12 @@ def ensure_transcripts(sf_dir: str) -> str:
     """
     out = cache_dir(sf_dir)
     marker = os.path.join(out, "_SUCCESS")
+    stamp = f"seed={SEED} v={GEN_VERSION}"
     if os.path.exists(marker):
-        return out
+        with open(marker) as f:
+            if f.read().startswith(stamp):
+                return out
+        shutil.rmtree(out, ignore_errors=True)  # stale generator version
     sf = float(sf_from_dir(sf_dir))
     tables = synthesize_tables(sf)
     tmp = out + f".tmp.{os.getpid()}"
@@ -356,7 +372,7 @@ def ensure_transcripts(sf_dir: str) -> str:
     pq.write_table(tables["gold_mentions"], os.path.join(tmp, "gold_mentions.parquet"))
     pq.write_table(tables["gold_entities"], os.path.join(tmp, "gold_entities.parquet"))
     with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
-        f.write(f"seed={SEED} sf={sf} rows={t.num_rows}\n")
+        f.write(f"seed={SEED} v={GEN_VERSION} sf={sf} rows={t.num_rows}\n")
     os.makedirs(CACHE_ROOT, exist_ok=True)
     try:
         os.rename(tmp, out)

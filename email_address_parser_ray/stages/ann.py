@@ -1,0 +1,161 @@
+"""Similarity search over the ``embeddings`` table (vec_id, embedding:
+list<float>, label).
+
+Two paths per the brief:
+
+* ``brute_force_topk`` — baseline: the query matrix is broadcast ONCE via
+  ``ray.put`` (never re-shipped per batch); each batch computes a numpy
+  matmul against zero-copy Arrow list data, emits only its per-batch
+  top-k, and a final tiny sort/limit folds the partials.  Shuffle-free.
+* ``lsh_topk`` — scale path: signed-random-projection bucketing; vectors
+  are bucketed once (map_batches), the query probes only matching
+  buckets (multi-probe on nearby signs).  At 10^12 rows only the probed
+  buckets are read when the bucketed table is written partitioned by
+  bucket key.
+* ``embedding_near_dup_pairs`` — near-duplicate vectors via the same LSH
+  buckets → per-bucket cosine verify (used as the embedding-cosine
+  near-dup query).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_PROJ_RNG_SEED = 0xA55EED
+N_PLANES = 12
+MAX_BUCKET = 512
+
+
+def _batch_matrix(batch: pa.Table) -> np.ndarray:
+    """Arrow list<float> column → (n, d) float64 matrix (zero-copy flatten)."""
+    col = batch["embedding"]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    n = len(col)
+    return flat.reshape(n, -1).astype(np.float64)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+def brute_force_topk(embeddings_ds, query: np.ndarray, k: int = 10):
+    """Top-k rows by cosine similarity to ``query`` (1-D vector).
+
+    Per-batch partial top-k (matmul against the broadcast query) → final
+    sort+limit over ~k rows per block.  Returns (vec_id, cos_e4) where
+    cos_e4 = round(cosine * 1e4) as int64 (stable for oracle hashing).
+    """
+    import ray
+
+    qn = query.astype(np.float64)
+    qn = qn / (np.linalg.norm(qn) or 1.0)
+    q_ref = ray.put(qn)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        q = ray.get(q_ref)
+        m = _normalize(_batch_matrix(batch))
+        cos = m @ q
+        if len(cos) > k:
+            idx = np.argpartition(-cos, k)[:k]
+        else:
+            idx = np.arange(len(cos))
+        vec_ids = batch["vec_id"].to_numpy(zero_copy_only=False)[idx]
+        return pa.table(
+            {
+                "vec_id": pa.array(vec_ids, pa.int64()),
+                "cos_e4": pa.array(
+                    np.round(cos[idx] * 10_000).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return embeddings_ds.map_batches(partial, batch_format="pyarrow").sort(
+        ["cos_e4", "vec_id"], descending=[True, False]
+    ).limit(k)
+
+
+def _planes(d: int) -> np.ndarray:
+    rng = np.random.RandomState(_PROJ_RNG_SEED)
+    return rng.normal(size=(N_PLANES, d))
+
+
+def _sign_key(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    bits = (m @ planes.T) > 0
+    return (bits * (1 << np.arange(N_PLANES))).sum(axis=1).astype(np.int64)
+
+
+def bucket_embeddings(embeddings_ds, d: int):
+    """Add a signed-random-projection bucket key (one pass, stateless)."""
+    planes = _planes(d)
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        m = _normalize(_batch_matrix(batch))
+        return batch.append_column("bucket", pa.array(_sign_key(m, planes), pa.int64()))
+
+    return embeddings_ds.map_batches(add_key, batch_format="pyarrow")
+
+
+def lsh_topk(embeddings_ds, query: np.ndarray, k: int = 10, probes: int = 4):
+    """ANN top-k: probe the query's bucket plus ``probes`` single-bit flips.
+
+    Recall is approximate by design; the brute-force path is the oracle.
+    """
+    d = len(query)
+    planes = _planes(d)
+    qn = query.astype(np.float64)
+    qn = qn / (np.linalg.norm(qn) or 1.0)
+    base = int(_sign_key(qn.reshape(1, -1), planes)[0])
+    margins = np.abs(qn @ planes.T)
+    flip_order = np.argsort(margins)[:probes]
+    probe_keys = {base} | {base ^ (1 << int(b)) for b in flip_order}
+
+    bucketed = bucket_embeddings(embeddings_ds, d)
+    probed = bucketed.map_batches(
+        lambda t: t.filter(
+            pa.compute.is_in(t["bucket"], value_set=pa.array(sorted(probe_keys)))
+        ),
+        batch_format="pyarrow",
+    )
+    return brute_force_topk(probed, query, k)
+
+
+def embedding_near_dup_pairs(embeddings_ds, d: int, threshold: float = 0.97):
+    """Near-duplicate vector pairs: LSH bucket → per-bucket cosine verify."""
+    bucketed = bucket_embeddings(embeddings_ds, d)
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("vec_id").reset_index(drop=True)
+        n = len(g)
+        if n < 2 or n > MAX_BUCKET:
+            return pd.DataFrame(
+                {
+                    "vec_a": pd.Series([], dtype="int64"),
+                    "vec_b": pd.Series([], dtype="int64"),
+                    "cos_e4": pd.Series([], dtype="int64"),
+                }
+            )
+        m = _normalize(np.stack([np.asarray(v, dtype=np.float64) for v in g["embedding"]]))
+        sims = m @ m.T
+        ia, ib = np.triu_indices(n, k=1)
+        keep = sims[ia, ib] >= threshold
+        ids = g["vec_id"].to_numpy()
+        return pd.DataFrame(
+            {
+                "vec_a": ids[ia[keep]],
+                "vec_b": ids[ib[keep]],
+                "cos_e4": np.round(sims[ia[keep], ib[keep]] * 10_000).astype(np.int64),
+            }
+        )
+
+    pairs = bucketed.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
+    return pairs.groupby(["vec_a", "vec_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )

@@ -1,0 +1,190 @@
+"""Training-data operator tests: dedup family, ANN, text stats, multimodal
+plumbing — with small controlled inputs so expected outputs are exact.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _docs_with_near_dups():
+    """12 docs: 3 exact copies of A, 2 near-dups of B (one word changed in
+    a 300-distinct-token doc — high shingle-Jaccard AND low SimHash
+    hamming), the rest distinct."""
+    base_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    base_b = " ".join(f"tok{i:04d}" for i in range(300))
+    b_var = base_b.replace("tok0150", "tokXXXX", 1)
+    texts = [
+        base_a, base_a, base_a,
+        base_b, b_var,
+        "totally different content about distributed dataflow engines and arrow",
+        "another unrelated piece mentioning shuffles and actors in a cluster",
+        "short text",
+        "the quick brown fox jumps over the lazy dog again and again today",
+        "lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod",
+        "rayon weaves threads while ray schedules tasks across the object store",
+        "final document closing out the tiny corpus with neutral words only",
+    ]
+    return pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                     "text": pa.array(texts, pa.string())})
+
+
+def test_exact_dedup_groups(ray_session):
+    import ray.data as rd
+    from email_address_parser_ray.stages.dedup import exact_dedup
+
+    out = exact_dedup(rd.from_arrow(_docs_with_near_dups())).to_pandas()
+    assert len(out) == 10  # 12 docs, one triple collapses
+    trip = out[out["n_copies"] == 3]
+    assert len(trip) == 1 and trip["doc_id"].iat[0] == 0
+
+
+def test_minhash_finds_planted_near_dups(ray_session):
+    import ray.data as rd
+    from email_address_parser_ray.stages.dedup import minhash_dedup_clusters
+
+    out = minhash_dedup_clusters(
+        rd.from_arrow(_docs_with_near_dups()), threshold=0.5
+    ).to_pandas()
+    cl = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert cl[0] == cl[1] == cl[2]          # exact copies
+    assert cl[3] == cl[4]                    # near-dup pair
+    assert cl[0] != cl[3]
+    assert cl[5] not in (cl[0], cl[3])
+
+
+def test_simhash_finds_exact_and_near(ray_session):
+    import ray.data as rd
+    from email_address_parser_ray.stages.dedup import simhash_near_dups
+
+    out = simhash_near_dups(rd.from_arrow(_docs_with_near_dups()), max_hamming=4).to_pandas()
+    pairs = set(map(tuple, out[["doc_a", "doc_b"]].to_numpy()))
+    assert (0, 1) in pairs and (0, 2) in pairs and (1, 2) in pairs
+    assert (3, 4) in pairs
+
+
+def test_jaccard_verifier_exact():
+    from email_address_parser_ray.stages.dedup import JaccardVerifier
+
+    t = pa.table(
+        {
+            "doc_a": pa.array([1], pa.int64()),
+            "doc_b": pa.array([2], pa.int64()),
+            "text_a": pa.array(["a b c d e f"], pa.string()),
+            "text_b": pa.array(["a b c d e f"], pa.string()),
+        }
+    )
+    out = JaccardVerifier()(t)
+    assert out["jaccard"][0].as_py() == 1.0
+
+
+def test_brute_force_topk_matches_numpy(ray_session):
+    import ray.data as rd
+    from email_address_parser_ray.stages.ann import brute_force_topk
+
+    rng = np.random.RandomState(7)
+    m = rng.normal(size=(200, 16)).astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(200), pa.int64()),
+            "embedding": pa.array([row.tolist() for row in m], pa.list_(pa.float32())),
+        }
+    )
+    q = m[0].astype(np.float64)
+    out = brute_force_topk(rd.from_arrow(t), q, k=5).to_pandas()
+    mm = m.astype(np.float64)
+    mm /= np.linalg.norm(mm, axis=1, keepdims=True)
+    qq = q / np.linalg.norm(q)
+    cos = mm @ qq
+    want = np.argsort(-np.round(cos * 10_000))[:5]
+    assert out["vec_id"].iat[0] == 0
+    assert set(out["vec_id"]) == set(want)
+
+
+def test_lsh_topk_contains_query_itself(ray_session):
+    import ray.data as rd
+    from email_address_parser_ray.stages.ann import lsh_topk
+
+    rng = np.random.RandomState(11)
+    m = rng.normal(size=(300, 16)).astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(300), pa.int64()),
+            "embedding": pa.array([row.tolist() for row in m], pa.list_(pa.float32())),
+        }
+    )
+    out = lsh_topk(rd.from_arrow(t), m[42].astype(np.float64), k=3).to_pandas()
+    assert out["vec_id"].iat[0] == 42  # its own bucket always probed
+
+
+def test_embedding_near_dup_pairs(ray_session):
+    import ray.data as rd
+    from email_address_parser_ray.stages.ann import embedding_near_dup_pairs
+
+    rng = np.random.RandomState(3)
+    base = rng.normal(size=(50, 16))
+    dup = base[7] + rng.normal(scale=1e-3, size=16)  # near-identical to 7
+    m = np.vstack([base, dup])
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(51), pa.int64()),
+            "embedding": pa.array([r.tolist() for r in m.astype(np.float32)], pa.list_(pa.float32())),
+        }
+    )
+    out = embedding_near_dup_pairs(rd.from_arrow(t), d=16, threshold=0.99).to_pandas()
+    assert (7, 50) in set(map(tuple, out[["vec_a", "vec_b"]].to_numpy()))
+
+
+def test_token_stats_vectorized():
+    from email_address_parser_ray.functions.textstats import token_stats
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(["a bb  ccc", "Hello, world! 42"], pa.string()),
+        }
+    )
+    out = token_stats(t)
+    assert out["n_tokens"].to_pylist() == [3, 3]
+    assert out["n_chars"].to_pylist() == [9, 16]
+    # "Hello" "," "world" "!" "42" → 5 BPE-ish tokens
+    assert out["n_bpeish"].to_pylist()[1] == 5
+
+
+def test_lang_id_english_stopwords():
+    from email_address_parser_ray.functions.textstats import lang_id
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(
+                [
+                    "the cat sat on the mat and it is a good day for the团队",
+                    "el perro y la casa de un amigo que es grande por la calle",
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    out = lang_id(t)
+    assert out["lang_pred"].to_pylist() == ["en", "es"]
+
+
+def test_media_decoder_plumbing(ray_session):
+    import ray.data as rd
+    from email_address_parser_ray.stages.multimodal import (
+        MediaDecoder, media_features, synthesize_media_table,
+    )
+
+    media = synthesize_media_table(64)
+    out = media_features(rd.from_arrow(media), concurrency=2, batch_size=16).to_pandas()
+    assert len(out) == 64
+    assert {"media_id", "kind", "n_bytes", "features"} <= set(out.columns)
+    assert all(len(f) == 8 for f in out["features"])
+    # deterministic: same payload → same features
+    d = MediaDecoder(fake=True)
+    f1 = d._decode(b"payload", "image")
+    f2 = d._decode(b"payload", "image")
+    assert np.allclose(f1, f2)
+    with pytest.raises(NotImplementedError):
+        MediaDecoder(fake=False)._decode(b"x", "image")
