@@ -21,6 +21,16 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+# transcripts corpus scale (defaults to the sf of SF_DIR); the --scaling
+# run overrides this upward so compute dominates fixed per-stage overhead
+TRANS_SF = os.environ.get("GRAFT_TRANSCRIPTS_SF", "")
+ONLY = [q for q in os.environ.get("GRAFT_BENCH_QUERIES", "").split(",") if q]
+
+
+def _transcripts_sf_dir() -> str:
+    if TRANS_SF:
+        return f"sf{TRANS_SF}"
+    return SF_DIR
 
 
 def _bench_queries(sf_dir: str) -> dict:
@@ -30,10 +40,12 @@ def _bench_queries(sf_dir: str) -> dict:
     from email_address_parser_ray.sources.transcripts import ensure_transcripts
     from email_address_parser_ray.stages.dedup import minhash_dedup_clusters
 
-    root = ensure_transcripts(sf_dir)
+    root = ensure_transcripts(_transcripts_sf_dir())
     timings: dict[str, float] = {}
 
     def timed(name, fn):
+        if ONLY and name not in ONLY:
+            return None
         t0 = time.time()
         n = fn()
         timings[name] = round(time.time() - t0, 3)
@@ -83,7 +95,7 @@ def main() -> None:
     from email_address_parser_ray.sources.transcripts import ensure_transcripts
     import pyarrow.dataset as pds
 
-    root = ensure_transcripts(SF_DIR)
+    root = ensure_transcripts(_transcripts_sf_dir())
     n_turns = pds.dataset(f"{root}/transcripts").count_rows()
 
     # warm page cache (untimed) so we measure compute+shuffle, not cold disk
@@ -106,10 +118,19 @@ def main() -> None:
 
 
 def scaling() -> None:
+    """Same job, same input, two fresh processes at 8 and 32 CPUs (sandbox
+    stand-in for N vs 4N nodes).  Uses a larger transcript corpus
+    (sf0.4, ~2M turns) so per-stage fixed overhead doesn't mask the
+    parallel fraction the criterion is about."""
     lo, hi = 8, 32
 
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_TRANSCRIPTS_SF=os.environ.get("GRAFT_SCALING_SF", "0.4"),
+            GRAFT_BENCH_QUERIES="resolve",
+        )
         res = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,

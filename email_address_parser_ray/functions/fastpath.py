@@ -222,22 +222,66 @@ def scan_text(text: str, is_lax: bool = True) -> Iterator[Tuple[int, ParsedAddre
             yield s, ParsedAddress(tok[:at], tok[at + 1 :], tok[:at], tok[at + 1 :], True)
 
 
+# joined-scan variants: '\x00' separates rows, so exclude it from spans
+ANGLE_JOINED_RE = re.compile(r"<([^<>\x00]*)>")
+
+
 def extract_mentions_batch(batch: pa.Table, is_lax: bool = True) -> pa.Table:
     """map_batches kernel: transcripts(text) -> one output row per mention.
 
-    Emits (conv_id, turn_idx, mention_idx, address, local_part, domain,
-    local_canon, domain_canon, canonical_key, is_strict).  The per-row
-    Python loop only drives C-speed compiled regex scans; rows whose text
-    lacks both '@' and '<' are skipped via a vectorized prefilter.
+    Mega-string scan: candidate rows (vectorized '@'/'<' prefilter) are
+    joined with a NUL separator and each compiled pattern runs ONCE over
+    the whole batch at C speed; match offsets map back to rows via
+    ``np.searchsorted`` on the cumulative row offsets.  Per-mention Python
+    runs only for angle-bracketed spans (full-grammar parse) — bare
+    matches are strict-valid by pattern construction.
     """
-    conv = batch["conv_id"].to_pylist()
-    turn = batch["turn_idx"].to_pylist()
     texts = batch["text"]
-    has_candidate = pc.or_(
-        pc.match_substring(texts, "@"), pc.match_substring(texts, "<")
-    ).to_numpy(zero_copy_only=False)
-    texts_py = texts.to_pylist()
+    has_candidate = np.asarray(
+        pc.or_(
+            pc.match_substring(texts, "@"), pc.match_substring(texts, "<")
+        ).to_numpy(zero_copy_only=False),
+        dtype=bool,
+    )
+    cand_idx = np.flatnonzero(has_candidate)
+    found: List[Tuple[int, int, ParsedAddress]] = []  # (row, start, parsed)
+    if len(cand_idx):
+        texts_py = [texts[int(i)].as_py() for i in cand_idx]
+        joined = "\x00".join(texts_py)
+        lens = np.fromiter((len(t) for t in texts_py), dtype=np.int64)
+        offsets = np.zeros(len(texts_py), dtype=np.int64)
+        np.cumsum(lens[:-1] + 1, out=offsets[1:])
 
+        def row_of(pos: int) -> int:
+            return int(np.searchsorted(offsets, pos, side="right") - 1)
+
+        angle_spans: List[Tuple[int, int]] = []
+        for m in ANGLE_JOINED_RE.finditer(joined):
+            p = _parse_candidate(m.group(1), is_lax)
+            if p is not None:
+                angle_spans.append((m.start(), m.end()))
+                found.append((row_of(m.start()), m.start(), p))
+        span_starts = np.array([s for s, _ in angle_spans], dtype=np.int64)
+        span_ends = np.array([e for _, e in angle_spans], dtype=np.int64)
+        for m in BARE_RE.finditer(joined):
+            s = m.start(1)
+            if len(span_starts):
+                j = int(np.searchsorted(span_starts, s, side="right") - 1)
+                if j >= 0 and s < span_ends[j]:
+                    continue  # inside a parsed angle span
+            tok = m.group(1)
+            at = tok.index("@")
+            found.append(
+                (
+                    row_of(s),
+                    s,
+                    ParsedAddress(tok[:at], tok[at + 1 :], tok[:at], tok[at + 1 :], True),
+                )
+            )
+        found.sort(key=lambda t: (t[0], t[1]))
+
+    conv = batch["conv_id"]
+    turn = batch["turn_idx"]
     o_conv: List[str] = []
     o_turn: List[int] = []
     o_mi: List[int] = []
@@ -248,19 +292,22 @@ def extract_mentions_batch(batch: pa.Table, is_lax: bool = True) -> pa.Table:
     o_dc: List[str] = []
     o_key: List[str] = []
     o_strict: List[bool] = []
-    for i in np.flatnonzero(np.asarray(has_candidate, dtype=bool)):
-        found = sorted(scan_text(texts_py[i], is_lax), key=lambda t: t[0])
-        for mi, (_pos, p) in enumerate(found):
-            o_conv.append(conv[i])
-            o_turn.append(turn[i])
-            o_mi.append(mi)
-            o_addr.append(p.address)
-            o_local.append(p.local)
-            o_dom.append(p.domain)
-            o_lc.append(p.local_canon)
-            o_dc.append(p.domain_canon)
-            o_key.append(p.canonical_key)
-            o_strict.append(p.is_strict)
+    prev_row = -1
+    mi = 0
+    for row, _pos, p in found:
+        gi = int(cand_idx[row])
+        mi = mi + 1 if row == prev_row else 0
+        prev_row = row
+        o_conv.append(conv[gi].as_py())
+        o_turn.append(turn[gi].as_py())
+        o_mi.append(mi)
+        o_addr.append(p.address)
+        o_local.append(p.local)
+        o_dom.append(p.domain)
+        o_lc.append(p.local_canon)
+        o_dc.append(p.domain_canon)
+        o_key.append(p.canonical_key)
+        o_strict.append(p.is_strict)
     return pa.table(
         {
             "conv_id": pa.array(o_conv, pa.string()),

@@ -101,11 +101,62 @@ def batch_jaro_winkler(a: Sequence[str], b: Sequence[str]) -> np.ndarray:
     )
 
 
+def _byte_matrix(strs: np.ndarray, width: int) -> np.ndarray:
+    """(n, width) uint8 matrix of UTF-8 bytes, zero-padded."""
+    out = np.zeros((len(strs), width), dtype=np.uint8)
+    for i, s in enumerate(strs):
+        b = s.encode("utf-8")[:width]
+        out[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
+    return out
+
+
+def batch_lev_leq1_vec(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Fully vectorized lev(a,b) <= 1 over aligned pair arrays.
+
+    Characterization (over UTF-8 bytes): lev<=1 iff a==b, or lengths are
+    equal and common_prefix+common_suffix >= len-1 (one substitution), or
+    lengths differ by 1 and common_prefix+common_suffix >= min_len (one
+    insertion/deletion).  Byte-level edits upper-bound char-level edits
+    for the multi-byte case, so this is conservative-safe for matching.
+    """
+    n = len(a)
+    la = np.fromiter((len(x.encode("utf-8")) for x in a), dtype=np.int64, count=n)
+    lb = np.fromiter((len(x.encode("utf-8")) for x in b), dtype=np.int64, count=n)
+    out = np.zeros(n, dtype=bool)
+    ldiff = np.abs(la - lb)
+    cand = ldiff <= 1
+    if not cand.any():
+        return out
+    width = int(max(la.max(initial=0), lb.max(initial=0)))
+    if width == 0:
+        return cand
+    A = _byte_matrix(a, width)
+    B = _byte_matrix(b, width)
+    eq_fwd = A == B
+    # common prefix length: index of first mismatch
+    cp = np.where(eq_fwd.all(axis=1), width, eq_fwd.argmin(axis=1))
+    # common suffix: align ends, compare reversed with per-row shifts
+    idx = np.arange(width)
+    Ar = A[np.arange(n)[:, None], np.maximum(la[:, None] - 1 - idx, 0)]
+    Br = B[np.arange(n)[:, None], np.maximum(lb[:, None] - 1 - idx, 0)]
+    eq_rev = Ar == Br
+    cs = np.where(eq_rev.all(axis=1), width, eq_rev.argmin(axis=1))
+    minlen = np.minimum(la, lb)
+    cp_c = np.minimum(cp, minlen)
+    cs_c = np.minimum(cs, minlen)
+    same_len_ok = (ldiff == 0) & (cp_c + cs_c >= la - 1)
+    off_one_ok = (ldiff == 1) & (cp_c + cs_c >= minlen)
+    out = (la == lb) & (cp == width)  # identical
+    return out | same_len_ok | off_one_ok
+
+
 def batch_lev_leq(a: Sequence[str], b: Sequence[str], k: int = 1) -> np.ndarray:
-    """Vectorized-prefiltered banded Levenshtein: numpy length/equality
-    prefilter, per-pair band DP only on survivors."""
+    """Batched lev <= k: fully vectorized byte-matrix path for k == 1 (the
+    hot case), banded-DP per pair otherwise."""
     a_arr = np.asarray(a, dtype=object)
     b_arr = np.asarray(b, dtype=object)
+    if k == 1:
+        return batch_lev_leq1_vec(a_arr, b_arr)
     n = len(a_arr)
     la = np.fromiter((len(x) for x in a_arr), dtype=np.int64, count=n)
     lb = np.fromiter((len(x) for x in b_arr), dtype=np.int64, count=n)

@@ -209,11 +209,16 @@ def top_customers(sf_dir: str, k: int = 20):
 def distinct_segments(sf_dir: str):
     import ray.data as rd
 
+    from ray.data.aggregate import Count
+
     ds = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_mktsegment"])
-    return (
+    agg = (
         ds.map_batches(
             lambda t: t.group_by("c_mktsegment").aggregate([]), batch_format="pyarrow"
         )
         .groupby("c_mktsegment")
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
+        .aggregate(Count(alias_name="n"))
+    )
+    return agg.map_batches(
+        lambda t: t.select(["c_mktsegment"]), batch_format="pyarrow"
     )

@@ -34,16 +34,22 @@ from ..state.checkpoint import fingerprint, run_stage
 @dataclass(frozen=True)
 class ResolveConfig:
     is_lax: bool = True
-    scorer_concurrency: int = 4
+    scorer_concurrency: int = 32
     extract_batch_size: int = 8192
     max_rounds: int = 16
 
 
 def read_transcripts(transcripts_dir: str):
+    import ray
     import ray.data as rd
 
+    # split the read beyond file granularity so the (hot) extraction stage
+    # can use every core even when the corpus has few large shards
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     return rd.read_parquet(
-        transcripts_dir, columns=["conv_id", "turn_idx", "text"]
+        transcripts_dir,
+        columns=["conv_id", "turn_idx", "text"],
+        override_num_blocks=max(32, cpus * 3),
     )
 
 
@@ -67,7 +73,10 @@ def resolve(
     """
     mentions = extract_mentions(read_transcripts(transcripts_dir), cfg)
     if checkpoint_root is None:
-        nodes = build_nodes(mentions)
+        # materialize the (small) node table once: both the pair/scorer
+        # path and the label table in connected_components consume it, and
+        # without pinning, Ray would re-execute extract+build_nodes twice
+        nodes = build_nodes(mentions).materialize()
         pairs = candidate_pairs(nodes)
         edges = score_pairs(pairs, concurrency=cfg.scorer_concurrency)
         clusters = connected_components(nodes, edges, cfg.max_rounds)

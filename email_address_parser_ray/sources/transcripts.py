@@ -47,7 +47,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 SEED = 20260817
-GEN_VERSION = 2  # bump to invalidate /tmp caches when synthesis rules change
+GEN_VERSION = 3  # bump to invalidate /tmp caches when synthesis rules change
 CACHE_ROOT = "/tmp/eap_ray_cache"
 TURNS_PER_SF = 5_000_000  # sf0.001 -> 5k turns, sf0.01 -> 50k, sf0.1 -> 500k
 ENTITIES_PER_SF = 16_000
@@ -143,7 +143,13 @@ def build_entities(sf: float) -> List[dict]:
     """Deterministic entity population with per-entity surface variants."""
     rng = np.random.RandomState(SEED + 1)
     n = max(32, int(ENTITIES_PER_SF * sf))
-    pairs = [(f, l) for f in _FIRST for l in _LAST]
+    # base pool 40×50 names; a triple-letter suffix multiplies it 27×.
+    # The suffix keeps every pair of distinct clean locals at edit
+    # distance >= 2 (suffixes differ in 3 positions; name combos differ in
+    # >= 2), and typo variants substitute DIGITS (absent from clean
+    # locals), so no lev<=1 accept rule can merge two distinct entities.
+    suffixes = [""] + [chr(ord("a") + i) * 3 for i in range(26)]
+    pairs = [(f, l + s) for s in suffixes for f in _FIRST for l in _LAST]
     order = rng.permutation(len(pairs))[:n]
     # Zipf-ish domain assignment; domain 0 is hot.
     dom_w = 1.0 / np.arange(1, len(_DOMAINS) + 1) ** 1.1

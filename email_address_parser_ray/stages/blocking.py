@@ -36,6 +36,7 @@ import pyarrow.compute as pc
 NODE_COLS = ["address", "local_part", "domain", "local_canon", "domain_canon", "canonical_key"]
 MAX_BLOCK_SIZE = 256  # blocks larger than this switch to sorted-neighborhood
 SN_WINDOW = 8  # neighborhood width inside oversize blocks
+N_PAIR_BUCKETS = 64  # coarse shuffle buckets (explicit partitioned hash join)
 
 
 def partial_node_agg(batch: pa.Table) -> pa.Table:
@@ -46,20 +47,30 @@ def partial_node_agg(batch: pa.Table) -> pa.Table:
     )
 
 
-def merge_nodes(group: pd.DataFrame) -> pd.DataFrame:
-    out = group.head(1).copy()
-    out["n_mentions"] = group["n_mentions"].sum()
+def _add_addr_bucket(batch: pa.Table, n_buckets: int) -> pa.Table:
+    h = pd.util.hash_pandas_object(batch["address"].to_pandas(), index=False)
+    return batch.append_column(
+        "bucket", pa.array((h % n_buckets).astype(np.int64).to_numpy(), pa.int64())
+    )
+
+
+def _merge_nodes_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    out = df.groupby(NODE_COLS, as_index=False, sort=False)["n_mentions"].sum()
     return out
 
 
-def build_nodes(mentions_ds):
+def build_nodes(mentions_ds, n_buckets: int = N_PAIR_BUCKETS):
     """mentions → one row per unique surface address (+ mention count).
 
-    partial per-batch aggregate, then one hash shuffle on the surface."""
+    Partial per-batch aggregate, then one coarse hash-bucket shuffle with
+    a C-speed pandas fold per bucket.  The canonical columns are
+    deterministic functions of the surface, so grouping by the full
+    column tuple equals grouping by the surface."""
     return (
         mentions_ds.map_batches(partial_node_agg, batch_format="pyarrow")
-        .groupby("address")
-        .map_groups(merge_nodes, batch_format="pandas")
+        .map_batches(lambda t: _add_addr_bucket(t, n_buckets), batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_merge_nodes_bucket, batch_format="pandas")
     )
 
 
@@ -91,33 +102,61 @@ def explode_block_keys(batch: pa.Table) -> pa.Table:
 _PAIR_SIDE_COLS = ["address", "canonical_key", "dotless", "domain_key"]
 
 
-def emit_pairs(group: pd.DataFrame) -> pd.DataFrame:
-    """Per-block candidate pair emission (runs inside groupby(block_key)).
+def add_block_bucket(batch: pa.Table, n_buckets: int = N_PAIR_BUCKETS) -> pa.Table:
+    """Stable hash-bucket of the block key (explicit partitioned hash join:
+    one coarse shuffle key instead of millions of tiny groupby groups)."""
+    h = pd.util.hash_pandas_object(batch["block_key"].to_pandas(), index=False)
+    return batch.append_column(
+        "bucket", pa.array((h % n_buckets).astype(np.int64).to_numpy(), pa.int64())
+    )
 
-    - affix passes (p|/s|) skip pairs with equal dotless locals: those are
-      guaranteed co-blocked by the d| pass (cross-pass dedup without an
-      extra shuffle);
-    - blocks over max_block_size use deterministic sorted-neighborhood
-      (sort by dotless, window SN_WINDOW) — the quadratic-pair cap for
-      skewed mega-blocks.
+
+def emit_pairs_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized candidate-pair emission over one whole bucket of blocks.
+
+    All blocks in the bucket are processed with numpy segment arithmetic
+    (sort by block_key → group offsets → concatenated triu indices); the
+    per-group Python work is just index-array construction, never pandas
+    object creation.  Rules preserved from the per-block version:
+
+    - affix passes (p|/s|) skip pairs with equal dotless locals (those
+      are co-blocked by the d| pass — cross-pass dedup with no shuffle);
+    - blocks over MAX_BLOCK_SIZE switch to deterministic
+      sorted-neighborhood (sort by dotless, window SN_WINDOW) — the
+      quadratic cap for skew-hot blocks.
     """
-    n = len(group)
-    empty = {f"{c}_a": [] for c in _PAIR_SIDE_COLS} | {f"{c}_b": [] for c in _PAIR_SIDE_COLS}
+    empty = {f"{c}_{s}": pd.Series([], dtype=object) for c in _PAIR_SIDE_COLS for s in "ab"}
+    n = len(df)
     if n < 2:
         return pd.DataFrame(empty)
-    tag = group["pass_tag"].iat[0]
-    g = group.sort_values("address").reset_index(drop=True)
-    if n <= MAX_BLOCK_SIZE:
-        ia, ib = np.triu_indices(n, k=1)
-    else:
-        g = g.sort_values("dotless", kind="mergesort").reset_index(drop=True)
-        offs = [(i, i + d) for d in range(1, SN_WINDOW + 1) for i in range(n - d)]
-        ia = np.array([o[0] for o in offs], dtype=np.int64)
-        ib = np.array([o[1] for o in offs], dtype=np.int64)
-    if tag in ("p", "s"):
-        dot = g["dotless"].to_numpy()
-        keep = dot[ia] != dot[ib]
-        ia, ib = ia[keep], ib[keep]
+    g = df.sort_values(["block_key", "address"], kind="mergesort").reset_index(drop=True)
+    keys = g["block_key"].to_numpy()
+    starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+    ends = np.r_[starts[1:], n]
+    ia_parts = []
+    ib_parts = []
+    dotless = g["dotless"].to_numpy()
+    for s, e in zip(starts, ends):
+        sz = e - s
+        if sz < 2:
+            continue
+        if sz <= MAX_BLOCK_SIZE:
+            ia, ib = np.triu_indices(sz, k=1)
+            ia_parts.append(ia + s)
+            ib_parts.append(ib + s)
+        else:
+            order = s + np.argsort(dotless[s:e], kind="stable")
+            for d in range(1, SN_WINDOW + 1):
+                ia_parts.append(order[: sz - d])
+                ib_parts.append(order[d:])
+    if not ia_parts:
+        return pd.DataFrame(empty)
+    ia = np.concatenate(ia_parts)
+    ib = np.concatenate(ib_parts)
+    tags = g["pass_tag"].to_numpy()
+    affix = (tags[ia] == "p") | (tags[ia] == "s")
+    keep = ~(affix & (dotless[ia] == dotless[ib]))
+    ia, ib = ia[keep], ib[keep]
     if len(ia) == 0:
         return pd.DataFrame(empty)
     out = {}
@@ -128,11 +167,14 @@ def emit_pairs(group: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(out)
 
 
-def candidate_pairs(nodes_ds):
-    """nodes → candidate pairs: vectorized key explode, then the block-key
-    hash shuffle with per-block emission."""
+def candidate_pairs(nodes_ds, n_buckets: int = N_PAIR_BUCKETS):
+    """nodes → candidate pairs: vectorized key explode, coarse bucket
+    shuffle, per-bucket vectorized emission."""
     return (
         nodes_ds.map_batches(explode_block_keys, batch_format="pyarrow")
-        .groupby("block_key")
-        .map_groups(emit_pairs, batch_format="pandas")
+        .map_batches(
+            lambda t: add_block_bucket(t, n_buckets), batch_format="pyarrow"
+        )
+        .groupby("bucket")
+        .map_groups(emit_pairs_bucket, batch_format="pandas")
     )

@@ -28,13 +28,15 @@ from __future__ import annotations
 
 from typing import Optional
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ray.data.aggregate import Min
-
 MAX_ROUNDS = 16
+
+
+N_CC_BUCKETS = 64
 
 
 def _symmetrize(batch: pa.Table) -> pa.Table:
@@ -43,19 +45,31 @@ def _symmetrize(batch: pa.Table) -> pa.Table:
     return pa.concat_tables([fwd, rev])
 
 
-def _route_labels(group: pd.DataFrame) -> pd.DataFrame:
-    """groupby(node) over labels ∪ edges: send my label to every neighbor
-    (and keep it myself)."""
-    lbl_rows = group[group["is_label"]]
-    if len(lbl_rows) == 0:
-        # edge endpoint that somehow lacks a label row: label = own id
-        label = group["node"].iat[0]
-    else:
-        label = lbl_rows["payload"].min()
-    nbrs = group.loc[~group["is_label"], "payload"]
-    nodes = [group["node"].iat[0]]
-    nodes.extend(nbrs.tolist())
-    return pd.DataFrame({"node": nodes, "payload": [label] * len(nodes)})
+def _add_node_bucket(batch: pa.Table, is_label: bool, n_buckets: int) -> pa.Table:
+    h = pd.util.hash_pandas_object(batch["node"].to_pandas(), index=False)
+    return batch.append_column(
+        "bucket", pa.array((h % n_buckets).astype(np.int64).to_numpy(), pa.int64())
+    ).append_column("is_label", pa.array(np.full(batch.num_rows, is_label)))
+
+
+def _route_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    """One bucket of the partitioned hash join labels⋈edges: attach each
+    edge-source's current label and emit it to the neighbor (plus each
+    node's own label).  Vectorized pandas merge — no per-node Python."""
+    lbl = df.loc[df["is_label"], ["node", "payload"]]
+    edg = df.loc[~df["is_label"], ["node", "payload"]]
+    if len(edg) == 0:
+        return lbl.reset_index(drop=True)
+    m = edg.merge(lbl, on="node", how="left", suffixes=("_nbr", "_lab"))
+    lab = m["payload_lab"].fillna(m["node"])
+    msgs = pd.DataFrame({"node": m["payload_nbr"].to_numpy(), "payload": lab.to_numpy()})
+    return pd.concat([lbl, msgs], ignore_index=True)
+
+
+def _fold_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    """Fold incoming labels per node with a C-speed pandas groupby.min
+    (Ray's native string Min aggregate is orders slower at this shape)."""
+    return df.groupby("node", as_index=False)["payload"].min()
 
 
 def _label_checksum(labels_ds) -> int:
@@ -128,11 +142,19 @@ def connected_components(
     edges = (
         edges_ds.map_batches(_symmetrize, batch_format="pyarrow")
         .map_batches(
-            lambda t: t.append_column("is_label", pa.array([False] * t.num_rows)),
+            lambda t: _add_node_bucket(t, False, N_CC_BUCKETS),
             batch_format="pyarrow",
         )
         .materialize()
     )
+    # Compact both iteration tables: label-prop rounds shuffle these every
+    # iteration, and hundreds of tiny blocks cost far more in task
+    # scheduling than the actual data movement.  Target ~500k rows/block.
+    nb = max(4, min(256, labels.count() // 500_000 + 4))
+    if labels.num_blocks() > 2 * nb:
+        labels = labels.repartition(nb).materialize()
+    if edges.num_blocks() > 2 * nb:
+        edges = edges.repartition(nb).materialize()
 
     start_round = 0
     prev_sum = _label_checksum(labels)
@@ -146,13 +168,24 @@ def connected_components(
 
     for rnd in range(start_round, max_rounds):
         tagged = labels.map_batches(
-            lambda t: t.append_column("is_label", pa.array([True] * t.num_rows)),
+            lambda t: _add_node_bucket(
+                t.select(["node", "payload"]), True, N_CC_BUCKETS
+            ),
             batch_format="pyarrow",
         )
-        msgs = tagged.union(edges).groupby("node").map_groups(
-            _route_labels, batch_format="pandas"
+        msgs = tagged.union(edges).groupby("bucket").map_groups(
+            _route_bucket, batch_format="pandas"
         )
-        folded = msgs.groupby("node").aggregate(Min("payload", alias_name="payload"))
+        folded = (
+            msgs.map_batches(
+                lambda t: _add_node_bucket(t, True, N_CC_BUCKETS).drop_columns(
+                    ["is_label"]
+                ),
+                batch_format="pyarrow",
+            )
+            .groupby("bucket")
+            .map_groups(_fold_bucket, batch_format="pandas")
+        )
         if checkpoint_dir is not None:
             holder: list = []
             labels = _write_round(folded, checkpoint_dir, rnd, holder)

@@ -32,6 +32,42 @@ from ..functions.hashing import (
 )
 
 MAX_BUCKET = 64
+N_SHUFFLE_BUCKETS = 64
+
+
+def _add_key_bucket(batch: pa.Table, key: str = "band_key") -> pa.Table:
+    """Coarse shuffle bucket over a fine-grained int key (millions of tiny
+    groupby groups → N_SHUFFLE_BUCKETS vectorized segments)."""
+    import pyarrow.compute as pc
+
+    b = pc.cast(
+        pc.bit_wise_and(batch[key], pa.scalar(0x7FFFFFFF, pa.int64())), pa.int64()
+    )
+    return batch.append_column(
+        "bucket", pc.cast(pc.subtract(b, pc.multiply(pc.divide(b, N_SHUFFLE_BUCKETS), N_SHUFFLE_BUCKETS)), pa.int64())
+    )
+
+
+def _segment_pairs(keys: np.ndarray, max_seg: int = MAX_BUCKET):
+    """Concatenated within-segment triu index pairs over a SORTED key array.
+    Segments larger than max_seg are deterministically trimmed."""
+    n = len(keys)
+    starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+    ends = np.r_[starts[1:], n]
+    ia_parts, ib_parts = [], []
+    for st, en in zip(starts, ends):
+        sz = en - st
+        if sz < 2:
+            continue
+        if sz > max_seg:
+            en = st + max_seg
+            sz = max_seg
+        ia, ib = np.triu_indices(sz, k=1)
+        ia_parts.append(ia + st)
+        ib_parts.append(ib + st)
+    if not ia_parts:
+        return np.array([], dtype=np.int64), np.array([], dtype=np.int64)
+    return np.concatenate(ia_parts), np.concatenate(ib_parts)
 
 
 # --- exact dedup -----------------------------------------------------------
@@ -51,22 +87,21 @@ def _exact_partial(batch: pa.Table) -> pa.Table:
     ).rename_columns(["fp", "doc_id", "n_copies"])
 
 
-def _exact_merge(g: pd.DataFrame) -> pd.DataFrame:
-    return pd.DataFrame(
-        {"doc_id": [g["doc_id"].min()], "n_copies": [g["n_copies"].sum()]}
-    )
-
-
 def exact_dedup(docs_ds):
     """Hash-partition on content hash, keep first doc per group.
 
-    Per-batch partial aggregate → one groupby(fp) shuffle (SURVEY §2.d,
-    A9 Eq/Hash semantics generalized to documents)."""
-    return (
+    Per-batch partial aggregate → one NATIVE groupby(fp) aggregate
+    (SURVEY §2.d, A9 Eq/Hash semantics generalized to documents)."""
+    from ray.data.aggregate import Min, Sum
+
+    agg = (
         docs_ds.map_batches(_content_hash_batch, batch_format="pyarrow")
         .map_batches(_exact_partial, batch_format="pyarrow")
         .groupby("fp")
-        .map_groups(_exact_merge, batch_format="pandas")
+        .aggregate(Min("doc_id", alias_name="doc_id"), Sum("n_copies", alias_name="n_copies"))
+    )
+    return agg.map_batches(
+        lambda t: t.select(["doc_id", "n_copies"]), batch_format="pyarrow"
     )
 
 
@@ -102,21 +137,23 @@ class MinHashSketcher:
 
 
 def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-    g = g.drop_duplicates("doc_id").sort_values("doc_id").reset_index(drop=True)
-    n = len(g)
-    if n < 2:
-        return pd.DataFrame({"doc_a": [], "doc_b": [], "sig_a": [], "sig_b": []})
-    if n > MAX_BUCKET:  # degenerate bucket guard (deterministic trim)
-        g = g.head(MAX_BUCKET)
-        n = MAX_BUCKET
-    ia, ib = np.triu_indices(n, k=1)
+    """Vectorized over one coarse bucket: all band groups inside processed
+    with segment arithmetic (sort by band_key → triu per segment)."""
+    g = (
+        g.drop_duplicates(["band_key", "doc_id"])
+        .sort_values(["band_key", "doc_id"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    ia, ib = _segment_pairs(g["band_key"].to_numpy())
+    if len(ia) == 0:
+        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                             "doc_b": pd.Series([], dtype="int64"),
+                             "sig_a": pd.Series([], dtype=object),
+                             "sig_b": pd.Series([], dtype=object)})
+    ids = g["doc_id"].to_numpy()
+    sigs = g["sig"].to_numpy()
     return pd.DataFrame(
-        {
-            "doc_a": g["doc_id"].to_numpy()[ia],
-            "doc_b": g["doc_id"].to_numpy()[ib],
-            "sig_a": g["sig"].to_numpy()[ia],
-            "sig_b": g["sig"].to_numpy()[ib],
-        }
+        {"doc_a": ids[ia], "doc_b": ids[ib], "sig_a": sigs[ia], "sig_b": sigs[ib]}
     )
 
 
@@ -151,18 +188,19 @@ def minhash_candidate_pairs(docs_ds, threshold: float = 0.7, concurrency: int = 
     """documents → near-dup candidate pairs (deduped) with Jaccard estimates."""
     banded = docs_ds.map_batches(
         MinHashSketcher, batch_format="pyarrow", concurrency=(1, concurrency)
-    )
-    pairs = banded.groupby("band_key").map_groups(_bucket_pairs, batch_format="pandas")
+    ).map_batches(_add_key_bucket, batch_format="pyarrow")
+    pairs = banded.groupby("bucket").map_groups(_bucket_pairs, batch_format="pandas")
     verified = pairs.map_batches(
         MinHashVerifier,
         batch_format="pyarrow",
         concurrency=(1, concurrency),
         fn_constructor_kwargs={"threshold": threshold},
     )
-    # cross-band dedup of surviving pairs (small): one groupby shuffle
-    return (
-        verified.groupby(["doc_a", "doc_b"])
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
+    # cross-band dedup of surviving pairs (small): one native aggregate
+    from ray.data.aggregate import Min
+
+    return verified.groupby(["doc_a", "doc_b"]).aggregate(
+        Min("jaccard_est", alias_name="jaccard_est")
     )
 
 
@@ -240,24 +278,36 @@ def _simhash_batch(batch: pa.Table) -> pa.Table:
 
 
 def _simhash_pairs(g: pd.DataFrame, max_hamming: int = 3) -> pd.DataFrame:
-    g = g.drop_duplicates("doc_id").sort_values("doc_id").reset_index(drop=True)
-    n = len(g)
-    out_a, out_b, out_d = [], [], []
-    if 2 <= n <= MAX_BUCKET:
-        ids = g["doc_id"].to_numpy()
-        hs = g["simhash"].to_numpy()
-        for i in range(n):
-            for j in range(i + 1, n):
-                d = hamming64(int(hs[i]), int(hs[j]))
-                if d <= max_hamming:
-                    out_a.append(ids[i])
-                    out_b.append(ids[j])
-                    out_d.append(d)
+    """Vectorized over one coarse bucket: per-band segments → candidate
+    index pairs → vectorized popcount-based hamming filter."""
+    g = (
+        g.drop_duplicates(["band_key", "doc_id"])
+        .sort_values(["band_key", "doc_id"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    ia, ib = _segment_pairs(g["band_key"].to_numpy())
+    empty = pd.DataFrame(
+        {
+            "doc_a": pd.Series([], dtype="int64"),
+            "doc_b": pd.Series([], dtype="int64"),
+            "hamming": pd.Series([], dtype="int64"),
+        }
+    )
+    if len(ia) == 0:
+        return empty
+    hs = g["simhash"].to_numpy().astype(np.uint64)
+    x = hs[ia] ^ hs[ib]
+    # vectorized popcount via byte view + unpackbits
+    d = np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1).sum(axis=1)
+    keep = d <= max_hamming
+    if not keep.any():
+        return empty
+    ids = g["doc_id"].to_numpy()
     return pd.DataFrame(
         {
-            "doc_a": pd.Series(out_a, dtype="int64"),
-            "doc_b": pd.Series(out_b, dtype="int64"),
-            "hamming": pd.Series(out_d, dtype="int64"),
+            "doc_a": ids[ia[keep]],
+            "doc_b": ids[ib[keep]],
+            "hamming": d[keep].astype(np.int64),
         }
     )
 
@@ -265,10 +315,14 @@ def _simhash_pairs(g: pd.DataFrame, max_hamming: int = 3) -> pd.DataFrame:
 def simhash_near_dups(docs_ds, max_hamming: int = 3):
     """SimHash near-dup pairs: 16-bit band bucketing (pigeonhole-complete
     for hamming<4) → per-bucket hamming verify → cross-band dedup."""
-    banded = docs_ds.map_batches(_simhash_batch, batch_format="pyarrow")
-    pairs = banded.groupby("band_key").map_groups(
+    from ray.data.aggregate import Min
+
+    banded = docs_ds.map_batches(_simhash_batch, batch_format="pyarrow").map_batches(
+        _add_key_bucket, batch_format="pyarrow"
+    )
+    pairs = banded.groupby("bucket").map_groups(
         lambda g: _simhash_pairs(g, max_hamming), batch_format="pandas"
     )
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
+        Min("hamming", alias_name="hamming")
     )

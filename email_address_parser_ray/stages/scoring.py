@@ -38,24 +38,28 @@ class PairScorer:
         self.jw_floor = jw_floor
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         n = batch.num_rows
         if n == 0:
             return _empty_scored()
-        ck_a = np.asarray(batch["canonical_key_a"].to_pylist(), dtype=object)
-        ck_b = np.asarray(batch["canonical_key_b"].to_pylist(), dtype=object)
-        dot_a = np.asarray(batch["dotless_a"].to_pylist(), dtype=object)
-        dot_b = np.asarray(batch["dotless_b"].to_pylist(), dtype=object)
-        dom_a = np.asarray(batch["domain_key_a"].to_pylist(), dtype=object)
-        dom_b = np.asarray(batch["domain_key_b"].to_pylist(), dtype=object)
 
-        exact = ck_a == ck_b
-        same_dom = dom_a == dom_b
-        len_a = np.fromiter((len(x) for x in dot_a), dtype=np.int64, count=n)
-        len_b = np.fromiter((len(x) for x in dot_b), dtype=np.int64, count=n)
+        def _np(mask):
+            return np.asarray(
+                pc.fill_null(mask, False).to_numpy(zero_copy_only=False), dtype=bool
+            )
+
+        # all prefilters are zero-copy Arrow kernels; per-pair Python runs
+        # only on the (rare) fuzzy candidates below
+        exact = _np(pc.equal(batch["canonical_key_a"], batch["canonical_key_b"]))
+        same_dom = _np(pc.equal(batch["domain_key_a"], batch["domain_key_b"]))
+        dot_eq = _np(pc.equal(batch["dotless_a"], batch["dotless_b"]))
+        len_a = pc.utf8_length(batch["dotless_a"]).to_numpy(zero_copy_only=False)
+        len_b = pc.utf8_length(batch["dotless_b"]).to_numpy(zero_copy_only=False)
         # dot-insensitivity only for locals long enough to be unambiguous:
         # short corpus locals like "te.st"/"test" are distinct identities
         long_enough = (len_a >= self.min_len) & (len_b >= self.min_len)
-        dotless_eq = same_dom & (dot_a == dot_b) & ~exact & long_enough
+        dotless_eq = same_dom & dot_eq & ~exact & long_enough
         fuzz_cand = (
             same_dom
             & ~exact
@@ -65,22 +69,28 @@ class PairScorer:
         )
         lev_ok = np.zeros(n, dtype=bool)
         idx = np.flatnonzero(fuzz_cand)
-        if len(idx):
-            lev_ok[idx] = batch_lev_leq(dot_a[idx], dot_b[idx], self.lev_k)
-
         score = np.zeros(n, dtype=np.float64)
         rule = np.full(n, "", dtype=object)
+        if len(idx):
+            take = pa.array(idx)
+            dot_a = np.asarray(
+                pc.take(batch["dotless_a"], take).to_pylist(), dtype=object
+            )
+            dot_b = np.asarray(
+                pc.take(batch["dotless_b"], take).to_pylist(), dtype=object
+            )
+            sub_ok = batch_lev_leq(dot_a, dot_b, self.lev_k)
+            lev_ok[idx] = sub_ok
+            if sub_ok.any():
+                jw = batch_jaro_winkler(dot_a[sub_ok], dot_b[sub_ok])
+                good = jw >= self.jw_floor
+                keep = idx[sub_ok][good]
+                score[keep] = jw[good]
+                rule[keep] = "lev1"
         score[exact] = 1.0
         rule[exact] = "exact_canonical"
         score[dotless_eq] = 0.98
         rule[dotless_eq] = "dotless_equal"
-        lidx = np.flatnonzero(lev_ok)
-        if len(lidx):
-            jw = batch_jaro_winkler(dot_a[lidx], dot_b[lidx])
-            good = jw >= self.jw_floor
-            keep = lidx[good]
-            score[keep] = jw[good]
-            rule[keep] = "lev1"
         accept = score > 0.0
         out = pa.table(
             {
