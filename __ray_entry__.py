@@ -130,6 +130,88 @@ def _q_match_edges(sf_dir: str):
     return resolve(f"{root}/transcripts")["edges"]
 
 
+def _q_corpus_strict(sf_dir: str):
+    """Reference conformance through the VECTORIZED tokenizer: all 940
+    cartesian strict cases; oracle = the expected truth table (the same
+    corpus rust-lib/build.rs compiles its generated tests from)."""
+    import ray.data as rd
+    from email_address_parser_ray.functions.corpus import ensure_fixtures
+    from email_address_parser_ray.functions.fastpath import tokenize_batch
+
+    paths = ensure_fixtures()
+    ds = rd.read_parquet(paths["corpus_addresses"], columns=["case_id", "address"])
+    return ds.map_batches(
+        lambda t: tokenize_batch(t, "address", is_lax=False).select(
+            ["case_id", "is_valid"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _q_isemail_lax(sf_dir: str):
+    import ray.data as rd
+    from email_address_parser_ray.functions.corpus import ensure_fixtures
+    from email_address_parser_ray.functions.fastpath import tokenize_batch
+
+    paths = ensure_fixtures()
+    ds = rd.read_parquet(paths["isemail_cases"], columns=["case_id", "address"])
+    return ds.map_batches(
+        lambda t: tokenize_batch(t, "address", is_lax=True).select(
+            ["case_id", "is_valid"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _q_new_strict(sf_dir: str):
+    """EmailAddress::new analog over the corpus column pairs (A3):
+    strict-mode ok flag + the reference's exact error string."""
+    import ray.data as rd
+    from email_address_parser_ray.functions.corpus import ensure_fixtures
+    from email_address_parser_ray.functions.fastpath import validate_pairs_batch
+
+    paths = ensure_fixtures()
+    ds = rd.read_parquet(
+        paths["corpus_addresses"], columns=["case_id", "local_part", "domain"]
+    )
+    return ds.map_batches(
+        lambda t: validate_pairs_batch(t).select(["case_id", "new_ok", "new_error"]),
+        batch_format="pyarrow",
+    )
+
+
+def _q_f1_report(sf_dir: str):
+    """One-row pairwise P/R/F1 of the pipeline clusters vs gold entities
+    (the north metric, in ppm so it value-hashes exactly)."""
+    import pyarrow.parquet as pq
+    from email_address_parser_ray.functions.evalmetrics import f1_report_table
+    from email_address_parser_ray.pipelines.resolve import resolve
+
+    root = _tcache(sf_dir)
+    clusters = resolve(f"{root}/transcripts")["clusters"].to_pandas()
+    gold = (
+        pq.read_table(f"{root}/gold_entities.parquet").to_pandas()
+        .drop_duplicates("address")
+    )
+    return f1_report_table(clusters, gold)
+
+
+def _q_hot_blocks(sf_dir: str):
+    """Top-20 largest blocking keys (skew detection feed — SURVEY §2.d
+    sorts/top-k; drives the salting/sorted-neighborhood guard)."""
+    from ray.data.aggregate import Count
+    from email_address_parser_ray.pipelines.resolve import (
+        extract_mentions, read_transcripts,
+    )
+    from email_address_parser_ray.stages.blocking import build_nodes, explode_block_keys
+
+    root = _tcache(sf_dir)
+    nodes = build_nodes(extract_mentions(read_transcripts(f"{root}/transcripts")))
+    keys = nodes.map_batches(explode_block_keys, batch_format="pyarrow")
+    sizes = keys.groupby("block_key").aggregate(Count(alias_name="n_nodes"))
+    return sizes.sort(["n_nodes", "block_key"], descending=[True, False]).limit(20)
+
+
 def _q_docs_exact_dedup(sf_dir: str):
     import ray.data as rd
     from email_address_parser_ray.stages.dedup import exact_dedup
@@ -245,6 +327,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_entities": _q_exact_entities,
         "resolve_clusters": _q_resolve_clusters,
         "match_edges": _q_match_edges,
+        "f1_report": _q_f1_report,
+        "hot_blocks": _q_hot_blocks,
+        # reference-grammar conformance (the corpus IS the spec)
+        "corpus_strict": _q_corpus_strict,
+        "isemail_lax": _q_isemail_lax,
+        "new_strict": _q_new_strict,
         # relational operator coverage
         "q1_lineitem": _rel("q1_lineitem"),
         "q3_top_orders": _rel("q3_top_orders"),
@@ -269,11 +357,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     # the record-linkage oracles read the synthesized gold tables; make
     # sure they exist before DuckDB runs
+    from email_address_parser_ray.functions.corpus import ensure_fixtures
+
+    fixtures = ensure_fixtures()
     root = _tcache(SF_CORRECTNESS)
     gm = f"read_parquet('{root}/gold_mentions.parquet')"
     ge = f"read_parquet('{root}/gold_entities.parquet')"
     tr = f"read_parquet('{root}/transcripts/*.parquet')"
+    corp = f"read_parquet('{fixtures['corpus_addresses']}')"
+    ise = f"read_parquet('{fixtures['isemail_cases']}')"
     return {
+        "corpus_strict": (
+            f"SELECT case_id, expected_valid_strict AS is_valid FROM {corp}"
+        ),
+        "isemail_lax": (
+            f"SELECT case_id, expected_valid_lax AS is_valid FROM {ise}"
+        ),
+        "new_strict": (
+            f"SELECT case_id, expected_valid_strict AS new_ok, "
+            f"CASE WHEN expected_valid_strict THEN NULL "
+            f"ELSE 'Invalid local part ''' || local_part || '''.' END AS new_error "
+            f"FROM {corp}"
+        ),
         "extract_mentions": (
             f"SELECT conv_id, turn_idx, mention_idx, address FROM {gm}"
         ),

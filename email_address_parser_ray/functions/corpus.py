@@ -152,3 +152,22 @@ def write_fixture_parquet(out_dir: str, root: str = TEST_DATA_DIR) -> dict:
         pq.write_table(table, path)
         paths[name] = path
     return paths
+
+
+FIXTURE_DIR = "/tmp/eap_ray_cache/fixtures_v1"
+
+
+def ensure_fixtures() -> dict:
+    """Write (once) the conformance fixture tables under /tmp; returns
+    name -> parquet path.  Used by the driver-visible conformance queries
+    and their SQL oracles."""
+    marker = os.path.join(FIXTURE_DIR, "_SUCCESS")
+    if not os.path.exists(marker):
+        paths = write_fixture_parquet(FIXTURE_DIR)
+        with open(marker, "w") as f:
+            f.write("ok\n")
+        return paths
+    return {
+        "corpus_addresses": os.path.join(FIXTURE_DIR, "corpus_addresses.parquet"),
+        "isemail_cases": os.path.join(FIXTURE_DIR, "isemail_cases.parquet"),
+    }

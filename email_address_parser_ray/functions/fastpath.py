@@ -222,6 +222,37 @@ def scan_text(text: str, is_lax: bool = True) -> Iterator[Tuple[int, ParsedAddre
             yield s, ParsedAddress(tok[:at], tok[at + 1 :], tok[:at], tok[at + 1 :], True)
 
 
+def validate_pairs_batch(
+    batch: pa.Table,
+    local_col: str = "local_part",
+    domain_col: str = "domain",
+    is_lax: bool = False,
+) -> pa.Table:
+    """``EmailAddress::new`` analog as a batch kernel (A3 —
+    email_address.rs:257-274): join the two columns with '@', re-run the
+    full parse.  Strict failures produce the reference's exact error
+    string — always blaming the local part (email_address.rs:266) — and
+    lax mode NEVER fails (constructs the unvalidated pair, :268-272).
+    Appends columns ``new_ok: bool`` and ``new_error: string``.
+    """
+    joined = pc.binary_join_element_wise(batch[local_col], batch[domain_col], "@")
+    tokenized = tokenize_batch(pa.table({"address": joined}), "address", is_lax)
+    valid = np.asarray(
+        tokenized["is_valid"].to_numpy(zero_copy_only=False), dtype=bool
+    )
+    if is_lax:
+        ok = np.ones(len(valid), dtype=bool)
+        err = pa.array([None] * len(valid), pa.string())
+    else:
+        ok = valid
+        locals_ = batch[local_col]
+        err_all = pc.binary_join_element_wise(
+            pa.scalar("Invalid local part '"), locals_, pa.scalar("'."), ""
+        )
+        err = pc.if_else(pa.array(valid), pa.scalar(None, pa.string()), err_all)
+    return batch.append_column("new_ok", pa.array(ok)).append_column("new_error", err)
+
+
 # joined-scan variants: '\x00' separates rows, so exclude it from spans
 ANGLE_JOINED_RE = re.compile(r"<([^<>\x00]*)>")
 
