@@ -310,6 +310,31 @@ def _q_media_features(sf_dir: str):
     return media_features(media)
 
 
+def _q_pipeline_counters(sf_dir: str):
+    """Run the checkpointed pipeline and report per-stage row counters
+    from the lineage manifests (north rule: per-partition lineage +
+    metrics; rows-only check)."""
+    import pyarrow as pa
+    from email_address_parser_ray.pipelines.resolve import resolve
+    from email_address_parser_ray.state.checkpoint import load_manifest
+
+    root = _tcache(sf_dir)
+    ck = f"/tmp/eap_ray_ckpt/{root.rsplit('/', 1)[-1]}"
+    resolve(f"{root}/transcripts", checkpoint_root=ck)
+    rows = []
+    for stage in ("mentions", "nodes", "edges", "clusters"):
+        man = load_manifest(ck, stage)
+        rows.append(
+            {
+                "stage": stage,
+                "rows": man["rows"],
+                "n_partitions": len(man["partitions"]),
+                "input_fp": man["input_fp"],
+            }
+        )
+    return pa.Table.from_pylist(rows)
+
+
 def _rel(name):
     def f(sf_dir: str):
         from email_address_parser_ray.pipelines import relational
@@ -339,6 +364,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": _rel("events_hourly"),
         "top_customers": _rel("top_customers"),
         "distinct_segments": _rel("distinct_segments"),
+        "events_asof_orders": _rel("events_asof_orders"),
+        "orders_running_total": _rel("orders_running_total"),
+        "pipeline_counters": _q_pipeline_counters,
         # training-data ops
         "docs_exact_dedup": _q_docs_exact_dedup,
         "docs_token_stats": _q_docs_token_stats,
@@ -428,6 +456,17 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY total_spent_cents DESC, c_custkey LIMIT 20"
         ),
         "distinct_segments": "SELECT DISTINCT c_mktsegment FROM customer",
+        "events_asof_orders": (
+            "SELECT e.event_id, e.user_id, o.o_orderkey "
+            "FROM events e ASOF JOIN orders o "
+            "ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate"
+        ),
+        "orders_running_total": (
+            "SELECT o_orderkey, o_custkey, "
+            "SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER ("
+            "PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey"
+            ") AS running_cents FROM orders"
+        ),
         "docs_exact_dedup": (
             "SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, "
             "CAST(count(*) AS BIGINT) AS n_copies FROM documents GROUP BY text"

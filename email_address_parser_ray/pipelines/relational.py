@@ -206,6 +206,144 @@ def top_customers(sf_dir: str, k: int = 20):
     return joined.sort(["total_spent_cents", "c_custkey"], descending=[True, False]).limit(k)
 
 
+N_JOIN_BUCKETS = 32
+
+
+def events_asof_orders(sf_dir: str):
+    """As-of join: each event matched to the user's most recent order at
+    or before the event time.  Both sides are large at the design point,
+    so this is the guide's explicit pattern: co-partition by key-hash
+    bucket, then ``pd.merge_asof`` over time-sorted frames per bucket
+    (oracle: DuckDB ASOF JOIN)."""
+    import ray.data as rd
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_orderdate"],
+    )
+
+    def tag_events(t: pa.Table) -> pa.Table:
+        b = pc.cast(
+            pc.bit_wise_and(t["user_id"], pa.scalar(0x7FFFFFFF, pa.int64())),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "bucket": pc.subtract(
+                    b, pc.multiply(pc.divide(b, N_JOIN_BUCKETS), N_JOIN_BUCKETS)
+                ),
+                "key": t["user_id"],
+                "ts": t["ts"],
+                "event_id": t["event_id"],
+                "o_orderkey": pa.array([None] * t.num_rows, pa.int64()),
+                "is_left": pa.array([True] * t.num_rows),
+            }
+        )
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        b = pc.cast(
+            pc.bit_wise_and(t["o_custkey"], pa.scalar(0x7FFFFFFF, pa.int64())),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "bucket": pc.subtract(
+                    b, pc.multiply(pc.divide(b, N_JOIN_BUCKETS), N_JOIN_BUCKETS)
+                ),
+                "key": t["o_custkey"],
+                "ts": t["o_orderdate"],
+                "event_id": pa.array([None] * t.num_rows, pa.int64()),
+                "o_orderkey": t["o_orderkey"],
+                "is_left": pa.array([False] * t.num_rows),
+            }
+        )
+
+    both = events.map_batches(tag_events, batch_format="pyarrow").union(
+        orders.map_batches(tag_orders, batch_format="pyarrow")
+    )
+
+    def asof_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        left = df[df["is_left"]].sort_values("ts", kind="mergesort")
+        right = df[~df["is_left"]].sort_values("ts", kind="mergesort")
+        if len(left) == 0:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series([], dtype="int64"),
+                    "user_id": pd.Series([], dtype="int64"),
+                    "o_orderkey": pd.Series([], dtype="int64"),
+                }
+            )
+        m = pd.merge_asof(
+            left[["ts", "key", "event_id"]],
+            right[["ts", "key", "o_orderkey"]],
+            on="ts",
+            by="key",
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        m = m.dropna(subset=["o_orderkey"])
+        return pd.DataFrame(
+            {
+                "event_id": m["event_id"].astype("int64"),
+                "user_id": m["key"].astype("int64"),
+                "o_orderkey": m["o_orderkey"].astype("int64"),
+            }
+        )
+
+    return both.groupby("bucket").map_groups(asof_bucket, batch_format="pandas")
+
+
+def orders_running_total(sf_dir: str):
+    """Windowed running aggregate: per-customer cumulative order value in
+    integer cents, ordered by (o_orderdate, o_orderkey).  Bucketized
+    pandas cumsum (oracle: SUM() OVER (PARTITION BY ... ORDER BY ...))."""
+    import ray.data as rd
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = pc.cast(
+            pc.bit_wise_and(t["o_custkey"], pa.scalar(0x7FFFFFFF, pa.int64())),
+            pa.int64(),
+        )
+        cents = pc.cast(
+            pc.round(
+                pc.multiply(t["o_totalprice"], pa.scalar(100.0)),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        return t.append_column(
+            "bucket",
+            pc.subtract(b, pc.multiply(pc.divide(b, N_JOIN_BUCKETS), N_JOIN_BUCKETS)),
+        ).append_column("cents", cents)
+
+    def running(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["o_custkey", "o_orderdate", "o_orderkey"], kind="mergesort"
+        )
+        out = pd.DataFrame(
+            {
+                "o_orderkey": df["o_orderkey"].to_numpy(),
+                "o_custkey": df["o_custkey"].to_numpy(),
+                "running_cents": df.groupby("o_custkey")["cents"].cumsum().to_numpy(),
+            }
+        )
+        return out
+
+    return (
+        orders.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(running, batch_format="pandas")
+    )
+
+
 def distinct_segments(sf_dir: str):
     import ray.data as rd
 
