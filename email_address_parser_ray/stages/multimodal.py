@@ -93,6 +93,75 @@ class MediaDecoder:
         )
 
 
+class ImageResizer:
+    """Actor-pool resize stage: real Ray plumbing, stubbed codec.
+
+    With ``fake=True`` the payload is passed through and only the typed
+    metadata is rewritten (a real build decodes, resizes with
+    libjpeg/PIL, re-encodes); ``fake=False`` raises at the codec call.
+    """
+
+    def __init__(self, target_w: int = 256, target_h: int = 256, fake: bool = True):
+        self.w = target_w
+        self.h = target_h
+        self.fake = fake
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if not self.fake:
+            raise NotImplementedError("image codec not available; plug PIL here")
+        n = batch.num_rows
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "kind": batch["kind"],
+                "payload": batch["payload"],  # real build: re-encoded bytes
+                "width": pa.array(np.full(n, self.w, dtype=np.int32)),
+                "height": pa.array(np.full(n, self.h, dtype=np.int32)),
+                "orig_width": batch["width"],
+                "orig_height": batch["height"],
+            }
+        )
+
+
+class FrameSampler:
+    """Video → frames flat-map stage: one output row per sampled frame.
+
+    Deterministic frame positions (every ``stride``-th of ``n_frames``);
+    with ``fake=True`` the "frame" is a crc-derived byte slice so the
+    fan-out plumbing (schema, row multiplication, small batches) is real.
+    """
+
+    def __init__(self, n_frames: int = 4, fake: bool = True):
+        self.n_frames = n_frames
+        self.fake = fake
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if not self.fake:
+            raise NotImplementedError("video demuxer not available; plug ffmpeg here")
+        ids, kinds, frames, payloads = [], [], [], []
+        for mid, kind, payload in zip(
+            batch["media_id"].to_pylist(),
+            batch["kind"].to_pylist(),
+            batch["payload"].to_pylist(),
+        ):
+            if kind != "video":
+                continue
+            step = max(1, len(payload) // self.n_frames)
+            for f in range(self.n_frames):
+                ids.append(mid)
+                kinds.append(kind)
+                frames.append(f)
+                payloads.append(payload[f * step : f * step + min(step, 256)])
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "kind": pa.array(kinds, pa.string()),
+                "frame_idx": pa.array(frames, pa.int32()),
+                "frame_payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+
 def media_features(media_ds, concurrency: int = 2, batch_size: int = 32):
     """The decode stage wiring: small batches (large payloads), actor pool."""
     return media_ds.map_batches(

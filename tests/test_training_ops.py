@@ -188,3 +188,25 @@ def test_media_decoder_plumbing(ray_session):
     assert np.allclose(f1, f2)
     with pytest.raises(NotImplementedError):
         MediaDecoder(fake=False)._decode(b"x", "image")
+
+
+def test_image_resize_and_frame_sample_plumbing(ray_session):
+    import ray.data as rd
+    from email_address_parser_ray.stages.multimodal import (
+        FrameSampler, ImageResizer, synthesize_media_table,
+    )
+
+    media = synthesize_media_table(96)
+    ds = rd.from_arrow(media)
+    resized = ds.map_batches(
+        ImageResizer, batch_format="pyarrow", batch_size=16, concurrency=(1, 2), num_cpus=1
+    ).to_pandas()
+    assert (resized["width"] == 256).all() and (resized["height"] == 256).all()
+    assert len(resized) == 96
+
+    frames = ds.map_batches(
+        FrameSampler, batch_format="pyarrow", batch_size=16, concurrency=(1, 2), num_cpus=1
+    ).to_pandas()
+    n_videos = (media["kind"].to_pandas() == "video").sum()
+    assert len(frames) == 4 * n_videos
+    assert set(frames["frame_idx"]) == {0, 1, 2, 3}
