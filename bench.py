@@ -122,7 +122,8 @@ def scaling() -> None:
     stand-in for N vs 4N nodes).  Uses a larger transcript corpus
     (sf0.4, ~2M turns) so per-stage fixed overhead doesn't mask the
     parallel fraction the criterion is about."""
-    lo, hi = 8, 32
+    lo = int(os.environ.get("GRAFT_SCALING_LO", "8"))
+    hi = int(os.environ.get("GRAFT_SCALING_HI", "32"))
 
     def run(ncpu: int) -> dict:
         env = dict(
@@ -144,12 +145,14 @@ def scaling() -> None:
     print(
         json.dumps(
             {
-                "sec_8": t_lo,
-                "sec_32": t_hi,
-                "turns_per_sec_8": r_lo["turns_per_sec"],
-                "turns_per_sec_32": r_hi["turns_per_sec"],
+                f"sec_{lo}": t_lo,
+                f"sec_{hi}": t_hi,
+                f"turns_per_sec_{lo}": r_lo["turns_per_sec"],
+                f"turns_per_sec_{hi}": r_hi["turns_per_sec"],
+                "cpus": [lo, hi],
+                "n_turns": r_hi.get("n_turns"),
                 "scaling_efficiency": round(eff, 3),
-                "sf": SF_DIR,
+                "scaling_corpus_sf": os.environ.get("GRAFT_SCALING_SF", "0.4"),
             }
         )
     )

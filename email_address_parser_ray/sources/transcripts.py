@@ -47,7 +47,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 SEED = 20260817
-GEN_VERSION = 3  # bump to invalidate /tmp caches when synthesis rules change
+GEN_VERSION = 4  # bump to invalidate /tmp caches when synthesis rules change
 CACHE_ROOT = "/tmp/eap_ray_cache"
 TURNS_PER_SF = 5_000_000  # sf0.001 -> 5k turns, sf0.01 -> 50k, sf0.1 -> 500k
 ENTITIES_PER_SF = 16_000
@@ -200,6 +200,14 @@ def _exotic_addresses() -> List[Tuple[str, str, str, int]]:
     ]
 
 
+def _cat(rng: np.random.RandomState, p: np.ndarray, size: int) -> np.ndarray:
+    """Vectorized categorical draw via one cdf + searchsorted (rng.choice
+    with ``p=`` rebuilds the cdf per call — quadratic at corpus scale)."""
+    cdf = np.cumsum(np.asarray(p, dtype=np.float64))
+    cdf[-1] = 1.0
+    return np.searchsorted(cdf, rng.random_sample(size), side="right")
+
+
 def synthesize_tables(sf: float) -> Dict[str, pa.Table]:
     rng = np.random.RandomState(SEED + 2)
     n_turns = max(500, int(TURNS_PER_SF * sf))
@@ -212,15 +220,25 @@ def synthesize_tables(sf: float) -> Dict[str, pa.Table]:
     ent_w /= ent_w.sum()
 
     # conversation lengths ~ geometric-ish, 2..40 turns
-    conv_lens: List[int] = []
-    total = 0
-    while total < n_turns:
-        ln = int(min(40, 2 + rng.geometric(0.18)))
-        conv_lens.append(ln)
-        total += ln
+    lens_draw = np.minimum(40, 2 + rng.geometric(0.18, size=n_turns))
+    cum = np.cumsum(lens_draw)
+    n_convs = int(np.searchsorted(cum, n_turns, side="left") + 1)
+    conv_lens = lens_draw[:n_convs]
+    total_turns = int(conv_lens.sum())
 
     # variant pick distribution (style index into entity["variants"])
     var_p = np.array([0.58, 0.10, 0.10, 0.10, 0.06, 0.06])
+
+    # ALL randomness pre-drawn as vectorized streams (deterministic order)
+    role_idx = _cat(rng, [0.42, 0.42, 0.06, 0.10], total_turns)
+    tool_idx = rng.randint(len(_TOOLS), size=total_turns)
+    k_arr = _cat(rng, [0.50, 0.38, 0.12], total_turns)
+    prose_idx = rng.randint(len(_PLAIN_PROSE), size=total_turns)
+    lead_idx = rng.randint(len(_LEADS), size=total_turns)
+    tail_idx = rng.randint(len(_TAILS), size=total_turns)
+    n_mentions_total = int(k_arr.sum())
+    ent_draw = _cat(rng, ent_w, n_mentions_total)
+    var_draw = _cat(rng, var_p, n_mentions_total)
 
     conv_ids: List[str] = []
     turn_idxs: List[int] = []
@@ -241,19 +259,22 @@ def synthesize_tables(sf: float) -> Dict[str, pa.Table]:
     base_ts = 1_700_000_000_000_000  # us
     exotic_cursor = 0
     n_mention_draws = 0
+    gti = 0  # global turn index into the pre-drawn streams
 
-    for ci, ln in enumerate(conv_lens):
+    for ci in range(n_convs):
+        ln = int(conv_lens[ci])
         conv_id = f"conv-{ci:08d}"
         conv_start = base_ts + ci * 3_600_000_000
         for ti in range(ln):
-            role = _ROLES[int(rng.choice(4, p=[0.42, 0.42, 0.06, 0.10]))]
-            tool = _TOOLS[rng.randint(len(_TOOLS))] if role == "tool" else ""
-            k = int(rng.choice(3, p=[0.50, 0.38, 0.12]))
+            role = _ROLES[role_idx[gti]]
+            tool = _TOOLS[tool_idx[gti]] if role == "tool" else ""
+            k = int(k_arr[gti])
             if k == 0:
-                text = _PLAIN_PROSE[rng.randint(len(_PLAIN_PROSE))]
+                text = _PLAIN_PROSE[prose_idx[gti]]
             else:
-                frags = [_LEADS[rng.randint(len(_LEADS))]]
+                frags = [_LEADS[lead_idx[gti]]]
                 for mi in range(k):
+                    draw_i = n_mention_draws
                     n_mention_draws += 1
                     # every ~29th mention is an exotic corpus address in <...>
                     if n_mention_draws % 29 == 0 and exotics:
@@ -266,9 +287,9 @@ def synthesize_tables(sf: float) -> Dict[str, pa.Table]:
                         m_local.append(lp)
                         m_domain.append(dom)
                     else:
-                        eid = int(rng.choice(n_ent, p=ent_w))
+                        eid = int(ent_draw[draw_i])
                         ent = entities[eid]
-                        style, addr = ent["variants"][int(rng.choice(6, p=var_p))]
+                        style, addr = ent["variants"][int(var_draw[draw_i])]
                         if style in (STYLE_WSP, STYLE_QUOTED):
                             frags.append(f"<{addr}>")
                         else:
@@ -284,7 +305,7 @@ def synthesize_tables(sf: float) -> Dict[str, pa.Table]:
                     m_idx.append(mi)
                     if mi < k - 1:
                         frags.append("and")
-                frags.append(_TAILS[rng.randint(len(_TAILS))])
+                frags.append(_TAILS[tail_idx[gti]])
                 text = " ".join(frags)
             conv_ids.append(conv_id)
             turn_idxs.append(ti)
@@ -292,6 +313,7 @@ def synthesize_tables(sf: float) -> Dict[str, pa.Table]:
             texts.append(text)
             tools.append(tool)
             tss.append(conv_start + ti * 45_000_000)
+            gti += 1
 
     transcripts = pa.table(
         {
