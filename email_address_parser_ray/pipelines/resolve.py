@@ -34,7 +34,7 @@ from ..state.checkpoint import fingerprint, run_stage
 @dataclass(frozen=True)
 class ResolveConfig:
     is_lax: bool = True
-    scorer_concurrency: int = 32
+    scorer_concurrency: Optional[int] = None  # None -> adaptive (cpus//4, cpus)
     extract_batch_size: int = 8192
     max_rounds: int = 16
 

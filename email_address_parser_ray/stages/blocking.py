@@ -34,16 +34,19 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 NODE_COLS = ["address", "local_part", "domain", "local_canon", "domain_canon", "canonical_key"]
-MAX_BLOCK_SIZE = 256  # blocks larger than this switch to sorted-neighborhood
+MAX_BLOCK_SIZE = 96  # blocks larger than this switch to sorted-neighborhood
 SN_WINDOW = 8  # neighborhood width inside oversize blocks
 N_PAIR_BUCKETS = 64  # coarse shuffle buckets (explicit partitioned hash join)
 
 
 def partial_node_agg(batch: pa.Table) -> pa.Table:
     """Per-batch combiner: collapse duplicate surfaces before the global
-    shuffle (pre-aggregation — SURVEY §2.d aggregations)."""
-    return batch.group_by(NODE_COLS).aggregate([("address", "count")]).rename_columns(
-        NODE_COLS + ["n_mentions"]
+    shuffle (pre-aggregation — SURVEY §2.d aggregations).  Only
+    (address, count) travels through the shuffle — every other node
+    column is a deterministic function of the surface and is re-derived
+    AFTER the reduce, shrinking the shuffled payload ~6x."""
+    return batch.group_by("address").aggregate([("address", "count")]).rename_columns(
+        ["address", "n_mentions"]
     )
 
 
@@ -55,22 +58,48 @@ def _add_addr_bucket(batch: pa.Table, n_buckets: int) -> pa.Table:
 
 
 def _merge_nodes_bucket(df: pd.DataFrame) -> pd.DataFrame:
-    out = df.groupby(NODE_COLS, as_index=False, sort=False)["n_mentions"].sum()
-    return out
+    return df.groupby("address", as_index=False, sort=False)["n_mentions"].sum()
+
+
+def _rederive_node_columns(batch: pa.Table) -> pa.Table:
+    """Rebuild (local_part, domain, local_canon, domain_canon,
+    canonical_key) from the surface via the vectorized tokenizer — same
+    kernels that produced them during extraction, so values are
+    bit-identical."""
+    from ..functions.fastpath import tokenize_batch
+
+    t = tokenize_batch(
+        pa.table({"address": batch["address"]}), "address", is_lax=True
+    )
+    return pa.table(
+        {
+            "address": batch["address"],
+            "local_part": t["local_part"],
+            "domain": t["domain"],
+            "local_canon": t["local_canon"],
+            "domain_canon": t["domain_canon"],
+            "canonical_key": t["canonical_key"],
+            "n_mentions": batch["n_mentions"],
+        }
+    )
 
 
 def build_nodes(mentions_ds, n_buckets: int = N_PAIR_BUCKETS):
     """mentions → one row per unique surface address (+ mention count).
 
-    Partial per-batch aggregate, then one coarse hash-bucket shuffle with
-    a C-speed pandas fold per bucket.  The canonical columns are
-    deterministic functions of the surface, so grouping by the full
-    column tuple equals grouping by the surface."""
+    Partial per-batch (address, count) aggregate, one coarse hash-bucket
+    shuffle with a C-speed pandas fold per bucket, then vectorized
+    re-derivation of the canonical columns on the (much smaller) unique
+    surface set."""
     return (
         mentions_ds.map_batches(partial_node_agg, batch_format="pyarrow")
         .map_batches(lambda t: _add_addr_bucket(t, n_buckets), batch_format="pyarrow")
+        # coalesce before the all-to-all: Ray's sort shuffle degrades with
+        # many small map-side blocks (O(maps x reduces) tiny objects)
+        .repartition(16)
         .groupby("bucket")
         .map_groups(_merge_nodes_bucket, batch_format="pandas")
+        .map_batches(_rederive_node_columns, batch_format="pyarrow")
     )
 
 
@@ -171,7 +200,8 @@ def candidate_pairs(nodes_ds, n_buckets: int = N_PAIR_BUCKETS):
     """nodes → candidate pairs: vectorized key explode, coarse bucket
     shuffle, per-bucket vectorized emission."""
     return (
-        nodes_ds.map_batches(explode_block_keys, batch_format="pyarrow")
+        nodes_ds.repartition(8)  # few fat map-side blocks for the shuffle
+        .map_batches(explode_block_keys, batch_format="pyarrow")
         .map_batches(
             lambda t: add_block_bucket(t, n_buckets), batch_format="pyarrow"
         )

@@ -149,11 +149,16 @@ def connected_components(
     )
     # Compact both iteration tables: label-prop rounds shuffle these every
     # iteration, and hundreds of tiny blocks cost far more in task
-    # scheduling than the actual data movement.  Target ~500k rows/block.
-    nb = max(4, min(256, labels.count() // 500_000 + 4))
-    if labels.num_blocks() > 2 * nb:
+    # scheduling than the actual data movement — but too FEW blocks caps
+    # the per-round sort/groupby parallelism, so target one block per
+    # core (bounded by ~500k rows/block).
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    nb = max(4, min(cpus, labels.count() // 50_000 + 4, 256))
+    if abs(labels.num_blocks() - nb) > nb:
         labels = labels.repartition(nb).materialize()
-    if edges.num_blocks() > 2 * nb:
+    if abs(edges.num_blocks() - nb) > nb:
         edges = edges.repartition(nb).materialize()
 
     start_round = 0

@@ -118,12 +118,18 @@ def _empty_scored() -> pa.Table:
     )
 
 
-def score_pairs(pairs_ds, concurrency=(1, 4), batch_size: int = 32768):
+def score_pairs(pairs_ds, concurrency=None, batch_size: int = 32768):
     """Candidate pairs → accepted match edges via the scorer actor pool.
 
-    ``concurrency`` defaults to an autoscaling (min, max) pool so the
-    stage never reserves every CPU on a small cluster (a fixed pool the
-    size of the machine starves the upstream read/shuffle stages)."""
+    ``concurrency`` defaults to an autoscaling (cpus//4, cpus) pool: a
+    non-trivial floor skips the slow one-by-one ramp, while keeping
+    headroom so the pool never reserves every CPU on a small cluster
+    (a machine-sized fixed pool starves the upstream read/shuffle)."""
+    if concurrency is None:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        concurrency = (max(1, cpus // 4), cpus)
     if isinstance(concurrency, int):
         concurrency = (1, concurrency)
     return pairs_ds.map_batches(
