@@ -1,0 +1,73 @@
+"""Multi-format ingestion + resumable partitioned sink tests."""
+
+import json
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _small_transcripts():
+    from email_address_parser_ray.sources.transcripts import synthesize_tables
+
+    return synthesize_tables(0.001)["transcripts"].slice(0, 500)
+
+
+def test_read_transcripts_csv_json_roundtrip(ray_session, tmp_path):
+    import pandas as pd
+
+    from email_address_parser_ray.sources.io import read_transcripts_any
+
+    t = _small_transcripts()
+    pq.write_table(t, str(tmp_path / "t.parquet"))
+    df = t.to_pandas()
+    df.to_csv(str(tmp_path / "t.csv"), index=False)
+    df.to_json(str(tmp_path / "t.jsonl"), orient="records", lines=True,
+               date_format="iso")
+
+    base = (
+        read_transcripts_any(str(tmp_path / "t.parquet"))
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    for fmt, fn in (("csv", "t.csv"), ("json", "t.jsonl")):
+        got = (
+            read_transcripts_any(str(tmp_path / fn), fmt=fmt)
+            .to_pandas()
+            .sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True)
+        )
+        # csv cannot represent empty-string tool unambiguously; compare
+        # the text-bearing columns and types that matter downstream
+        assert got["conv_id"].equals(base["conv_id"]), fmt
+        assert got["turn_idx"].equals(base["turn_idx"]), fmt
+        assert got["text"].equals(base["text"]), fmt
+
+
+def test_write_partitioned_resumes(ray_session, tmp_path):
+    import ray.data as rd
+
+    from email_address_parser_ray.sources.io import write_partitioned
+
+    t = _small_transcripts()
+    out = str(tmp_path / "export")
+    m1 = write_partitioned(rd.from_arrow(t), out, key="conv_id", n_partitions=8)
+    assert len(m1) == 8
+    total = sum(m["rows"] for m in m1)
+    assert total == t.num_rows
+
+    # wipe two partitions → rerun writes ONLY those, rest untouched
+    mt0 = os.path.getmtime(os.path.join(out, "part=0", "manifest.json"))
+    shutil.rmtree(os.path.join(out, "part=3"))
+    shutil.rmtree(os.path.join(out, "part=5"))
+    m2 = write_partitioned(rd.from_arrow(t), out, key="conv_id", n_partitions=8)
+    assert sum(m["rows"] for m in m2) == t.num_rows
+    assert os.path.getmtime(os.path.join(out, "part=0", "manifest.json")) == mt0
+
+    # data round-trips
+    back = pq.ParquetDataset(
+        [os.path.join(out, f"part={k}", "data.parquet") for k in range(8)]
+    ).read()
+    assert back.num_rows == t.num_rows

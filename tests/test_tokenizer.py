@@ -99,3 +99,53 @@ def test_extraction_styles_canonicalize_to_same_key():
         assert p is not None, (style, addr)
         keys.add(p.canonical_key)
     assert len(keys) == 1, keys
+
+
+def test_extraction_unicode_and_edge_placement():
+    t = pa.table(
+        {
+            "conv_id": pa.array(["c"] * 4),
+            "turn_idx": pa.array([0, 1, 2, 3], pa.int32()),
+            "text": pa.array(
+                [
+                    "ping jose.garcía@dömain.example now",  # bare unicode
+                    "wrap <\"quoted guy\"@iana.org> end",  # quoted in angle
+                    "pers@x.example",  # whole text is the address
+                    "a@b.c and <not an address> and d@e.f",  # failed angle span
+                ]
+            ),
+        }
+    )
+    out = F.extract_mentions_batch(t)
+    got = {(r["turn_idx"], r["address"]) for r in out.to_pylist()}
+    assert (0, "jose.garcía@dömain.example") in got
+    assert (1, '"quoted guy"@iana.org') in got
+    assert (2, "pers@x.example") in got
+    assert (3, "a@b.c") in got and (3, "d@e.f") in got
+    assert len(got) == 5
+
+
+def test_extraction_matches_scan_text_rowwise():
+    """Mega-string batch scanner must agree with the per-row scanner."""
+    texts = [
+        "one user.name@x.example two",
+        "<  spaced@y.example > literal <u@[127.0.0.1]>",
+        "no candidates here",
+        "twice a@b.cc a@b.cc and <a@b.cc>",
+        "boundary:x@y.zz, and (x@y.zz) plus end x@y.zz",
+    ]
+    t = pa.table(
+        {
+            "conv_id": pa.array([f"c{i}" for i in range(len(texts))]),
+            "turn_idx": pa.array(range(len(texts)), pa.int32()),
+            "text": pa.array(texts),
+        }
+    )
+    batch = F.extract_mentions_batch(t)
+    got = [(r["turn_idx"], r["mention_idx"], r["address"]) for r in batch.to_pylist()]
+    want = []
+    for i, tx in enumerate(texts):
+        found = sorted(F.scan_text(tx, True), key=lambda p: p[0])
+        for mi, (_pos, p) in enumerate(found):
+            want.append((i, mi, p.address))
+    assert got == want
