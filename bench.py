@@ -6,8 +6,8 @@ Prints ONE JSON line:
    "turns_per_sec": ...}
 
 ``--scaling`` runs the headline pipeline in two fresh processes at N and
-4N CPUs (default 4 and 16) on the same input (default: the sf2.0
-10M-turn synthesized corpus, large enough that compute dominates fixed
+4N CPUs (default 4 and 16) on the same input (default: the sf3.0
+15M-turn synthesized corpus, large enough that compute dominates fixed
 per-stage overhead) and reports both throughputs + scaling efficiency —
 the sandbox stand-in for the north rule's N vs 4N-node cluster
 comparison.  Override with GRAFT_SCALING_LO/HI/SF.
@@ -122,7 +122,7 @@ def main() -> None:
 def scaling() -> None:
     """Same job, same input, two fresh processes at N and 4N CPUs (sandbox
     stand-in for N vs 4N nodes).  Uses a larger transcript corpus
-    (default sf2.0, 10M turns) so per-stage fixed overhead doesn't mask
+    (default sf3.0, 15M turns) so per-stage fixed overhead doesn't mask
     the parallel fraction the criterion is about."""
     lo = int(os.environ.get("GRAFT_SCALING_LO", "4"))
     hi = int(os.environ.get("GRAFT_SCALING_HI", "16"))
@@ -131,7 +131,7 @@ def scaling() -> None:
         env = dict(
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
-            GRAFT_TRANSCRIPTS_SF=os.environ.get("GRAFT_SCALING_SF", "2.0"),
+            GRAFT_TRANSCRIPTS_SF=os.environ.get("GRAFT_SCALING_SF", "3.0"),
             GRAFT_BENCH_QUERIES="resolve",
         )
         res = subprocess.run(
@@ -154,7 +154,7 @@ def scaling() -> None:
                 "cpus": [lo, hi],
                 "n_turns": r_hi.get("n_turns"),
                 "scaling_efficiency": round(eff, 3),
-                "scaling_corpus_sf": os.environ.get("GRAFT_SCALING_SF", "2.0"),
+                "scaling_corpus_sf": os.environ.get("GRAFT_SCALING_SF", "3.0"),
             }
         )
     )

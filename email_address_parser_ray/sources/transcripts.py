@@ -47,7 +47,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 SEED = 20260817
-GEN_VERSION = 4  # bump to invalidate /tmp caches when synthesis rules change
+GEN_VERSION = 5  # bump to invalidate /tmp caches when synthesis rules change
 CACHE_ROOT = "/tmp/eap_ray_cache"
 TURNS_PER_SF = 5_000_000  # sf0.001 -> 5k turns, sf0.01 -> 50k, sf0.1 -> 500k
 ENTITIES_PER_SF = 16_000
@@ -55,7 +55,7 @@ ROWS_PER_FILE = 131_072  # multiple files => parallel read + resumable layout
 
 _FIRST = [
     "alice", "benjamin", "carolina", "dmitri", "eleanor", "farid", "gabriela",
-    "hiroshi", "ingrid", "jamal", "katarina", "leopold", "mariana", "nikolai",
+    "hiroshi", "ingrid", "jamal", "katarina", "leopold", "margarethe", "nikolai",
     "ophelia", "priyanka", "quentin", "rosalind", "sebastian", "tatiana",
     "umberto", "valentina", "wilhelm", "xiomara", "yevgeni", "zuleika",
     "augustin", "beatrix", "cornelius", "delphine", "emmanuel", "fredrika",
@@ -69,8 +69,8 @@ _LAST = [
     "pemberton", "quintero", "rasmussen", "silverstein", "thornberry",
     "underwood", "vanderbilt", "wakefield", "xanthopoulos", "yamaguchi",
     "zimmermann", "ashworth", "bergstrom", "calloway", "dimitriou",
-    "ellsworth", "fairbanks", "galloway", "holloway", "ironside", "jorgensen",
-    "kettleburn", "lockwood", "marchetti", "northcott", "okonkwo",
+    "ellsworth", "fairbanks", "featherstone", "brightwater", "ironside", "jorgensen",
+    "kettleburn", "silvermane", "marchetti", "northcott", "okonkwo",
     "petrakis", "quillfeather", "rothschild", "sinclair", "thackeray",
     "ulfsdottir", "villanueva", "westergaard", "yarborough",
 ]

@@ -107,12 +107,25 @@ def _dotless(local_canon: pa.ChunkedArray | pa.Array):
     return pc.replace_substring(local_canon, ".", "")
 
 
-def explode_block_keys(batch: pa.Table) -> pa.Table:
-    """Vectorized: 3 (block_key, node...) rows per node, one per blocking pass.
+DEL_KEY_MIN_LEN = 6
+DEL_KEY_MAX_LEN = 32
 
-    Keys use the case-folded domain (``domain_key``): domain names compare
-    case-insensitively in the engine's matching rules, while the canonical
-    column keeps the verbatim-cased form (reference semantics, SURVEY §1.1).
+
+def explode_block_keys(batch: pa.Table) -> pa.Table:
+    """Blocking-key explode: several (block_key, node...) rows per node.
+
+    Passes (keys always embed the case-folded domain — ``domain_key``;
+    the canonical column keeps the verbatim-cased form per reference
+    semantics, SURVEY §1.1):
+
+    * ``d`` — full dotless local: canonical-equal surfaces + dot-variants;
+    * ``e`` — positional deletion neighborhood (SymSpell-style): one key
+      per character position with that character deleted.  Two locals at
+      Levenshtein distance 1 by SUBSTITUTION share exactly the key at
+      the substituted position — recall for the typo rule is EXACT and
+      duplicate-free, with tiny blocks regardless of skew;
+    * ``p``/``s`` — 4-char dotless prefix/suffix affixes: candidate
+      recall for insertion/deletion-shaped edits (windowed, heuristic).
     """
     dot = _dotless(batch["local_canon"])
     dom = pc.utf8_lower(batch["domain_canon"])
@@ -125,6 +138,23 @@ def explode_block_keys(batch: pa.Table) -> pa.Table:
         parts.append(base.append_column("block_key", key).append_column(
             "pass_tag", pa.array([tag] * batch.num_rows, pa.string())
         ))
+    # deletion-neighborhood pass (runs on the small unique-node table, so
+    # the per-node Python loop is off the hot mention path)
+    dot_py = dot.to_pylist()
+    dom_py = dom.to_pylist()
+    take_idx: List[int] = []
+    del_keys: List[str] = []
+    for j, (d_str, dm) in enumerate(zip(dot_py, dom_py)):
+        if d_str is None or not (DEL_KEY_MIN_LEN <= len(d_str) <= DEL_KEY_MAX_LEN):
+            continue
+        for i in range(len(d_str)):
+            take_idx.append(j)
+            del_keys.append(f"{dm}|e{i}|{d_str[:i]}{d_str[i + 1:]}")
+    if take_idx:
+        sub = base.take(pa.array(take_idx))
+        parts.append(sub.append_column(
+            "block_key", pa.array(del_keys, pa.string())
+        ).append_column("pass_tag", pa.array(["e"] * len(del_keys), pa.string())))
     return pa.concat_tables(parts)
 
 
@@ -183,8 +213,8 @@ def emit_pairs_bucket(df: pd.DataFrame) -> pd.DataFrame:
     ia = np.concatenate(ia_parts)
     ib = np.concatenate(ib_parts)
     tags = g["pass_tag"].to_numpy()
-    affix = (tags[ia] == "p") | (tags[ia] == "s")
-    keep = ~(affix & (dotless[ia] == dotless[ib]))
+    nond = tags[ia] != "d"  # p/s/e passes: skip dotless-equal (d| covers them)
+    keep = ~(nond & (dotless[ia] == dotless[ib]))
     ia, ib = ia[keep], ib[keep]
     if len(ia) == 0:
         return pd.DataFrame(empty)
