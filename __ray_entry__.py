@@ -310,6 +310,29 @@ def _q_media_features(sf_dir: str):
     return media_features(media)
 
 
+def _q_export_shards(sf_dir: str):
+    """Training-export pattern: extracted mentions → seeded random_shuffle
+    → resumable hash-partitioned Parquet shards; returns the
+    per-partition manifest counters (rows-only check)."""
+    import shutil
+
+    import pyarrow as pa
+    from email_address_parser_ray.pipelines.resolve import (
+        extract_mentions, read_transcripts,
+    )
+    from email_address_parser_ray.sources.io import write_partitioned
+
+    root = _tcache(sf_dir)
+    out = f"/tmp/eap_ray_export/{root.rsplit('/', 1)[-1]}"
+    shutil.rmtree(out, ignore_errors=True)
+    ds = extract_mentions(read_transcripts(f"{root}/transcripts"))
+    shuffled = ds.random_shuffle(seed=7)
+    manifests = write_partitioned(shuffled, out, key="canonical_key", n_partitions=16)
+    return pa.Table.from_pylist(
+        [{"part": m["part"], "rows": m["rows"]} for m in manifests]
+    )
+
+
 def _q_pipeline_counters(sf_dir: str):
     """Run the checkpointed pipeline and report per-stage row counters
     from the lineage manifests (north rule: per-partition lineage +
@@ -367,6 +390,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_orders": _rel("events_asof_orders"),
         "orders_running_total": _rel("orders_running_total"),
         "pipeline_counters": _q_pipeline_counters,
+        "export_shards": _q_export_shards,
         # training-data ops
         "docs_exact_dedup": _q_docs_exact_dedup,
         "docs_token_stats": _q_docs_token_stats,

@@ -185,10 +185,29 @@ def tokenize_batch(batch: pa.Table, column: str = "address", is_lax: bool = Fals
     )
 
 
+# fast paths for the two most common non-plain shapes (both strict-valid):
+# single leading/trailing WSP around a plain dot-atom pair (G8:
+# dot_atom = WSP? dot_atom_text WSP?), and a simple quoted-string local
+# (printable qtext + single interior spaces, no escapes/folding).
+WSP_PLAIN_RE = re.compile(f"\\A([ \\t]?)({_PDAT})@({_PDAT})([ \\t]?)\\Z")
+_QSAFE = "[\\x21\\x23-\\x5B\\x5D-\\x7E\\u0080-\\U0010FFFF]"
+QUOTED_SIMPLE_RE = re.compile(
+    f'\\A"({_QSAFE}+(?: {_QSAFE}+)*)"@({_PDAT})\\Z'
+)
+
+
 def _parse_candidate(s: str, is_lax: bool) -> Optional[ParsedAddress]:
     if PLAIN_FULL_RE.match(s):
         at = s.index("@")
         return ParsedAddress(s[:at], s[at + 1 :], s[:at], s[at + 1 :], True)
+    m = WSP_PLAIN_RE.match(s)
+    if m:
+        lw, lc, dc, dw = m.groups()
+        return ParsedAddress(lw + lc, dc + dw, lc, dc, True)
+    m = QUOTED_SIMPLE_RE.match(s)
+    if m:
+        content, dom = m.groups()
+        return ParsedAddress(f'"{content}"', dom, content, dom, True)
     return parse_address(s, is_lax)
 
 
@@ -277,21 +296,21 @@ def extract_mentions_batch(batch: pa.Table, is_lax: bool = True) -> pa.Table:
     cand_idx = np.flatnonzero(has_candidate)
     found: List[Tuple[int, int, ParsedAddress]] = []  # (row, start, parsed)
     if len(cand_idx):
-        texts_py = [texts[int(i)].as_py() for i in cand_idx]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        texts_py = texts.take(pa.array(cand_idx)).to_pylist()
         joined = "\x00".join(texts_py)
         lens = np.fromiter((len(t) for t in texts_py), dtype=np.int64)
         offsets = np.zeros(len(texts_py), dtype=np.int64)
         np.cumsum(lens[:-1] + 1, out=offsets[1:])
 
-        def row_of(pos: int) -> int:
-            return int(np.searchsorted(offsets, pos, side="right") - 1)
-
         angle_spans: List[Tuple[int, int]] = []
+        raw: List[Tuple[int, ParsedAddress]] = []  # (global start, parsed)
         for m in ANGLE_JOINED_RE.finditer(joined):
             p = _parse_candidate(m.group(1), is_lax)
             if p is not None:
                 angle_spans.append((m.start(), m.end()))
-                found.append((row_of(m.start()), m.start(), p))
+                raw.append((m.start(), p))
         span_starts = np.array([s for s, _ in angle_spans], dtype=np.int64)
         span_ends = np.array([e for _, e in angle_spans], dtype=np.int64)
         for m in BARE_RE.finditer(joined):
@@ -302,20 +321,18 @@ def extract_mentions_batch(batch: pa.Table, is_lax: bool = True) -> pa.Table:
                     continue  # inside a parsed angle span
             tok = m.group(1)
             at = tok.index("@")
-            found.append(
-                (
-                    row_of(s),
-                    s,
-                    ParsedAddress(tok[:at], tok[at + 1 :], tok[:at], tok[at + 1 :], True),
-                )
+            raw.append(
+                (s, ParsedAddress(tok[:at], tok[at + 1 :], tok[:at], tok[at + 1 :], True))
             )
+        # batch-map global offsets → candidate-row indices (one searchsorted)
+        starts = np.fromiter((r[0] for r in raw), dtype=np.int64, count=len(raw))
+        rows = np.searchsorted(offsets, starts, side="right") - 1
+        found = [(int(rows[j]), raw[j][0], raw[j][1]) for j in range(len(raw))]
         found.sort(key=lambda t: (t[0], t[1]))
 
-    conv = batch["conv_id"]
-    turn = batch["turn_idx"]
-    o_conv: List[str] = []
-    o_turn: List[int] = []
-    o_mi: List[int] = []
+    n_found = len(found)
+    o_gi = np.empty(n_found, dtype=np.int64)
+    o_mi = np.empty(n_found, dtype=np.int32)
     o_addr: List[str] = []
     o_local: List[str] = []
     o_dom: List[str] = []
@@ -325,13 +342,11 @@ def extract_mentions_batch(batch: pa.Table, is_lax: bool = True) -> pa.Table:
     o_strict: List[bool] = []
     prev_row = -1
     mi = 0
-    for row, _pos, p in found:
-        gi = int(cand_idx[row])
+    for j, (row, _pos, p) in enumerate(found):
         mi = mi + 1 if row == prev_row else 0
         prev_row = row
-        o_conv.append(conv[gi].as_py())
-        o_turn.append(turn[gi].as_py())
-        o_mi.append(mi)
+        o_gi[j] = cand_idx[row]
+        o_mi[j] = mi
         o_addr.append(p.address)
         o_local.append(p.local)
         o_dom.append(p.domain)
@@ -339,10 +354,17 @@ def extract_mentions_batch(batch: pa.Table, is_lax: bool = True) -> pa.Table:
         o_dc.append(p.domain_canon)
         o_key.append(p.canonical_key)
         o_strict.append(p.is_strict)
+    take = pa.array(o_gi)
+    conv = batch["conv_id"]
+    turn = batch["turn_idx"]
+    if isinstance(conv, pa.ChunkedArray):
+        conv = conv.combine_chunks()
+    if isinstance(turn, pa.ChunkedArray):
+        turn = turn.combine_chunks()
     return pa.table(
         {
-            "conv_id": pa.array(o_conv, pa.string()),
-            "turn_idx": pa.array(o_turn, pa.int32()),
+            "conv_id": conv.take(take),
+            "turn_idx": pc.cast(turn.take(take), pa.int32()),
             "mention_idx": pa.array(o_mi, pa.int32()),
             "address": pa.array(o_addr, pa.string()),
             "local_part": pa.array(o_local, pa.string()),
