@@ -284,6 +284,14 @@ def _query_vector(sf_dir: str) -> np.ndarray:
     return np.asarray(t["embedding"][idx].as_py(), dtype=np.float64)
 
 
+def _q_cosine_pairs(sf_dir: str):
+    import ray.data as rd
+    from email_address_parser_ray.stages.ann import cosine_pairs_exact
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return cosine_pairs_exact(emb, threshold=0.40)
+
+
 def _q_ann_topk(sf_dir: str):
     import ray.data as rd
     from email_address_parser_ray.stages.ann import brute_force_topk
@@ -400,6 +408,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup": _q_minhash_dedup,
         "simhash_pairs": _q_simhash_pairs,
         "embedding_neardup": _q_embedding_neardup,
+        "cosine_pairs": _q_cosine_pairs,
         "ann_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "media_features": _q_media_features,
@@ -515,6 +524,13 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents"
         ),
         "docs_fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents",
+        "cosine_pairs": (
+            "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
+            "CAST(ROUND(list_cosine_similarity(a.embedding, b.embedding) "
+            "* 1000) AS BIGINT) AS cos_e3 "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.40"
+        ),
         "ann_topk": (
             "WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0) "
             "SELECT e.vec_id, CAST(ROUND(list_cosine_similarity(e.embedding, "

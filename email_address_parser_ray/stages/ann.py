@@ -82,6 +82,54 @@ def brute_force_topk(embeddings_ds, query: np.ndarray, k: int = 10):
     ).limit(k)
 
 
+def cosine_pairs_exact(embeddings_ds, threshold: float = 0.40):
+    """Exact all-pairs cosine similarity >= ``threshold``.
+
+    The normalized (id, matrix) side is built once and broadcast via
+    ``ray.put`` (never re-shipped per batch); each ``map_batches`` task
+    computes one block-row of the n x n similarity matrix with a single
+    numpy matmul and keeps only ``vec_a < vec_b`` pairs.  Exact by
+    construction, O(n^2 / blocks) per task — this is the value-checked
+    baseline for the approximate LSH path (``embedding_near_dup_pairs``),
+    which is the path to use when n^2 work is infeasible.  Broadcast-side
+    assumption: the (vec_id, embedding) matrix fits in a worker's heap
+    (fine for the candidate sets this validates; at 10^12 rows use the
+    LSH path and verify sampled buckets with this one).
+
+    Returns (vec_a, vec_b, cos_e3) with cos_e3 = round(cos * 1e3) as
+    int64 — stable for oracle hashing (float32 inputs keep DuckDB/numpy
+    within ~1e-7, far inside the e3 rounding cell).
+    """
+    import ray
+
+    side = pa.concat_tables(
+        ray.get(embeddings_ds.select_columns(["vec_id", "embedding"]).to_arrow_refs())
+    )
+    ids_all = side["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    m_all = _normalize(_batch_matrix(side))
+    side_ref = ray.put((ids_all, m_all))
+
+    def block_row(batch: pa.Table) -> pa.Table:
+        ids_b, m_b = ray.get(side_ref)
+        mb = _normalize(_batch_matrix(batch))
+        vb = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sims = mb @ m_b.T
+        bi, ai = np.nonzero(sims >= threshold)
+        va, vc, cos = vb[bi], ids_b[ai], sims[bi, ai]
+        keep = va < vc
+        return pa.table(
+            {
+                "vec_a": pa.array(va[keep], pa.int64()),
+                "vec_b": pa.array(vc[keep], pa.int64()),
+                "cos_e3": pa.array(
+                    np.round(cos[keep] * 1_000).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return embeddings_ds.map_batches(block_row, batch_format="pyarrow")
+
+
 def _planes(d: int) -> np.ndarray:
     rng = np.random.RandomState(_PROJ_RNG_SEED)
     return rng.normal(size=(N_PLANES, d))

@@ -135,6 +135,30 @@ def test_embedding_near_dup_pairs(ray_session):
     assert (7, 50) in set(map(tuple, out[["vec_a", "vec_b"]].to_numpy()))
 
 
+def test_cosine_pairs_exact_matches_numpy(ray_session):
+    import ray.data as rd
+    from email_address_parser_ray.stages.ann import cosine_pairs_exact
+
+    rng = np.random.RandomState(5)
+    m = rng.normal(size=(120, 16)).astype(np.float32)
+    m[60] = m[12] + rng.normal(scale=0.05, size=16).astype(np.float32)  # plant a hit
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(120), pa.int64()),
+            "embedding": pa.array([r.tolist() for r in m], pa.list_(pa.float32())),
+        }
+    )
+    out = cosine_pairs_exact(rd.from_arrow(t), threshold=0.6).to_pandas()
+    got = set(map(tuple, out[["vec_a", "vec_b"]].to_numpy()))
+    mm = m.astype(np.float64)
+    mm /= np.linalg.norm(mm, axis=1, keepdims=True)
+    sims = mm @ mm.T
+    ia, ib = np.triu_indices(120, k=1)
+    want = {(int(a), int(b)) for a, b in zip(ia[sims[ia, ib] >= 0.6], ib[sims[ia, ib] >= 0.6])}
+    assert (12, 60) in want
+    assert got == want  # exact: recall AND precision 1.0 vs brute force
+
+
 def test_token_stats_vectorized():
     from email_address_parser_ray.functions.textstats import token_stats
 
