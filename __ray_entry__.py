@@ -213,66 +213,66 @@ def _q_hot_blocks(sf_dir: str):
 
 
 def _q_docs_exact_dedup(sf_dir: str):
-    import ray.data as rd
+    from email_address_parser_ray.sources.io import read_parquet_clean
     from email_address_parser_ray.stages.dedup import exact_dedup
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return exact_dedup(docs)
 
 
 def _q_docs_token_stats(sf_dir: str):
-    import ray.data as rd
+    from email_address_parser_ray.sources.io import read_parquet_clean
     from email_address_parser_ray.functions.textstats import token_stats
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return docs.map_batches(token_stats, batch_format="pyarrow")
 
 
 def _q_docs_quality(sf_dir: str):
-    import ray.data as rd
+    from email_address_parser_ray.sources.io import read_parquet_clean
     from email_address_parser_ray.functions.textstats import quality_stats
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return docs.map_batches(quality_stats, batch_format="pyarrow")
 
 
 def _q_docs_fingerprint(sf_dir: str):
-    import ray.data as rd
+    from email_address_parser_ray.sources.io import read_parquet_clean
     from email_address_parser_ray.functions.textstats import fingerprint
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return docs.map_batches(fingerprint, batch_format="pyarrow")
 
 
 def _q_docs_lang_id(sf_dir: str):
-    import ray.data as rd
+    from email_address_parser_ray.sources.io import read_parquet_clean
     from email_address_parser_ray.functions.textstats import lang_id
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return docs.map_batches(lang_id, batch_format="pyarrow")
 
 
 def _q_minhash_dedup(sf_dir: str):
-    import ray.data as rd
+    from email_address_parser_ray.sources.io import read_parquet_clean
     from email_address_parser_ray.stages.dedup import minhash_dedup_clusters
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return minhash_dedup_clusters(docs, threshold=0.7)
 
 
 def _q_simhash_pairs(sf_dir: str):
-    import ray.data as rd
+    from email_address_parser_ray.sources.io import read_parquet_clean
     from email_address_parser_ray.stages.dedup import simhash_near_dups
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return simhash_near_dups(docs, max_hamming=3)
 
 
 def _q_embedding_neardup(sf_dir: str):
-    import ray.data as rd
+    from email_address_parser_ray.sources.io import read_parquet_clean
     from email_address_parser_ray.stages.ann import embedding_near_dup_pairs
 
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    emb = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     return embedding_near_dup_pairs(emb, d=64, threshold=0.95)
 
 
@@ -285,26 +285,26 @@ def _query_vector(sf_dir: str) -> np.ndarray:
 
 
 def _q_cosine_pairs(sf_dir: str):
-    import ray.data as rd
+    from email_address_parser_ray.sources.io import read_parquet_clean
     from email_address_parser_ray.stages.ann import cosine_pairs_exact
 
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    emb = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     return cosine_pairs_exact(emb, threshold=0.40)
 
 
 def _q_ann_topk(sf_dir: str):
-    import ray.data as rd
+    from email_address_parser_ray.sources.io import read_parquet_clean
     from email_address_parser_ray.stages.ann import brute_force_topk
 
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    emb = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     return brute_force_topk(emb, _query_vector(sf_dir), k=10)
 
 
 def _q_ann_lsh_topk(sf_dir: str):
-    import ray.data as rd
+    from email_address_parser_ray.sources.io import read_parquet_clean
     from email_address_parser_ray.stages.ann import lsh_topk
 
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    emb = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     return lsh_topk(emb, _query_vector(sf_dir), k=10)
 
 
@@ -496,9 +496,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "orders_running_total": (
             "SELECT o_orderkey, o_custkey, "
-            "SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER ("
+            "CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER ("
             "PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey"
-            ") AS running_cents FROM orders"
+            ") AS BIGINT) AS running_cents FROM orders"
         ),
         "docs_exact_dedup": (
             "SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, "

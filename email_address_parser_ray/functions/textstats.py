@@ -104,7 +104,7 @@ def lang_id(batch: pa.Table) -> pa.Table:
             scores.append(0.0)
             continue
         best_lang, best = "und", 0.0
-        tokset = toks if len(toks) < 64 else toks[:256]
+        tokset = toks[:256]  # cap per-row work on pathological docs
         for lang, sw in _STOPWORDS.items():
             hits = sum(1 for w in tokset if w in sw)
             s = hits / len(tokset)

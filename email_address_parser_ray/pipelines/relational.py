@@ -24,6 +24,9 @@ import pyarrow.compute as pc
 
 from ray.data.aggregate import Count, Sum
 
+from email_address_parser_ray.functions.arrowutil import from_pandas_clean
+from email_address_parser_ray.sources.io import read_parquet_clean
+
 
 def _cents(x):
     """double → integer cents (round-half-away, matching DuckDB ROUND).
@@ -40,7 +43,7 @@ def q1_lineitem(sf_dir: str):
     """TPC-H Q1-style pricing summary (groupby-agg with partial combine)."""
     import ray.data as rd
 
-    ds = rd.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=[
             "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
@@ -92,7 +95,7 @@ def q3_top_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10):
     import ray
     import ray.data as rd
 
-    cust = rd.read_parquet(
+    cust = read_parquet_clean(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
     )
     keys = cust.map_batches(
@@ -101,7 +104,7 @@ def q3_top_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10):
     ).to_pandas()
     custkeys_ref = ray.put(frozenset(keys["c_custkey"]))
 
-    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
 
     def filter_orders(t: pa.Table) -> pa.Table:
         ks = ray.get(custkeys_ref)
@@ -111,7 +114,7 @@ def q3_top_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10):
     okeys = orders.map_batches(filter_orders, batch_format="pyarrow").to_pandas()
     okeys_ref = ray.put(pa.array(sorted(set(okeys["o_orderkey"])), pa.int64()))
 
-    li = rd.read_parquet(
+    li = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
     )
@@ -143,7 +146,7 @@ def events_hourly(sf_dir: str):
     """Tumbling 1-hour window aggregate over the events stream table."""
     import ray.data as rd
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
 
     def partial(t: pa.Table) -> pa.Table:
         hour = pc.floor_temporal(t["ts"], unit="hour")
@@ -175,7 +178,7 @@ def top_customers(sf_dir: str, k: int = 20):
     import ray
     import ray.data as rd
 
-    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
 
     def partial(t: pa.Table) -> pa.Table:
         return t.group_by("o_custkey").aggregate(
@@ -187,7 +190,7 @@ def top_customers(sf_dir: str, k: int = 20):
         .groupby("o_custkey")
         .aggregate(Sum("p_sum", alias_name="total_spent"), Sum("p_cnt", alias_name="n_orders"))
     )
-    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
+    cust = read_parquet_clean(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
     cust_ref = ray.put(cust.to_pandas())
 
     def attach(t: pa.Table) -> pa.Table:
@@ -217,10 +220,10 @@ def events_asof_orders(sf_dir: str):
     (oracle: DuckDB ASOF JOIN)."""
     import ray.data as rd
 
-    events = rd.read_parquet(
+    events = read_parquet_clean(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
     )
-    orders = rd.read_parquet(
+    orders = read_parquet_clean(
         f"{sf_dir}/orders.parquet",
         columns=["o_custkey", "o_orderkey", "o_orderdate"],
     )
@@ -269,11 +272,11 @@ def events_asof_orders(sf_dir: str):
         left = df[df["is_left"]].sort_values("ts", kind="mergesort")
         right = df[~df["is_left"]].sort_values("ts", kind="mergesort")
         if len(left) == 0:
-            return pd.DataFrame(
+            return pa.table(
                 {
-                    "event_id": pd.Series([], dtype="int64"),
-                    "user_id": pd.Series([], dtype="int64"),
-                    "o_orderkey": pd.Series([], dtype="int64"),
+                    "event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "o_orderkey": pa.array([], pa.int64()),
                 }
             )
         m = pd.merge_asof(
@@ -285,13 +288,13 @@ def events_asof_orders(sf_dir: str):
             allow_exact_matches=True,
         )
         m = m.dropna(subset=["o_orderkey"])
-        return pd.DataFrame(
+        return from_pandas_clean(pd.DataFrame(
             {
                 "event_id": m["event_id"].astype("int64"),
                 "user_id": m["key"].astype("int64"),
                 "o_orderkey": m["o_orderkey"].astype("int64"),
             }
-        )
+        ))
 
     return both.groupby("bucket").map_groups(asof_bucket, batch_format="pandas")
 
@@ -302,7 +305,7 @@ def orders_running_total(sf_dir: str):
     pandas cumsum (oracle: SUM() OVER (PARTITION BY ... ORDER BY ...))."""
     import ray.data as rd
 
-    orders = rd.read_parquet(
+    orders = read_parquet_clean(
         f"{sf_dir}/orders.parquet",
         columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"],
     )
@@ -328,14 +331,13 @@ def orders_running_total(sf_dir: str):
         df = df.sort_values(
             ["o_custkey", "o_orderdate", "o_orderkey"], kind="mergesort"
         )
-        out = pd.DataFrame(
+        return from_pandas_clean(pd.DataFrame(
             {
                 "o_orderkey": df["o_orderkey"].to_numpy(),
                 "o_custkey": df["o_custkey"].to_numpy(),
                 "running_cents": df.groupby("o_custkey")["cents"].cumsum().to_numpy(),
             }
-        )
-        return out
+        ))
 
     return (
         orders.map_batches(add_bucket, batch_format="pyarrow")
@@ -349,7 +351,7 @@ def distinct_segments(sf_dir: str):
 
     from ray.data.aggregate import Count
 
-    ds = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_mktsegment"])
+    ds = read_parquet_clean(f"{sf_dir}/customer.parquet", columns=["c_mktsegment"])
     agg = (
         ds.map_batches(
             lambda t: t.group_by("c_mktsegment").aggregate([]), batch_format="pyarrow"

@@ -44,6 +44,37 @@ def _normalize(batch: pa.Table) -> pa.Table:
     return pa.table(cols)
 
 
+def _strip_meta(batch: pa.Table) -> pa.Table:
+    return batch.replace_schema_metadata(None)
+
+
+def read_parquet_clean(path: str, columns=None, **kwargs):
+    """``read_parquet`` with an explicit metadata-free schema.
+
+    The driver's testdata parquet carries ``b'pandas'`` schema metadata,
+    which makes ``pyarrow.Schema`` unhashable and defeats Ray Data's
+    shuffle schema deduplication (every read/reduce task logs ``Failed
+    to hash the schemas`` and re-ships the schema per block).  Passing
+    the pruned file schema with metadata stripped fixes it at the read."""
+    import glob
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    f = path
+    if os.path.isdir(path):
+        cand = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        f = cand[0] if cand else None
+    schema = None
+    if f is not None and os.path.exists(f):
+        fs = pq.read_schema(f).remove_metadata()
+        schema = pa.schema([fs.field(c) for c in columns]) if columns else fs
+    ds = rd.read_parquet(path, columns=columns, schema=schema, **kwargs)
+    if schema is None:
+        ds = ds.map_batches(_strip_meta, batch_format="pyarrow")
+    return ds
+
+
 def read_transcripts_any(path: str, fmt: str = "parquet", columns=None):
     """Read transcripts from parquet (default), csv, or json-lines, cast
     to the canonical schema.  Column pruning applies after the format

@@ -25,6 +25,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ..functions.arrowutil import from_pandas_clean
+
 _PROJ_RNG_SEED = 0xA55EED
 N_PLANES = 12
 MAX_BUCKET = 512
@@ -183,11 +185,11 @@ def embedding_near_dup_pairs(embeddings_ds, d: int, threshold: float = 0.97):
         g = g.sort_values("vec_id").reset_index(drop=True)
         n = len(g)
         if n < 2 or n > MAX_BUCKET:
-            return pd.DataFrame(
+            return pa.table(
                 {
-                    "vec_a": pd.Series([], dtype="int64"),
-                    "vec_b": pd.Series([], dtype="int64"),
-                    "cos_e4": pd.Series([], dtype="int64"),
+                    "vec_a": pa.array([], pa.int64()),
+                    "vec_b": pa.array([], pa.int64()),
+                    "cos_e4": pa.array([], pa.int64()),
                 }
             )
         m = _normalize(np.stack([np.asarray(v, dtype=np.float64) for v in g["embedding"]]))
@@ -195,13 +197,13 @@ def embedding_near_dup_pairs(embeddings_ds, d: int, threshold: float = 0.97):
         ia, ib = np.triu_indices(n, k=1)
         keep = sims[ia, ib] >= threshold
         ids = g["vec_id"].to_numpy()
-        return pd.DataFrame(
+        return from_pandas_clean(pd.DataFrame(
             {
                 "vec_a": ids[ia[keep]],
                 "vec_b": ids[ib[keep]],
                 "cos_e4": np.round(sims[ia[keep], ib[keep]] * 10_000).astype(np.int64),
             }
-        )
+        ))
 
     pairs = bucketed.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
     return pairs.groupby(["vec_a", "vec_b"]).map_groups(

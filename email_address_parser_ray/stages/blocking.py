@@ -33,6 +33,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..functions.arrowutil import from_pandas_clean
+
 NODE_COLS = ["address", "local_part", "domain", "local_canon", "domain_canon", "canonical_key"]
 MAX_BLOCK_SIZE = 96  # blocks larger than this switch to sorted-neighborhood
 SN_WINDOW = 8  # neighborhood width inside oversize blocks
@@ -58,7 +60,9 @@ def _add_addr_bucket(batch: pa.Table, n_buckets: int) -> pa.Table:
 
 
 def _merge_nodes_bucket(df: pd.DataFrame) -> pd.DataFrame:
-    return df.groupby("address", as_index=False, sort=False)["n_mentions"].sum()
+    return from_pandas_clean(
+        df.groupby("address", as_index=False, sort=False)["n_mentions"].sum()
+    )
 
 
 def _rederive_node_columns(batch: pa.Table) -> pa.Table:
@@ -184,10 +188,12 @@ def emit_pairs_bucket(df: pd.DataFrame) -> pd.DataFrame:
       sorted-neighborhood (sort by dotless, window SN_WINDOW) — the
       quadratic cap for skew-hot blocks.
     """
-    empty = {f"{c}_{s}": pd.Series([], dtype=object) for c in _PAIR_SIDE_COLS for s in "ab"}
+    empty = pa.table(
+        {f"{c}_{s}": pa.array([], pa.string()) for c in _PAIR_SIDE_COLS for s in "ab"}
+    )
     n = len(df)
     if n < 2:
-        return pd.DataFrame(empty)
+        return empty
     g = df.sort_values(["block_key", "address"], kind="mergesort").reset_index(drop=True)
     keys = g["block_key"].to_numpy()
     starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
@@ -209,7 +215,7 @@ def emit_pairs_bucket(df: pd.DataFrame) -> pd.DataFrame:
                 ia_parts.append(order[: sz - d])
                 ib_parts.append(order[d:])
     if not ia_parts:
-        return pd.DataFrame(empty)
+        return empty
     ia = np.concatenate(ia_parts)
     ib = np.concatenate(ib_parts)
     tags = g["pass_tag"].to_numpy()
@@ -217,13 +223,13 @@ def emit_pairs_bucket(df: pd.DataFrame) -> pd.DataFrame:
     keep = ~(nond & (dotless[ia] == dotless[ib]))
     ia, ib = ia[keep], ib[keep]
     if len(ia) == 0:
-        return pd.DataFrame(empty)
+        return empty
     out = {}
     for c in _PAIR_SIDE_COLS:
         v = g[c].to_numpy()
         out[f"{c}_a"] = v[ia]
         out[f"{c}_b"] = v[ib]
-    return pd.DataFrame(out)
+    return from_pandas_clean(pd.DataFrame(out))
 
 
 def candidate_pairs(nodes_ds, n_buckets: int = N_PAIR_BUCKETS):

@@ -33,6 +33,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..functions.arrowutil import from_pandas_clean
+
 MAX_ROUNDS = 16
 
 
@@ -59,17 +61,17 @@ def _route_bucket(df: pd.DataFrame) -> pd.DataFrame:
     lbl = df.loc[df["is_label"], ["node", "payload"]]
     edg = df.loc[~df["is_label"], ["node", "payload"]]
     if len(edg) == 0:
-        return lbl.reset_index(drop=True)
+        return from_pandas_clean(lbl.reset_index(drop=True))
     m = edg.merge(lbl, on="node", how="left", suffixes=("_nbr", "_lab"))
     lab = m["payload_lab"].fillna(m["node"])
     msgs = pd.DataFrame({"node": m["payload_nbr"].to_numpy(), "payload": lab.to_numpy()})
-    return pd.concat([lbl, msgs], ignore_index=True)
+    return from_pandas_clean(pd.concat([lbl, msgs], ignore_index=True))
 
 
 def _fold_bucket(df: pd.DataFrame) -> pd.DataFrame:
     """Fold incoming labels per node with a C-speed pandas groupby.min
     (Ray's native string Min aggregate is orders slower at this shape)."""
-    return df.groupby("node", as_index=False)["payload"].min()
+    return from_pandas_clean(df.groupby("node", as_index=False)["payload"].min())
 
 
 def _label_checksum(labels_ds) -> int:

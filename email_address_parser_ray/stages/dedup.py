@@ -21,6 +21,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ..functions.arrowutil import from_pandas_clean
 from ..functions.hashing import (
     band_keys,
     hamming64,
@@ -146,15 +147,19 @@ def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
     )
     ia, ib = _segment_pairs(g["band_key"].to_numpy())
     if len(ia) == 0:
-        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                             "doc_b": pd.Series([], dtype="int64"),
-                             "sig_a": pd.Series([], dtype=object),
-                             "sig_b": pd.Series([], dtype=object)})
+        return pa.table(
+            {
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "sig_a": pa.array([], pa.binary()),
+                "sig_b": pa.array([], pa.binary()),
+            }
+        )
     ids = g["doc_id"].to_numpy()
     sigs = g["sig"].to_numpy()
-    return pd.DataFrame(
+    return from_pandas_clean(pd.DataFrame(
         {"doc_a": ids[ia], "doc_b": ids[ib], "sig_a": sigs[ia], "sig_b": sigs[ib]}
-    )
+    ))
 
 
 class MinHashVerifier:
@@ -286,11 +291,11 @@ def _simhash_pairs(g: pd.DataFrame, max_hamming: int = 3) -> pd.DataFrame:
         .reset_index(drop=True)
     )
     ia, ib = _segment_pairs(g["band_key"].to_numpy())
-    empty = pd.DataFrame(
+    empty = pa.table(
         {
-            "doc_a": pd.Series([], dtype="int64"),
-            "doc_b": pd.Series([], dtype="int64"),
-            "hamming": pd.Series([], dtype="int64"),
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "hamming": pa.array([], pa.int64()),
         }
     )
     if len(ia) == 0:
@@ -303,13 +308,13 @@ def _simhash_pairs(g: pd.DataFrame, max_hamming: int = 3) -> pd.DataFrame:
     if not keep.any():
         return empty
     ids = g["doc_id"].to_numpy()
-    return pd.DataFrame(
+    return from_pandas_clean(pd.DataFrame(
         {
             "doc_a": ids[ia[keep]],
             "doc_b": ids[ib[keep]],
             "hamming": d[keep].astype(np.int64),
         }
-    )
+    ))
 
 
 def simhash_near_dups(docs_ds, max_hamming: int = 3):
