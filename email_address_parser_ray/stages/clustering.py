@@ -1,8 +1,14 @@
 """Transitive clustering — distributed min-label propagation (union-find).
 
-Connected components over the accepted match edges, expressed purely in
-Ray Data primitives (no driver-side union-find: the node set is assumed
-too large for one heap at the 10^12-turn design point):
+Connected components over the accepted match edges.  Two regimes:
+
+* graphs under ``SMALL_CC_LIMIT`` nodes+edges short-circuit to an exact
+  driver-side union-find (identical deterministic min-label output) —
+  the per-round shuffle machinery costs seconds of fixed overhead that
+  dwarfs small graphs;
+* larger graphs run hash-partitioned min-label propagation in Ray Data
+  primitives (the node set is assumed too large for one heap at the
+  10^12-turn design point):
 
 * node ids and labels are the surface address strings; the component
   label converges to the lexicographic minimum address of the component
@@ -39,6 +45,51 @@ MAX_ROUNDS = 16
 
 
 N_CC_BUCKETS = 64
+
+# Below this edge/node count the distributed label-propagation machinery
+# (two shuffles + a checksum pass PER ROUND) costs far more in fixed
+# executor overhead than the graph itself; a driver-side union-find is
+# exact, deterministic and ~instant.  Above it, the hash-partitioned
+# rounds take over (the 100-TB path).  ~1M string edges is tens of MB on
+# the driver — comfortably within one heap.
+SMALL_CC_LIMIT = 1_000_000
+
+
+def _driver_components(addresses: np.ndarray, ea: np.ndarray, eb: np.ndarray) -> pa.Table:
+    """Union-find on the driver: exact connected components with the same
+    deterministic labeling as the distributed rounds (component label =
+    lexicographic-min member address)."""
+    order = np.sort(np.asarray(addresses, dtype=object))
+    index = pd.Index(order)
+    ca = index.get_indexer(ea)
+    cb = index.get_indexer(eb)
+    ok = (ca >= 0) & (cb >= 0)  # defensive: drop edges outside the node set
+    ca, cb = ca[ok], cb[ok]
+    n = len(order)
+    parent = np.arange(n, dtype=np.int64)
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]  # path halving
+            x = parent[x]
+        return x
+
+    for a, b in zip(ca, cb):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            # union by smaller index => root IS the lex-min member,
+            # since `order` is sorted
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    roots = np.array([find(i) for i in range(n)], dtype=np.int64)
+    return pa.table(
+        {
+            "address": pa.array(order, pa.string()),
+            "cluster_id": pa.array(order[roots], pa.string()),
+        }
+    )
 
 
 def _symmetrize(batch: pa.Table) -> pa.Table:
@@ -135,14 +186,42 @@ def connected_components(
 ):
     """Return a Dataset (address, cluster_id) assigning every node the
     lexicographic-min address of its connected component."""
+    import ray
     import ray.data as rd
+
+    # --- small-graph short-circuit (driver union-find) -------------------
+    edges_mat = edges_ds.materialize()
+    n_edges = edges_mat.count()
+    if n_edges <= SMALL_CC_LIMIT:
+        n_nodes = nodes_ds.count()
+        if n_nodes <= SMALL_CC_LIMIT:
+            nt = pa.concat_tables(
+                ray.get(nodes_ds.select_columns(["address"]).to_arrow_refs())
+            )
+            et = (
+                pa.concat_tables(
+                    ray.get(
+                        edges_mat.select_columns(["addr_a", "addr_b"]).to_arrow_refs()
+                    )
+                )
+                if n_edges
+                else pa.table(
+                    {"addr_a": pa.array([], pa.string()), "addr_b": pa.array([], pa.string())}
+                )
+            )
+            out = _driver_components(
+                nt["address"].to_numpy(zero_copy_only=False),
+                et["addr_a"].to_numpy(zero_copy_only=False),
+                et["addr_b"].to_numpy(zero_copy_only=False),
+            )
+            return rd.from_arrow(out)
 
     labels = nodes_ds.map_batches(
         lambda t: pa.table({"node": t["address"], "payload": t["address"]}),
         batch_format="pyarrow",
     ).materialize()
     edges = (
-        edges_ds.map_batches(_symmetrize, batch_format="pyarrow")
+        edges_mat.map_batches(_symmetrize, batch_format="pyarrow")
         .map_batches(
             lambda t: _add_node_bucket(t, False, N_CC_BUCKETS),
             batch_format="pyarrow",
