@@ -193,11 +193,10 @@ def connected_components(
     edges_mat = edges_ds.materialize()
     n_edges = edges_mat.count()
     if n_edges <= SMALL_CC_LIMIT:
-        n_nodes = nodes_ds.count()
+        nodes_mat = nodes_ds.select_columns(["address"]).materialize()
+        n_nodes = nodes_mat.count()
         if n_nodes <= SMALL_CC_LIMIT:
-            nt = pa.concat_tables(
-                ray.get(nodes_ds.select_columns(["address"]).to_arrow_refs())
-            )
+            nt = pa.concat_tables(ray.get(nodes_mat.to_arrow_refs()))
             et = (
                 pa.concat_tables(
                     ray.get(

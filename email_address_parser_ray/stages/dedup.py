@@ -108,98 +108,86 @@ def exact_dedup(docs_ds):
 
 # --- MinHash + LSH near-dedup ---------------------------------------------
 
-class MinHashSketcher:
-    """Actor-pool stage: text → (band_key, doc_id, signature bytes)."""
+def minhash_sketch_batch(batch: pa.Table, shingle_k: int = 3, bands: int = 32) -> pa.Table:
+    """text → (band_key, doc_id, signature bytes), one row per band.
 
-    def __init__(self, shingle_k: int = 3, bands: int = 32):
-        self.k = shingle_k
-        self.bands = bands
+    Plain task-based ``map_batches`` body: the sketch has no expensive
+    per-worker state (the permutation constants are module-level numpy
+    arrays shipped once with the function), so an actor pool would only
+    add pool spin-up latency."""
+    doc_ids = batch["doc_id"].to_pylist()
+    texts = batch["text"].to_pylist()
+    o_band: List[int] = []
+    o_doc: List[int] = []
+    o_sig: List[bytes] = []
+    for did, t in zip(doc_ids, texts):
+        sig = minhash_signature(word_shingles(t, shingle_k))
+        sb = sig.tobytes()
+        for bk in band_keys(sig, bands):
+            o_band.append(bk)
+            o_doc.append(did)
+            o_sig.append(sb)
+    return pa.table(
+        {
+            "band_key": pa.array(o_band, pa.int64()),
+            "doc_id": pa.array(o_doc, pa.int64()),
+            "sig": pa.array(o_sig, pa.binary()),
+        }
+    )
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        doc_ids = batch["doc_id"].to_pylist()
-        texts = batch["text"].to_pylist()
-        o_band: List[int] = []
-        o_doc: List[int] = []
-        o_sig: List[bytes] = []
-        for did, t in zip(doc_ids, texts):
-            sig = minhash_signature(word_shingles(t, self.k))
-            sb = sig.tobytes()
-            for bk in band_keys(sig, self.bands):
-                o_band.append(bk)
-                o_doc.append(did)
-                o_sig.append(sb)
-        return pa.table(
-            {
-                "band_key": pa.array(o_band, pa.int64()),
-                "doc_id": pa.array(o_doc, pa.int64()),
-                "sig": pa.array(o_sig, pa.binary()),
-            }
-        )
 
-
-def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+def _bucket_pairs_verified(g: pd.DataFrame, threshold: float = 0.7) -> pa.Table:
     """Vectorized over one coarse bucket: all band groups inside processed
-    with segment arithmetic (sort by band_key → triu per segment)."""
+    with segment arithmetic (sort by band_key → triu per segment), then
+    the Jaccard-estimate verify IN PLACE (signature agreement over the
+    full 128-perm signatures already co-located here) — no second
+    shuffle or stage for verification."""
     g = (
         g.drop_duplicates(["band_key", "doc_id"])
         .sort_values(["band_key", "doc_id"], kind="mergesort")
         .reset_index(drop=True)
     )
+    empty = pa.table(
+        {
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "jaccard_est": pa.array([], pa.float64()),
+        }
+    )
     ia, ib = _segment_pairs(g["band_key"].to_numpy())
     if len(ia) == 0:
-        return pa.table(
-            {
-                "doc_a": pa.array([], pa.int64()),
-                "doc_b": pa.array([], pa.int64()),
-                "sig_a": pa.array([], pa.binary()),
-                "sig_b": pa.array([], pa.binary()),
-            }
-        )
+        return empty
+    # signature matrix only for rows that participate in pairs
+    used = np.unique(np.concatenate([ia, ib]))
+    pos = np.full(len(g), -1, dtype=np.int64)
+    pos[used] = np.arange(len(used))
+    sigs_obj = g["sig"].to_numpy()
+    mat = np.stack([np.frombuffer(sigs_obj[i], dtype=np.uint64) for i in used])
+    est = (mat[pos[ia]] == mat[pos[ib]]).mean(axis=1)
+    keep = est >= threshold
+    if not keep.any():
+        return empty
     ids = g["doc_id"].to_numpy()
-    sigs = g["sig"].to_numpy()
-    return from_pandas_clean(pd.DataFrame(
-        {"doc_a": ids[ia], "doc_b": ids[ib], "sig_a": sigs[ia], "sig_b": sigs[ib]}
-    ))
+    return pa.table(
+        {
+            "doc_a": pa.array(ids[ia[keep]], pa.int64()),
+            "doc_b": pa.array(ids[ib[keep]], pa.int64()),
+            "jaccard_est": pa.array(np.round(est[keep], 6), pa.float64()),
+        }
+    )
 
 
-class MinHashVerifier:
-    """Actor-pool stage: estimate Jaccard from full signatures; keep pairs
-    >= threshold.  (Signature agreement is an unbiased Jaccard estimate;
-    the ngram_jaccard_pairs query does the exact-verify variant.)"""
+def minhash_candidate_pairs(docs_ds, threshold: float = 0.7):
+    """documents → near-dup candidate pairs (deduped) with Jaccard estimates.
 
-    def __init__(self, threshold: float = 0.7):
-        self.threshold = threshold
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        sa = batch["sig_a"].to_pylist()
-        sb = batch["sig_b"].to_pylist()
-        est = np.empty(len(sa), dtype=np.float64)
-        for i, (x, y) in enumerate(zip(sa, sb)):
-            xa = np.frombuffer(x, dtype=np.uint64)
-            ya = np.frombuffer(y, dtype=np.uint64)
-            est[i] = float((xa == ya).mean())
-        keep = est >= self.threshold
-        out = pa.table(
-            {
-                "doc_a": batch["doc_a"],
-                "doc_b": batch["doc_b"],
-                "jaccard_est": pa.array(np.round(est, 6), pa.float64()),
-            }
-        )
-        return out.filter(pa.array(keep))
-
-
-def minhash_candidate_pairs(docs_ds, threshold: float = 0.7, concurrency: int = 4):
-    """documents → near-dup candidate pairs (deduped) with Jaccard estimates."""
+    One task-based sketch pass, ONE shuffle (coarse band-key buckets),
+    per-bucket vectorized pair emission + signature verify, then a small
+    cross-band dedup aggregate."""
     banded = docs_ds.map_batches(
-        MinHashSketcher, batch_format="pyarrow", concurrency=(1, concurrency)
+        minhash_sketch_batch, batch_format="pyarrow"
     ).map_batches(_add_key_bucket, batch_format="pyarrow")
-    pairs = banded.groupby("bucket").map_groups(_bucket_pairs, batch_format="pandas")
-    verified = pairs.map_batches(
-        MinHashVerifier,
-        batch_format="pyarrow",
-        concurrency=(1, concurrency),
-        fn_constructor_kwargs={"threshold": threshold},
+    verified = banded.groupby("bucket").map_groups(
+        lambda g: _bucket_pairs_verified(g, threshold), batch_format="pandas"
     )
     # cross-band dedup of surviving pairs (small): one native aggregate
     from ray.data.aggregate import Min
