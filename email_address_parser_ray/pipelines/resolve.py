@@ -114,24 +114,32 @@ def resolve(
 def cluster_sizes(clusters_ds):
     """(address, cluster_size) per unique surface — the resolve_clusters
     query result (oracle: gold entity partition restricted to mentioned
-    surfaces)."""
-    from ray.data.aggregate import Count
+    surfaces).
 
-    sizes = clusters_ds.groupby("cluster_id").aggregate(Count(alias_name="cluster_size"))
-    # broadcast-join the (small) size table back onto assignments
-    import pandas as pd
-    import ray
+    The size table grows with unique-address count, so it is attached
+    with a hash-partitioned join on ``cluster_id`` (round-1 verdict
+    fix), not a driver broadcast."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
 
-    size_ref = ray.put(sizes.to_pandas())
+    from ..stages.joins import hash_join
 
-    def attach(batch: pa.Table) -> pa.Table:
-        sz = ray.get(size_ref)
-        df = batch.to_pandas().merge(sz, on="cluster_id", how="left")
-        return pa.table(
+    partial = clusters_ds.map_batches(
+        lambda t: t.group_by("cluster_id")
+        .aggregate([("cluster_id", "count")])
+        .rename_columns(["cluster_id", "p_cnt"]),
+        batch_format="pyarrow",
+    )
+    sizes = partial.groupby("cluster_id").aggregate(
+        Sum("p_cnt", alias_name="cluster_size")
+    )
+    joined = hash_join(clusters_ds, sizes, on="cluster_id")
+    return joined.map_batches(
+        lambda t: pa.table(
             {
-                "address": pa.array(df["address"], pa.string()),
-                "cluster_size": pa.array(df["cluster_size"], pa.int64()),
+                "address": t["address"],
+                "cluster_size": pc.cast(t["cluster_size"], pa.int64()),
             }
-        )
-
-    return clusters_ds.map_batches(attach, batch_format="pyarrow")
+        ),
+        batch_format="pyarrow",
+    )
