@@ -123,11 +123,30 @@ def _q_resolve_clusters(sf_dir: str):
 
 
 def _q_match_edges(sf_dir: str):
-    """Accepted match pairs (rules + scores) — rows-only check."""
+    """Accepted match pairs, normalized (addr_a < addr_b) and deduped
+    across blocking passes, with the accept rule.  Oracle: the scorer's
+    accept rules restated in SQL over the gold node canonicalization
+    (levenshtein / string equality on the same dotless + domain_key
+    features the engine blocks and scores on)."""
+    from ray.data.aggregate import Min
     from email_address_parser_ray.pipelines.resolve import resolve
 
     root = _tcache(sf_dir)
-    return resolve(f"{root}/transcripts")["edges"]
+    edges = resolve(f"{root}/transcripts")["edges"]
+
+    def norm(t: pa.Table) -> pa.Table:
+        lt = pc.less(t["addr_a"], t["addr_b"])
+        lo = pc.if_else(lt, t["addr_a"], t["addr_b"])
+        hi = pc.if_else(lt, t["addr_b"], t["addr_a"])
+        out = pa.table({"addr_a": lo, "addr_b": hi, "rule": t["rule"]})
+        # per-batch partial dedup before the global one
+        return out.group_by(["addr_a", "addr_b", "rule"]).aggregate([])
+
+    return (
+        edges.map_batches(norm, batch_format="pyarrow")
+        .groupby(["addr_a", "addr_b"])
+        .aggregate(Min("rule", alias_name="rule"))
+    )
 
 
 def _q_corpus_strict(sf_dir: str):
@@ -273,7 +292,10 @@ def _q_embedding_neardup(sf_dir: str):
     from email_address_parser_ray.stages.ann import embedding_near_dup_pairs
 
     emb = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    return embedding_near_dup_pairs(emb, d=64, threshold=0.95)
+    # 0.45 sits where true pairs exist in the driver's embeddings (max
+    # pairwise cosine ≈ 0.51); the banded-LSH recall at this threshold is
+    # verified exactly by the SQL self-join oracle.
+    return embedding_near_dup_pairs(emb, d=64, threshold=0.45)
 
 
 def _query_vector(sf_dir: str) -> np.ndarray:
@@ -424,6 +446,7 @@ def oracle_sql() -> dict[str, str]:
     root = _tcache(SF_CORRECTNESS)
     gm = f"read_parquet('{root}/gold_mentions.parquet')"
     ge = f"read_parquet('{root}/gold_entities.parquet')"
+    gn = f"read_parquet('{root}/gold_nodes.parquet')"
     tr = f"read_parquet('{root}/transcripts/*.parquet')"
     corp = f"read_parquet('{fixtures['corpus_addresses']}')"
     ise = f"read_parquet('{fixtures['isemail_cases']}')"
@@ -456,6 +479,24 @@ def oracle_sql() -> dict[str, str]:
             f"FROM surf GROUP BY entity_id) "
             f"SELECT surf.address AS address, sz.cluster_size AS cluster_size "
             f"FROM surf JOIN sz USING (entity_id)"
+        ),
+        "match_edges": (
+            # scorer accept rules (stages/scoring.py) restated in SQL over
+            # the gold node canonicalization; same-domain is a rule
+            # precondition, so the self-join can equi-join on domain_key.
+            f"WITH mentioned AS (SELECT DISTINCT address FROM {gm}), "
+            f"n AS (SELECT g.* FROM {gn} g JOIN mentioned m USING (address)), "
+            f"p AS (SELECT a.address AS addr_a, b.address AS addr_b, "
+            f"CASE WHEN a.canonical_key = b.canonical_key THEN 'exact_canonical' "
+            f"WHEN a.dotless = b.dotless AND len(a.dotless) >= 6 "
+            f"  AND len(b.dotless) >= 6 THEN 'dotless_equal' "
+            f"WHEN len(a.dotless) >= 6 AND len(b.dotless) >= 6 "
+            f"  AND abs(len(a.dotless) - len(b.dotless)) <= 1 "
+            f"  AND levenshtein(a.dotless, b.dotless) <= 1 THEN 'lev1' "
+            f"END AS rule "
+            f"FROM n a JOIN n b ON a.domain_key = b.domain_key "
+            f"AND a.address < b.address) "
+            f"SELECT addr_a, addr_b, rule FROM p WHERE rule IS NOT NULL"
         ),
         "f1_report": (
             # the engine must reproduce the gold partition exactly, so the
@@ -546,13 +587,20 @@ def oracle_sql() -> dict[str, str]:
             "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.40"
         ),
+        "embedding_neardup": (
+            "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
+            "CAST(ROUND(list_cosine_similarity(a.embedding, b.embedding) "
+            "* 1000) AS BIGINT) AS cos_e3 "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45"
+        ),
         "ann_topk": (
             "WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0) "
             "SELECT e.vec_id, CAST(ROUND(list_cosine_similarity(e.embedding, "
             "q.embedding) * 10000) AS BIGINT) AS cos_e4 "
             "FROM embeddings e, q ORDER BY cos_e4 DESC, e.vec_id LIMIT 10"
         ),
-        # rows-only (non-SQL-expressible): match_edges, docs_lang_id,
-        # minhash_dedup, simhash_pairs, embedding_neardup, ann_lsh_topk,
-        # media_features
+        # rows-only (non-SQL-expressible): docs_lang_id, minhash_dedup,
+        # simhash_pairs, ann_lsh_topk (approximate-by-design),
+        # media_features, pipeline_counters, export_shards, hot_blocks
     }

@@ -47,7 +47,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 SEED = 20260817
-GEN_VERSION = 5  # bump to invalidate /tmp caches when synthesis rules change
+GEN_VERSION = 6  # bump to invalidate /tmp caches when synthesis rules change
 CACHE_ROOT = "/tmp/eap_ray_cache"
 TURNS_PER_SF = 5_000_000  # sf0.001 -> 5k turns, sf0.01 -> 50k, sf0.1 -> 500k
 ENTITIES_PER_SF = 16_000
@@ -359,7 +359,39 @@ def synthesize_tables(sf: float) -> Dict[str, pa.Table]:
         "transcripts": transcripts,
         "gold_mentions": gold_mentions,
         "gold_entities": gold_entities,
+        "gold_nodes": _gold_nodes(sorted(set(ge_addr))),
     }
+
+
+def _gold_nodes(addresses: List[str]) -> pa.Table:
+    """Canonical node columns for every plantable surface — the SQL-side
+    inputs for the ``match_edges`` oracle.  Derivations mirror the
+    engine's blocking/scoring features exactly (dotless =
+    local_canon minus dots, domain_key = casefolded domain_canon), so
+    the oracle can restate the accept rules in plain SQL
+    (levenshtein/string equality) without re-implementing the grammar."""
+    from ..functions.grammar import parse_address
+
+    dotless, domain_key, canon = [], [], []
+    for addr in addresses:
+        p = parse_address(addr, is_lax=True)
+        if p is None:  # unreachable for gold surfaces; keep deterministic
+            local, _, dom = addr.rpartition("@")
+            dotless.append(local.replace(".", ""))
+            domain_key.append(dom.lower())
+            canon.append(addr)
+            continue
+        dotless.append(p.local_canon.replace(".", ""))
+        domain_key.append(p.domain_canon.lower())
+        canon.append(p.canonical_key)
+    return pa.table(
+        {
+            "address": pa.array(addresses, pa.string()),
+            "dotless": pa.array(dotless, pa.string()),
+            "domain_key": pa.array(domain_key, pa.string()),
+            "canonical_key": pa.array(canon, pa.string()),
+        }
+    )
 
 
 def sf_from_dir(sf_dir: str) -> str:
@@ -399,6 +431,7 @@ def ensure_transcripts(sf_dir: str) -> str:
         )
     pq.write_table(tables["gold_mentions"], os.path.join(tmp, "gold_mentions.parquet"))
     pq.write_table(tables["gold_entities"], os.path.join(tmp, "gold_entities.parquet"))
+    pq.write_table(tables["gold_nodes"], os.path.join(tmp, "gold_nodes.parquet"))
     with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
         f.write(f"seed={SEED} v={GEN_VERSION} sf={sf} rows={t.num_rows}\n")
     os.makedirs(CACHE_ROOT, exist_ok=True)

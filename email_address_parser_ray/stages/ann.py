@@ -177,35 +177,125 @@ def lsh_topk(embeddings_ds, query: np.ndarray, k: int = 10, probes: int = 4):
     return brute_force_topk(probed, query, k)
 
 
-def embedding_near_dup_pairs(embeddings_ds, d: int, threshold: float = 0.97):
-    """Near-duplicate vector pairs: LSH bucket → per-bucket cosine verify."""
-    bucketed = bucket_embeddings(embeddings_ds, d)
+NEARDUP_MAX_SEGMENT = 4096  # per-band bucket cap (logged, not silently hit)
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("vec_id").reset_index(drop=True)
-        n = len(g)
-        if n < 2 or n > MAX_BUCKET:
-            return pa.table(
-                {
-                    "vec_a": pa.array([], pa.int64()),
-                    "vec_b": pa.array([], pa.int64()),
-                    "cos_e4": pa.array([], pa.int64()),
-                }
-            )
-        m = _normalize(np.stack([np.asarray(v, dtype=np.float64) for v in g["embedding"]]))
-        sims = m @ m.T
-        ia, ib = np.triu_indices(n, k=1)
-        keep = sims[ia, ib] >= threshold
-        ids = g["vec_id"].to_numpy()
-        return from_pandas_clean(pd.DataFrame(
+
+def embedding_near_dup_pairs(
+    embeddings_ds,
+    d: int,
+    threshold: float = 0.45,
+    planes_per_band: int = 2,
+    n_bands: int = 24,
+):
+    """Near-duplicate vector pairs via banded SRP-LSH + exact verify.
+
+    ``n_bands`` independent signed-random-projection tables of
+    ``planes_per_band`` hyperplanes each; a pair is a candidate when it
+    collides in ANY band, and candidates are verified with the exact
+    cosine — so precision is exact and recall is
+    1 - (1 - p^b)^L with p = 1 - θ/π.  Tune (b, L) to the threshold:
+    the defaults (b=2, L=24) give per-pair miss < 1e-5 down to
+    cos ≥ 0.45 (θ ≈ 1.1 rad); for a true near-dup threshold (≥0.9) use
+    e.g. b=8, L=8, which keeps buckets tiny at scale.  The banded rows
+    carry the vector (fixed 8·d bytes) so the verify needs no second
+    join; returns (vec_a, vec_b, cos_e3) like ``cosine_pairs_exact``,
+    whose SQL self-join is also this operator's oracle.
+    """
+    rng = np.random.RandomState(_PROJ_RNG_SEED + 7)
+    planes = rng.normal(size=(n_bands * planes_per_band, d))
+    weights = 1 << np.arange(planes_per_band)
+
+    def add_bands(batch: pa.Table) -> pa.Table:
+        m = _normalize(_batch_matrix(batch))
+        bits = (m @ planes.T) > 0  # (n, L*b)
+        n = len(m)
+        keys = np.empty((n, n_bands), dtype=np.int64)
+        for band in range(n_bands):
+            seg = bits[:, band * planes_per_band : (band + 1) * planes_per_band]
+            keys[:, band] = (seg * weights).sum(axis=1) + (band << 32)
+        vec_ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pa.table(
             {
-                "vec_a": ids[ia[keep]],
-                "vec_b": ids[ib[keep]],
-                "cos_e4": np.round(sims[ia[keep], ib[keep]] * 10_000).astype(np.int64),
+                "band_key": pa.array(keys.reshape(-1), pa.int64()),
+                "vec_id": pa.array(np.repeat(vec_ids, n_bands), pa.int64()),
+                "emb": pa.array(list(np.repeat(m, n_bands, axis=0))),
             }
-        ))
+        )
+        return flat
 
-    pairs = bucketed.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
-    return pairs.groupby(["vec_a", "vec_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+    def bucket_pairs(g: pd.DataFrame) -> pa.Table:
+        empty = pa.table(
+            {
+                "vec_a": pa.array([], pa.int64()),
+                "vec_b": pa.array([], pa.int64()),
+                "cos_e3": pa.array([], pa.int64()),
+            }
+        )
+        g = (
+            g.drop_duplicates(["band_key", "vec_id"])
+            .sort_values(["band_key", "vec_id"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        keys = g["band_key"].to_numpy()
+        n = len(g)
+        starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+        ends = np.r_[starts[1:], n]
+        ia_parts, ib_parts = [], []
+        for st, en in zip(starts, ends):
+            sz = en - st
+            if sz < 2:
+                continue
+            if sz > NEARDUP_MAX_SEGMENT:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "near-dup band bucket truncated: %d > %d", sz, NEARDUP_MAX_SEGMENT
+                )
+                en = st + NEARDUP_MAX_SEGMENT
+                sz = NEARDUP_MAX_SEGMENT
+            ia, ib = np.triu_indices(sz, k=1)
+            ia_parts.append(ia + st)
+            ib_parts.append(ib + st)
+        if not ia_parts:
+            return empty
+        ia = np.concatenate(ia_parts)
+        ib = np.concatenate(ib_parts)
+        mat = np.stack(g["emb"].to_numpy())  # already normalized
+        cos = np.einsum("ij,ij->i", mat[ia], mat[ib])
+        keep = cos >= threshold
+        if not keep.any():
+            return empty
+        ids = g["vec_id"].to_numpy()
+        va, vb = ids[ia[keep]], ids[ib[keep]]
+        lo, hi = np.minimum(va, vb), np.maximum(va, vb)
+        return pa.table(
+            {
+                "vec_a": pa.array(lo, pa.int64()),
+                "vec_b": pa.array(hi, pa.int64()),
+                "cos_e3": pa.array(
+                    np.round(cos[keep] * 1_000).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    from ray.data.aggregate import Min
+
+    banded = embeddings_ds.map_batches(add_bands, batch_format="pyarrow")
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        b = pc.bit_wise_and(batch["band_key"], pa.scalar(0x7FFFFFFF, pa.int64()))
+        n_sh = 64
+        return batch.append_column(
+            "bucket",
+            pc.subtract(b, pc.multiply(pc.divide(b, n_sh), n_sh)),
+        )
+
+    pairs = (
+        banded.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_pairs, batch_format="pandas")
     )
+    # cross-band dedup (identical cos values per pair)
+    return pairs.groupby(["vec_a", "vec_b"]).aggregate(Min("cos_e3", alias_name="cos_e3"))

@@ -234,3 +234,23 @@ def test_image_resize_and_frame_sample_plumbing(ray_session):
     n_videos = (media["kind"].to_pandas() == "video").sum()
     assert len(frames) == 4 * n_videos
     assert set(frames["frame_idx"]) == {0, 1, 2, 3}
+
+
+def test_embedding_near_dup_matches_exact(ray_session):
+    """Banded-LSH near-dup at the query threshold reproduces the exact
+    all-pairs result on the driver's embeddings (recall check for the
+    SQL-oracled embedding_neardup query)."""
+    import ray.data as rd
+    from email_address_parser_ray.sources.io import read_parquet_clean
+    from email_address_parser_ray.stages.ann import (
+        cosine_pairs_exact, embedding_near_dup_pairs,
+    )
+
+    emb = read_parquet_clean(
+        "/root/testdata/sf0.001/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    lsh = embedding_near_dup_pairs(emb, d=64, threshold=0.45).to_pandas()
+    exact = cosine_pairs_exact(emb, threshold=0.45).to_pandas()
+    key = lambda df: sorted(map(tuple, df[["vec_a", "vec_b"]].to_numpy()))
+    assert key(lsh) == key(exact)
+    assert len(lsh) > 0
