@@ -149,6 +149,24 @@ def _q_match_edges(sf_dir: str):
     )
 
 
+def _q_sample_mentions(sf_dir: str):
+    """Deterministic content-keyed 5.1% sample of extracted mentions
+    (labeled-pair candidate sampling — SURVEY §2.d seeded sampling).
+    Hash-based, so the sample is invariant to partitioning/retries and
+    exactly reproducible by the DuckDB md5 oracle."""
+    from email_address_parser_ray.pipelines.resolve import (
+        extract_mentions, read_transcripts,
+    )
+    from email_address_parser_ray.stages.sampling import hash_sample
+
+    root = _tcache(sf_dir)
+    ds = extract_mentions(read_transcripts(f"{root}/transcripts"))
+    sampled = hash_sample(
+        ds, ["conv_id", "turn_idx", "mention_idx"], cutoff_hex="0d", seed=7
+    )
+    return sampled.select_columns(["conv_id", "turn_idx", "mention_idx", "address"])
+
+
 def _q_corpus_strict(sf_dir: str):
     """Reference conformance through the VECTORIZED tokenizer: all 940
     cartesian strict cases; oracle = the expected truth table (the same
@@ -401,6 +419,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # record-linkage flagship family
         "extract_mentions": _q_extract_mentions,
+        "sample_mentions": _q_sample_mentions,
         "turn_roundtrip": _q_turn_roundtrip,
         "exact_entities": _q_exact_entities,
         "resolve_clusters": _q_resolve_clusters,
@@ -414,6 +433,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # relational operator coverage
         "q1_lineitem": _rel("q1_lineitem"),
         "q3_top_orders": _rel("q3_top_orders"),
+        "q5_region_revenue": _rel("q5_region_revenue"),
         "events_hourly": _rel("events_hourly"),
         "top_customers": _rel("top_customers"),
         "distinct_segments": _rel("distinct_segments"),
@@ -467,6 +487,11 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT conv_id, turn_idx, mention_idx, address FROM {gm}"
         ),
         "turn_roundtrip": f"SELECT conv_id, turn_idx, text FROM {tr}",
+        "sample_mentions": (
+            f"SELECT conv_id, turn_idx, mention_idx, address FROM {gm} "
+            f"WHERE md5('7|' || conv_id || '|' || CAST(turn_idx AS VARCHAR) "
+            f"|| '|' || CAST(mention_idx AS VARCHAR)) < '0d'"
+        ),
         "exact_entities": (
             f"SELECT address, CAST(count(*) AS BIGINT) AS n_mentions "
             f"FROM {gm} GROUP BY address"
@@ -529,6 +554,20 @@ def oracle_sql() -> dict[str, str]:
             "JOIN lineitem ON l_orderkey = o_orderkey "
             "WHERE c_mktsegment = 'BUILDING' "
             "GROUP BY o_orderkey ORDER BY revenue_cents DESC, o_orderkey LIMIT 10"
+        ),
+        "q5_region_revenue": (
+            "SELECT n_name, "
+            "CAST(ROUND(sum(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT) "
+            "AS revenue_cents "
+            "FROM customer JOIN orders ON c_custkey = o_custkey "
+            "JOIN lineitem ON l_orderkey = o_orderkey "
+            "JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "WHERE r_name = 'ASIA' "
+            "AND o_orderdate >= TIMESTAMP '1996-01-01' "
+            "AND o_orderdate < TIMESTAMP '1997-01-01' "
+            "GROUP BY n_name ORDER BY revenue_cents DESC"
         ),
         "events_hourly": (
             "SELECT event_type, date_trunc('hour', ts) AS hour, "

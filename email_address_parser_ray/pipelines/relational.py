@@ -140,6 +140,123 @@ def q3_top_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10):
     return rounded.sort(["revenue_cents", "o_orderkey"], descending=[True, False]).limit(k)
 
 
+def q5_region_revenue(
+    sf_dir: str,
+    region: str = "ASIA",
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1997-01-01",
+):
+    """TPC-H Q5-style 6-way join: revenue by nation for one region and
+    order-date year, where the customer and supplier share a nation.
+
+    Join strategy by side size (the 100-TB shapes):
+
+    * region/nation/supplier — true dimensions: read once on the driver,
+      broadcast via ``ray.put``, probed with vectorized ``index_in``
+      lookups inside ``map_batches`` (never a shuffle);
+    * orders ⋈ customer and lineitem ⋈ orders — both fact-sized: native
+      hash-partitioned joins, with the region/date filters and per-batch
+      revenue pre-aggregation pushed BELOW the shuffles.
+    """
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..stages.joins import hash_join
+
+    nat = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name", "n_regionkey"]
+    )
+    reg = pq.read_table(f"{sf_dir}/region.parquet")
+    rkeys = {
+        rk
+        for rk, name in zip(reg["r_regionkey"].to_pylist(), reg["r_name"].to_pylist())
+        if name == region
+    }
+    nation_name = {
+        k: n
+        for k, n, rk in zip(
+            nat["n_nationkey"].to_pylist(),
+            nat["n_name"].to_pylist(),
+            nat["n_regionkey"].to_pylist(),
+        )
+        if rk in rkeys
+    }
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+    region_nations = pa.array(sorted(nation_name), pa.int64())
+    supp_ref = ray.put(
+        (
+            pc.cast(sup["s_suppkey"], pa.int64()).combine_chunks(),
+            pc.cast(sup["s_nationkey"], pa.int64()).combine_chunks(),
+            region_nations,
+        )
+    )
+
+    lo = pa.scalar(pd.Timestamp(date_lo), pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp(date_hi), pa.timestamp("us"))
+    orders_f = read_parquet_clean(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(
+        lambda t: t.filter(
+            pc.and_(pc.greater_equal(t["o_orderdate"], lo), pc.less(t["o_orderdate"], hi))
+        ).select(["o_orderkey", "o_custkey"]),
+        batch_format="pyarrow",
+    )
+    cust = read_parquet_clean(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(
+        lambda t: t.filter(
+            pc.is_in(pc.cast(t["c_nationkey"], pa.int64()), value_set=region_nations)
+        ),
+        batch_format="pyarrow",
+    )
+    j1 = hash_join(orders_f, cust, on="o_custkey", right_on="c_custkey").select_columns(
+        ["o_orderkey", "c_nationkey"]
+    )
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        skeys, snats, rnats = ray.get(supp_ref)
+        pos = pc.index_in(pc.cast(t["l_suppkey"], pa.int64()), value_set=skeys)
+        s_nat = pc.take(snats, pos)
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        t2 = pa.table({"l_orderkey": t["l_orderkey"], "s_nationkey": s_nat, "rev": rev})
+        t2 = t2.filter(pc.is_in(t2["s_nationkey"], value_set=rnats))
+        return t2.group_by(["l_orderkey", "s_nationkey"]).aggregate(
+            [("rev", "sum")]
+        ).rename_columns(["l_orderkey", "s_nationkey", "p_rev"])
+
+    li_part = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(li_partial, batch_format="pyarrow")
+
+    j2 = hash_join(li_part, j1, on="l_orderkey", right_on="o_orderkey")
+    matched = j2.map_batches(
+        lambda t: t.filter(
+            pc.equal(
+                pc.cast(t["s_nationkey"], pa.int64()), pc.cast(t["c_nationkey"], pa.int64())
+            )
+        ).select(["s_nationkey", "p_rev"]),
+        batch_format="pyarrow",
+    )
+    agg = matched.groupby("s_nationkey").aggregate(Sum("p_rev", alias_name="revenue"))
+
+    name_ref = ray.put(nation_name)
+
+    def finish(t: pa.Table) -> pa.Table:
+        names = ray.get(name_ref)
+        keys = pc.cast(t["s_nationkey"], pa.int64()).to_pylist()
+        return pa.table(
+            {
+                "n_name": pa.array([names[k] for k in keys], pa.string()),
+                "revenue_cents": _cents(t["revenue"]),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort(
+        ["revenue_cents", "n_name"], descending=[True, False]
+    )
+
+
 def events_hourly(sf_dir: str):
     """Tumbling 1-hour window aggregate over the events stream table."""
     import ray.data as rd
