@@ -97,61 +97,61 @@ def read_transcripts_any(path: str, fmt: str = "parquet", columns=None):
 
 
 def write_partitioned(ds, out_dir: str, key: str, n_partitions: int = 16) -> List[dict]:
-    """Resumable partitioned Parquet sink.
+    """Resumable partitioned Parquet sink — fully streaming.
 
     Rows are hash-partitioned on ``key`` into ``n_partitions``
-    directories (``part=K/``), each written atomically (temp dir →
-    rename) with a tiny manifest; partitions whose manifest already
-    exists are SKIPPED, so a rerun after a failure finishes only the
-    missing work.  Returns the per-partition manifests.
+    directories (``part=K/``).  The write itself is Ray Data's native
+    hive-partitioned ``write_parquet`` (one fragment file per block per
+    partition — no task ever holds a whole partition, so a partition can
+    exceed worker memory).  Finalization then publishes each pending
+    partition atomically (rename) with a tiny manifest whose row count
+    comes from parquet footers; partitions whose manifest already exists
+    are SKIPPED UPSTREAM (filtered out of the write), so a rerun after a
+    failure streams only the missing key ranges.  Returns the
+    per-partition manifests.
     """
+    import glob
+
     import pandas as pd
+    import pyarrow.parquet as pq
 
     os.makedirs(out_dir, exist_ok=True)
-
-    def add_part(batch: pa.Table) -> pa.Table:
-        h = pd.util.hash_pandas_object(batch[key].to_pandas(), index=False)
-        return batch.append_column(
-            "__part", pa.array((h % n_partitions).astype("int64").to_numpy())
-        )
-
-    parted = ds.map_batches(add_part, batch_format="pyarrow")
-    manifests = []
-    # one pass per missing partition set is wasteful; instead stream once
-    # and route rows into per-partition buffers inside a writer task per
-    # partition group
-    todo = [
+    todo = {
         k
         for k in range(n_partitions)
         if not os.path.exists(os.path.join(out_dir, f"part={k}", "manifest.json"))
-    ]
+    }
     if todo:
-        import pyarrow.parquet as pq
+        todo_arr = pa.array(sorted(todo), pa.int64())
 
-        def write_group(df: pd.DataFrame) -> pd.DataFrame:
-            k = int(df["__part"].iat[0])
-            if k not in todo_set:
-                return pd.DataFrame({"part": [k], "rows": [len(df)], "skipped": [True]})
-            pdir = os.path.join(out_dir, f"part={k}")
-            tmp = pdir + f".tmp.{os.getpid()}"
-            shutil.rmtree(tmp, ignore_errors=True)
-            os.makedirs(tmp, exist_ok=True)
-            tbl = pa.Table.from_pandas(
-                df.drop(columns="__part"), preserve_index=False
+        def add_part(batch: pa.Table) -> pa.Table:
+            h = pd.util.hash_pandas_object(batch[key].to_pandas(), index=False)
+            part = pa.array((h % n_partitions).astype("int64").to_numpy())
+            return batch.append_column("__part", part).filter(
+                pc.is_in(part, value_set=todo_arr)
             )
-            pq.write_table(tbl, os.path.join(tmp, "data.parquet"))
-            with open(os.path.join(tmp, "manifest.json"), "w") as f:
-                json.dump({"part": k, "rows": len(df), "key": key}, f)
-            shutil.rmtree(pdir, ignore_errors=True)
-            os.rename(tmp, pdir)
-            return pd.DataFrame({"part": [k], "rows": [len(df)], "skipped": [False]})
 
-        todo_set = set(todo)
-        result = (
-            parted.groupby("__part")
-            .map_groups(write_group, batch_format="pandas")
-            .to_pandas()
+        tmp_root = os.path.join(out_dir, f"_inflight.{os.getpid()}")
+        shutil.rmtree(tmp_root, ignore_errors=True)
+        ds.map_batches(add_part, batch_format="pyarrow").write_parquet(
+            tmp_root, partition_cols=["__part"]
         )
+        for k in sorted(todo):
+            src = os.path.join(tmp_root, f"__part={k}")
+            pdir = os.path.join(out_dir, f"part={k}")
+            shutil.rmtree(pdir, ignore_errors=True)
+            if not os.path.isdir(src):
+                os.makedirs(src, exist_ok=True)  # empty partition: publish 0 rows
+            rows = sum(
+                pq.read_metadata(f).num_rows
+                for f in glob.glob(os.path.join(src, "*.parquet"))
+            )
+            # manifest written inside BEFORE the atomic rename publishes it
+            with open(os.path.join(src, "manifest.json"), "w") as f:
+                json.dump({"part": k, "rows": rows, "key": key}, f)
+            os.rename(src, pdir)
+        shutil.rmtree(tmp_root, ignore_errors=True)
+    manifests = []
     for k in range(n_partitions):
         mp = os.path.join(out_dir, f"part={k}", "manifest.json")
         if os.path.exists(mp):

@@ -7,11 +7,13 @@ large), and the Ray-side plumbing (schema, batch sizing, actor
 signature, output layout) is real and tested even though the actual
 codec libraries are absent from this container.
 
-``MediaDecoder`` therefore STUBS the codec call: with ``fake=True`` it
-produces deterministic pseudo-features (crc-seeded) so the distributed
-plumbing is testable end-to-end; with ``fake=False`` it raises
-``NotImplementedError`` at the exact point a real libjpeg/ffmpeg call
-would go.
+``MediaDecoder``/``ImageResizer`` try-import PIL per actor: when
+Pillow is installed the image paths are REAL (decode → features /
+resize → re-encode); otherwise ``fake=True`` produces deterministic
+pseudo-features (crc-seeded) so the distributed plumbing stays testable
+end-to-end, and ``fake=False`` raises ``NotImplementedError`` at the
+exact point the codec call goes (audio/video still need
+torchaudio/ffmpeg and remain stubbed).
 """
 
 from __future__ import annotations
@@ -20,6 +22,16 @@ import zlib
 
 import numpy as np
 import pyarrow as pa
+
+
+def _pil_image():
+    """Pillow module if installed, else None (import-try gate)."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+
+        return Image
+    except ImportError:
+        return None
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -63,12 +75,19 @@ class MediaDecoder:
     def __init__(self, fake: bool = True, feature_dim: int = 8):
         self.fake = fake
         self.dim = feature_dim
-        # real build: self.codec = load_libjpeg_turbo(); self.model = ...
+        # per-actor codec load (once, in __init__ — not per batch)
+        self.pil = _pil_image()
 
     def _decode(self, payload: bytes, kind: str) -> np.ndarray:
+        if kind == "image" and self.pil is not None and not self.fake:
+            import io
+
+            img = self.pil.open(io.BytesIO(payload)).convert("L")
+            row = np.asarray(img.resize((self.dim, 1)), dtype=np.float64)
+            return row.reshape(self.dim) / 255.0
         if not self.fake:
             raise NotImplementedError(
-                "media codecs not available in this environment; "
+                "media codec not available for this kind in this environment; "
                 "plug libjpeg/ffmpeg/torchaudio here"
             )
         # deterministic pseudo-features from the payload bytes
@@ -105,10 +124,35 @@ class ImageResizer:
         self.w = target_w
         self.h = target_h
         self.fake = fake
+        self.pil = _pil_image()
+
+    def _resize_real(self, batch: pa.Table) -> pa.Table:
+        import io
+
+        out = []
+        for payload in batch["payload"].to_pylist():
+            img = self.pil.open(io.BytesIO(payload))
+            buf = io.BytesIO()
+            img.resize((self.w, self.h)).save(buf, format=img.format or "PNG")
+            out.append(buf.getvalue())
+        n = batch.num_rows
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "kind": batch["kind"],
+                "payload": pa.array(out, pa.binary()),
+                "width": pa.array(np.full(n, self.w, dtype=np.int32)),
+                "height": pa.array(np.full(n, self.h, dtype=np.int32)),
+                "orig_width": batch["width"],
+                "orig_height": batch["height"],
+            }
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if not self.fake:
-            raise NotImplementedError("image codec not available; plug PIL here")
+            if self.pil is None:
+                raise NotImplementedError("image codec not available; install Pillow")
+            return self._resize_real(batch)
         n = batch.num_rows
         return pa.table(
             {

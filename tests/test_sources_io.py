@@ -66,8 +66,13 @@ def test_write_partitioned_resumes(ray_session, tmp_path):
     assert sum(m["rows"] for m in m2) == t.num_rows
     assert os.path.getmtime(os.path.join(out, "part=0", "manifest.json")) == mt0
 
-    # data round-trips
-    back = pq.ParquetDataset(
-        [os.path.join(out, f"part={k}", "data.parquet") for k in range(8)]
-    ).read()
+    # data round-trips (per-partition fragment files + manifest)
+    import glob
+
+    frags = [
+        f
+        for k in range(8)
+        for f in glob.glob(os.path.join(out, f"part={k}", "*.parquet"))
+    ]
+    back = pq.ParquetDataset(frags).read()
     assert back.num_rows == t.num_rows
