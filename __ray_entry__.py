@@ -595,6 +595,53 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey"
             ") AS BIGINT) AS running_cents FROM orders"
         ),
+        "hot_blocks": (
+            # blocking-key explode (stages/blocking.py explode_block_keys)
+            # restated in SQL over the gold node canonicalization:
+            # d|/p|/s| passes plus the positional deletion neighborhood.
+            f"WITH mentioned AS (SELECT DISTINCT address FROM {gm}), "
+            f"n AS (SELECT g.* FROM {gn} g JOIN mentioned m USING (address)), "
+            f"keys AS ("
+            f"SELECT domain_key || '|d|' || dotless AS block_key FROM n "
+            f"UNION ALL SELECT domain_key || '|p|' || substr(dotless, 1, 4) FROM n "
+            f"UNION ALL SELECT domain_key || '|s|' || substr(reverse(dotless), 1, 4) FROM n "
+            f"UNION ALL SELECT n.domain_key || '|e' || CAST(t.i AS VARCHAR) || '|' "
+            f"|| substr(n.dotless, 1, t.i) || substr(n.dotless, t.i + 2) "
+            f"FROM n CROSS JOIN generate_series(0, 31) AS t(i) "
+            f"WHERE len(n.dotless) BETWEEN 6 AND 32 AND t.i < len(n.dotless)) "
+            f"SELECT block_key, CAST(count(*) AS BIGINT) AS n_nodes FROM keys "
+            f"GROUP BY block_key ORDER BY n_nodes DESC, block_key LIMIT 20"
+        ),
+        "export_shards": (
+            # rows per md5-hash partition of mentions keyed by canonical
+            # key; md5_number_lower(x) % 16 is bit-identical to the
+            # engine's md5_partition (sources/io.py).
+            f"WITH parts AS (SELECT CAST(md5_number_lower(n.canonical_key) % 16 "
+            f"AS BIGINT) AS part FROM {gm} m JOIN {gn} n USING (address)) "
+            f"SELECT s.part, CAST(coalesce(c.rows, 0) AS BIGINT) AS rows "
+            f"FROM generate_series(0, 15) AS s(part) LEFT JOIN "
+            f"(SELECT part, count(*) AS rows FROM parts GROUP BY part) c "
+            f"USING (part)"
+        ),
+        "docs_lang_id": (
+            "WITH t AS (SELECT doc_id, list_slice(regexp_split_to_array("
+            "trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), "
+            "'\\s+'), 1, 256) AS toks FROM documents), "
+            "h AS (SELECT doc_id, len(toks) AS n, "
+            "len(list_filter(toks, x -> x IN ('the','a','and','of','to','in','is','that','it','for'))) AS en, "
+            "len(list_filter(toks, x -> x IN ('el','la','de','que','y','en','un','una','es','por'))) AS es, "
+            "len(list_filter(toks, x -> x IN ('le','la','de','et','les','des','un','une','est','dans'))) AS fr, "
+            "len(list_filter(toks, x -> x IN ('der','die','das','und','ist','von','ein','eine','zu','mit'))) AS de "
+            "FROM t) "
+            "SELECT doc_id, "
+            "CASE WHEN greatest(en, es, fr, de) * 50 > n THEN "
+            "CASE WHEN en >= es AND en >= fr AND en >= de THEN 'en' "
+            "WHEN es >= fr AND es >= de THEN 'es' "
+            "WHEN fr >= de THEN 'fr' ELSE 'de' END "
+            "ELSE 'und' END AS lang_pred, "
+            "CAST(greatest(en, es, fr, de) * 1000000 // n AS BIGINT) AS lang_score_ppm "
+            "FROM h"
+        ),
         "docs_exact_dedup": (
             "SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, "
             "CAST(count(*) AS BIGINT) AS n_copies FROM documents GROUP BY text"
@@ -639,7 +686,7 @@ def oracle_sql() -> dict[str, str]:
             "q.embedding) * 10000) AS BIGINT) AS cos_e4 "
             "FROM embeddings e, q ORDER BY cos_e4 DESC, e.vec_id LIMIT 10"
         ),
-        # rows-only (non-SQL-expressible): docs_lang_id, minhash_dedup,
-        # simhash_pairs, ann_lsh_topk (approximate-by-design),
-        # media_features, pipeline_counters, export_shards, hot_blocks
+        # rows-only (non-SQL-expressible): minhash_dedup, simhash_pairs
+        # (sketch permutations), ann_lsh_topk (approximate-by-design),
+        # media_features (binary codec), pipeline_counters (lineage state)
     }

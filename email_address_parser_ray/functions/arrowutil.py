@@ -15,3 +15,14 @@ def from_pandas_clean(df: pd.DataFrame) -> pa.Table:
     pandas→Arrow boundary keeps downstream schemas hashable.
     """
     return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+
+
+def concat_nonempty(tables, fallback: pa.Schema) -> pa.Table:
+    """Concat Arrow blocks, skipping the ZERO-COLUMN empty blocks Ray's
+    shuffle operators emit for empty partitions (they would fail
+    ``pa.concat_tables`` schema unification); returns an empty table of
+    ``fallback`` schema when nothing real remains."""
+    real = [t for t in tables if t.num_columns > 0]
+    if not real:
+        return fallback.empty_table()
+    return pa.concat_tables(real)

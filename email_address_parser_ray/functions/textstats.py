@@ -89,33 +89,33 @@ def fingerprint(batch: pa.Table) -> pa.Table:
 
 
 def lang_id(batch: pa.Table) -> pa.Table:
-    """Stopword-overlap language heuristic (rows-only check: no SQL oracle).
+    """Stopword-overlap language heuristic, integer arithmetic only so
+    the DuckDB oracle (list_filter over the same stopword lists)
+    reproduces it exactly.
 
-    Scores each supported language by stopword hit-rate over lowercased
-    whitespace tokens; 'und' (undetermined) when nothing scores.
+    Over the first 256 lowercased whitespace tokens: each language is
+    scored by stopword hit COUNT (shared denominator, so the argmax over
+    counts equals the argmax over rates; ties favor the earlier language
+    in _STOPWORDS order); 'und' unless the best hit-rate exceeds 2%
+    (hits * 50 > n).  lang_score_ppm = hits * 1e6 // n.
     """
     texts = batch["text"].to_pylist()
     langs: List[str] = []
-    scores: List[float] = []
+    ppms: List[int] = []
     for t in texts:
-        toks = _WS.split(t.lower().strip())
-        if not toks:
-            langs.append("und")
-            scores.append(0.0)
-            continue
-        best_lang, best = "und", 0.0
-        tokset = toks[:256]  # cap per-row work on pathological docs
+        toks = _WS.split(t.lower().strip())[:256]  # cap per-row work
+        n = len(toks)  # >= 1: splitting '' yields ['']
+        best_lang, best_hits = "und", 0
         for lang, sw in _STOPWORDS.items():
-            hits = sum(1 for w in tokset if w in sw)
-            s = hits / len(tokset)
-            if s > best:
-                best_lang, best = lang, s
-        langs.append(best_lang if best > 0.02 else "und")
-        scores.append(best)
+            hits = sum(1 for w in toks if w in sw)
+            if hits > best_hits:
+                best_lang, best_hits = lang, hits
+        langs.append(best_lang if best_hits * 50 > n else "und")
+        ppms.append(best_hits * 1_000_000 // n)
     return pa.table(
         {
             "doc_id": batch["doc_id"],
             "lang_pred": pa.array(langs, pa.string()),
-            "lang_score": pa.array(np.round(scores, 6), pa.float64()),
+            "lang_score_ppm": pa.array(ppms, pa.int64()),
         }
     )

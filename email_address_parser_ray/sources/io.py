@@ -44,6 +44,18 @@ def _normalize(batch: pa.Table) -> pa.Table:
     return pa.table(cols)
 
 
+def md5_partition(value, n_partitions: int) -> int:
+    """Deterministic cross-engine partition hash: the low 8 little-endian
+    bytes of md5(str(value)) mod ``n_partitions`` — bit-identical to
+    DuckDB's ``md5_number_lower(value) % n`` so partition row counts are
+    SQL-oracle-checkable, and stable across processes/machines (no
+    PYTHONHASHSEED, no pandas version dependence)."""
+    import hashlib
+
+    digest = hashlib.md5(str(value).encode("utf-8")).digest()
+    return int.from_bytes(digest[8:], "little") % n_partitions
+
+
 def _strip_meta(batch: pa.Table) -> pa.Table:
     return batch.replace_schema_metadata(None)
 
@@ -125,8 +137,10 @@ def write_partitioned(ds, out_dir: str, key: str, n_partitions: int = 16) -> Lis
         todo_arr = pa.array(sorted(todo), pa.int64())
 
         def add_part(batch: pa.Table) -> pa.Table:
-            h = pd.util.hash_pandas_object(batch[key].to_pandas(), index=False)
-            part = pa.array((h % n_partitions).astype("int64").to_numpy())
+            part = pa.array(
+                [md5_partition(v, n_partitions) for v in batch[key].to_pylist()],
+                pa.int64(),
+            )
             return batch.append_column("__part", part).filter(
                 pc.is_in(part, value_set=todo_arr)
             )

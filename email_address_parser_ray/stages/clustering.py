@@ -39,7 +39,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..functions.arrowutil import from_pandas_clean
+from ..functions.arrowutil import concat_nonempty, from_pandas_clean
 
 MAX_ROUNDS = 16
 
@@ -196,17 +196,22 @@ def connected_components(
         nodes_mat = nodes_ds.select_columns(["address"]).materialize()
         n_nodes = nodes_mat.count()
         if n_nodes <= SMALL_CC_LIMIT:
-            nt = pa.concat_tables(ray.get(nodes_mat.to_arrow_refs()))
+            edge_schema = pa.schema(
+                [("addr_a", pa.string()), ("addr_b", pa.string())]
+            )
+            nt = concat_nonempty(
+                ray.get(nodes_mat.to_arrow_refs()),
+                pa.schema([("address", pa.string())]),
+            )
             et = (
-                pa.concat_tables(
+                concat_nonempty(
                     ray.get(
                         edges_mat.select_columns(["addr_a", "addr_b"]).to_arrow_refs()
-                    )
+                    ),
+                    edge_schema,
                 )
                 if n_edges
-                else pa.table(
-                    {"addr_a": pa.array([], pa.string()), "addr_b": pa.array([], pa.string())}
-                )
+                else edge_schema.empty_table()
             )
             out = _driver_components(
                 nt["address"].to_numpy(zero_copy_only=False),
