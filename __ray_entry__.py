@@ -297,6 +297,14 @@ def _q_minhash_dedup(sf_dir: str):
     return minhash_dedup_clusters(docs, threshold=0.7)
 
 
+def _q_ngram_jaccard(sf_dir: str):
+    from email_address_parser_ray.sources.io import read_parquet_clean
+    from email_address_parser_ray.stages.dedup import ngram_jaccard_pairs
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ngram_jaccard_pairs(docs)
+
+
 def _q_simhash_pairs(sf_dir: str):
     from email_address_parser_ray.sources.io import read_parquet_clean
     from email_address_parser_ray.stages.dedup import simhash_near_dups
@@ -448,6 +456,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_fingerprint": _q_docs_fingerprint,
         "docs_lang_id": _q_docs_lang_id,
         "minhash_dedup": _q_minhash_dedup,
+        "ngram_jaccard": _q_ngram_jaccard,
         "simhash_pairs": _q_simhash_pairs,
         "embedding_neardup": _q_embedding_neardup,
         "cosine_pairs": _q_cosine_pairs,
@@ -666,6 +675,21 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents"
         ),
         "docs_fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents",
+        "ngram_jaccard": (
+            "WITH samp AS (SELECT doc_id, regexp_split_to_array(trim(text, "
+            "' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '\\s+') AS toks "
+            "FROM documents WHERE md5('7|' || CAST(doc_id AS VARCHAR)) < '40'), "
+            "s AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3 "
+            "THEN [array_to_string(toks, ' ')] "
+            "ELSE list_transform(range(1, len(toks) - 1), "
+            "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS sh FROM samp) "
+            "SELECT doc_a, doc_b, jaccard_e6 FROM ("
+            "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+            "CAST(len(list_intersect(a.sh, b.sh)) * 1000000 // "
+            "(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS BIGINT) "
+            "AS jaccard_e6 "
+            "FROM s a JOIN s b ON a.doc_id < b.doc_id) WHERE jaccard_e6 > 0"
+        ),
         "cosine_pairs": (
             "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
             "CAST(ROUND(list_cosine_similarity(a.embedding, b.embedding) "

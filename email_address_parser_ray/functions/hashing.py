@@ -46,6 +46,16 @@ def word_shingles(text: str, k: int = 3) -> np.ndarray:
     return mix64(np.fromiter(out, dtype=np.uint64, count=len(out)))
 
 
+def word_shingle_set(text: str, k: int = 3) -> set:
+    """Exact k-word shingle STRING set (no hashing — collision-free, and
+    reproducible in SQL via list_transform/array_to_string).  Same
+    tokenization and short-doc rule as ``word_shingles``."""
+    toks = text.split()
+    if len(toks) < k:
+        return {" ".join(toks)}
+    return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+
 def minhash_signature(shingle_hashes: np.ndarray) -> np.ndarray:
     """(N_PERM,) uint64 MinHash signature via affine permutations."""
     # (n_shingles, n_perm) too big? n_shingles is tens-to-hundreds → fine.

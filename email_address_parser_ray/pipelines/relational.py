@@ -289,9 +289,13 @@ def events_hourly(sf_dir: str):
 
 
 def top_customers(sf_dir: str, k: int = 20):
-    """orders groupby-agg + broadcast dimension join (customer names)."""
-    import ray
-    import ray.data as rd
+    """orders groupby-agg + hash join onto customer names, top-k.
+
+    Customer grows with the corpus (fact-ish at the 100-TB design
+    point), so the name attachment is a hash-partitioned join, not a
+    broadcast; the per-batch partial aggregation keeps the shuffled
+    orders payload to one row per (batch, custkey)."""
+    from ..stages.joins import hash_join
 
     orders = read_parquet_clean(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
 
@@ -306,22 +310,23 @@ def top_customers(sf_dir: str, k: int = 20):
         .aggregate(Sum("p_sum", alias_name="total_spent"), Sum("p_cnt", alias_name="n_orders"))
     )
     cust = read_parquet_clean(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
-    cust_ref = ray.put(cust.to_pandas())
+    joined = hash_join(agg, cust, on="o_custkey", right_on="c_custkey")
 
-    def attach(t: pa.Table) -> pa.Table:
-        cd = ray.get(cust_ref)
-        df = t.to_pandas().merge(cd, left_on="o_custkey", right_on="c_custkey")
+    def finish(t: pa.Table) -> pa.Table:
         return pa.table(
             {
-                "c_custkey": pa.array(df["c_custkey"], pa.int64()),
-                "c_name": pa.array(df["c_name"], pa.string()),
-                "total_spent_cents": _cents(pa.array(df["total_spent"], pa.float64())),
-                "n_orders": pa.array(df["n_orders"], pa.int64()),
+                "c_custkey": pc.cast(t["o_custkey"], pa.int64()),
+                "c_name": t["c_name"],
+                "total_spent_cents": _cents(t["total_spent"]),
+                "n_orders": pc.cast(t["n_orders"], pa.int64()),
             }
         )
 
-    joined = agg.map_batches(attach, batch_format="pyarrow")
-    return joined.sort(["total_spent_cents", "c_custkey"], descending=[True, False]).limit(k)
+    return (
+        joined.map_batches(finish, batch_format="pyarrow")
+        .sort(["total_spent_cents", "c_custkey"], descending=[True, False])
+        .limit(k)
+    )
 
 
 N_JOIN_BUCKETS = 32

@@ -30,6 +30,7 @@ from ..functions.arrowutil import from_pandas_clean
 _PROJ_RNG_SEED = 0xA55EED
 N_PLANES = 12
 MAX_BUCKET = 512
+EXACT_PAIRS_MAX_ROWS = 200_000  # guard: exact all-pairs is a baseline, not a path
 
 
 def _batch_matrix(batch: pa.Table) -> np.ndarray:
@@ -104,6 +105,14 @@ def cosine_pairs_exact(embeddings_ds, threshold: float = 0.40):
     """
     import ray
 
+    n = embeddings_ds.count()
+    if n > EXACT_PAIRS_MAX_ROWS:
+        raise ValueError(
+            f"cosine_pairs_exact is the O(n^2) validation baseline and "
+            f"broadcasts the whole matrix; refusing n={n} > "
+            f"{EXACT_PAIRS_MAX_ROWS}. Use embedding_near_dup_pairs (banded "
+            f"LSH + exact verify) at this scale."
+        )
     side = pa.concat_tables(
         ray.get(embeddings_ds.select_columns(["vec_id", "embedding"]).to_arrow_refs())
     )

@@ -231,6 +231,74 @@ def minhash_dedup_clusters(docs_ds, threshold: float = 0.7):
 
 # --- exact n-gram Jaccard verify ------------------------------------------
 
+NGRAM_PAIRS_MAX_SIDE = 20_000  # guard: all-pairs baseline, not a scale path
+
+
+def ngram_jaccard_pairs(
+    docs_ds, k_shingle: int = 3, cutoff_hex: str = "40", seed: int = 7
+):
+    """Exact k-word-shingle Jaccard over all pairs of a deterministic
+    md5 document sample (doc_a < doc_b, jaccard_e6 = floor(j * 1e6) > 0).
+
+    The sampled side is collected once and broadcast (``ray.put``), each
+    batch computes its block-row of the pair matrix — the same labeled
+    O(n²) validation-baseline shape as ``cosine_pairs_exact``, guarded
+    by ``NGRAM_PAIRS_MAX_SIDE``; the scale path for near-dup discovery
+    is MinHash banding (``minhash_candidate_pairs``), for which this is
+    the exact-verification oracle query.  Integer floor arithmetic and
+    string shingles keep it bit-reproducible in SQL.
+    """
+    import ray
+
+    from ..functions.hashing import word_shingle_set
+    from .sampling import hash_sample
+
+    sample = hash_sample(docs_ds, ["doc_id"], cutoff_hex=cutoff_hex, seed=seed).materialize()
+    n = sample.count()
+    if n > NGRAM_PAIRS_MAX_SIDE:
+        raise ValueError(
+            f"ngram_jaccard_pairs is the O(n^2) validation baseline; "
+            f"refusing sample of {n} > {NGRAM_PAIRS_MAX_SIDE} docs. Use "
+            f"minhash_candidate_pairs at this scale."
+        )
+    from ..functions.arrowutil import concat_nonempty
+
+    side_t = concat_nonempty(
+        ray.get(sample.to_arrow_refs()),
+        pa.schema([("doc_id", pa.int64()), ("text", pa.string())]),
+    )
+    side = sorted(
+        (int(d), word_shingle_set(t, k_shingle))
+        for d, t in zip(side_t["doc_id"].to_pylist(), side_t["text"].to_pylist())
+    )
+    side_ref = ray.put(side)
+
+    def block(batch: pa.Table) -> pa.Table:
+        sd = ray.get(side_ref)
+        o_a, o_b, o_j = [], [], []
+        for did, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            sh = word_shingle_set(text, k_shingle)
+            for bid, bsh in sd:
+                if bid <= did:
+                    continue
+                inter = len(sh & bsh)
+                if inter == 0:
+                    continue
+                j_e6 = inter * 1_000_000 // (len(sh) + len(bsh) - inter)
+                if j_e6 > 0:
+                    o_a.append(did)
+                    o_b.append(bid)
+                    o_j.append(j_e6)
+        return pa.table(
+            {
+                "doc_a": pa.array(o_a, pa.int64()),
+                "doc_b": pa.array(o_b, pa.int64()),
+                "jaccard_e6": pa.array(o_j, pa.int64()),
+            }
+        )
+
+    return sample.map_batches(block, batch_format="pyarrow")
+
 class JaccardVerifier:
     """Exact k-word-shingle Jaccard for candidate pairs (needs both texts)."""
 
