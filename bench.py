@@ -69,6 +69,7 @@ def _bench_queries(sf_dir: str) -> dict:
 
     timed("extract", run_extract)
     timed("q1_lineitem", lambda: relational.q1_lineitem(sf_dir).count())
+    timed("q5_region_revenue", lambda: relational.q5_region_revenue(sf_dir).count())
     timed("events_hourly", lambda: relational.events_hourly(sf_dir).count())
     timed(
         "minhash_dedup",

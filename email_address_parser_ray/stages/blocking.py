@@ -142,27 +142,44 @@ def explode_block_keys(batch: pa.Table) -> pa.Table:
         parts.append(base.append_column("block_key", key).append_column(
             "pass_tag", pa.array([tag] * batch.num_rows, pa.string())
         ))
-    # deletion-neighborhood pass (runs on the small unique-node table, so
-    # the per-node Python loop is off the hot mention path)
-    dot_py = dot.to_pylist()
-    dom_py = dom.to_pylist()
-    take_idx: List[int] = []
-    del_keys: List[str] = []
-    for j, (d_str, dm) in enumerate(zip(dot_py, dom_py)):
-        if d_str is None or not (DEL_KEY_MIN_LEN <= len(d_str) <= DEL_KEY_MAX_LEN):
-            continue
-        for i in range(len(d_str)):
-            take_idx.append(j)
-            del_keys.append(f"{dm}|e{i}|{d_str[:i]}{d_str[i + 1:]}")
-    if take_idx:
-        sub = base.take(pa.array(take_idx))
-        parts.append(sub.append_column(
-            "block_key", pa.array(del_keys, pa.string())
-        ).append_column("pass_tag", pa.array(["e"] * len(del_keys), pa.string())))
+    # deletion-neighborhood pass, fully vectorized: one Arrow slice-pair
+    # per deletion position (<= DEL_KEY_MAX_LEN passes over the batch)
+    # instead of a per-node Python loop — the loop was the stage's
+    # scalability cap at corpus scale.
+    lens = pc.utf8_length(dot)
+    eligible = pc.and_(
+        pc.greater_equal(lens, DEL_KEY_MIN_LEN),
+        pc.less_equal(lens, DEL_KEY_MAX_LEN),
+    )
+    base_e = base.filter(pc.fill_null(eligible, False))
+    if base_e.num_rows:
+        lens_e = pc.utf8_length(base_e["dotless"])
+        for i in range(DEL_KEY_MAX_LEN):
+            sub = base_e.filter(pc.greater(lens_e, i))
+            if sub.num_rows == 0:
+                break
+            d = sub["dotless"]
+            deleted = pc.binary_join_element_wise(
+                pc.utf8_slice_codeunits(d, 0, i),
+                pc.utf8_slice_codeunits(d, i + 1, 0x7FFFFFFF),
+                "",
+            )
+            key = pc.binary_join_element_wise(
+                sub["domain_key"], pa.scalar(f"e{i}"), deleted, "|"
+            )
+            parts.append(
+                sub.append_column("block_key", key).append_column(
+                    "pass_tag", pa.array(["e"] * sub.num_rows, pa.string())
+                )
+            )
     return pa.concat_tables(parts)
 
 
-_PAIR_SIDE_COLS = ["address", "canonical_key", "dotless", "domain_key"]
+# pairs carry ONLY the two surfaces: every other scoring feature is a
+# deterministic function of the surface and is re-derived from the (much
+# smaller) per-batch unique-address set inside the scorer — shrinks the
+# emitted pair payload 4x (the emit stage's cost is string materialization)
+_PAIR_SIDE_COLS = ["address"]
 
 
 def add_block_bucket(batch: pa.Table, n_buckets: int = N_PAIR_BUCKETS) -> pa.Table:
@@ -234,9 +251,14 @@ def emit_pairs_bucket(df: pd.DataFrame) -> pd.DataFrame:
 
 def candidate_pairs(nodes_ds, n_buckets: int = N_PAIR_BUCKETS):
     """nodes → candidate pairs: vectorized key explode, coarse bucket
-    shuffle, per-bucket vectorized emission."""
+    shuffle, per-bucket vectorized emission.  Map-side blocks sized to
+    the cluster (one per core) so the explode stage scales with added
+    CPUs instead of capping at a fixed width."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     return (
-        nodes_ds.repartition(8)  # few fat map-side blocks for the shuffle
+        nodes_ds.repartition(max(8, cpus))
         .map_batches(explode_block_keys, batch_format="pyarrow")
         .map_batches(
             lambda t: add_block_bucket(t, n_buckets), batch_format="pyarrow"

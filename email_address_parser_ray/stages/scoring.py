@@ -37,12 +37,43 @@ class PairScorer:
         self.min_len = min_len
         self.jw_floor = jw_floor
 
+    def _derive_features(self, batch: pa.Table):
+        """Re-derive (canonical_key, dotless, domain_key) per side from
+        the batch's UNIQUE surfaces via the vectorized tokenizer — same
+        kernels that computed them during blocking, so values are
+        bit-identical; pairs inside a bucket share most surfaces, so the
+        unique set is far smaller than 2 x pairs."""
+        import pyarrow.compute as pc
+
+        from ..functions.fastpath import tokenize_batch
+
+        a = batch["address_a"].combine_chunks() if isinstance(
+            batch["address_a"], pa.ChunkedArray) else batch["address_a"]
+        b = batch["address_b"].combine_chunks() if isinstance(
+            batch["address_b"], pa.ChunkedArray) else batch["address_b"]
+        uniq = pc.unique(pa.concat_arrays([a, b]))
+        tok = tokenize_batch(pa.table({"address": uniq}), "address", is_lax=True)
+        dotless_u = pc.replace_substring(tok["local_canon"], ".", "")
+        domkey_u = pc.utf8_lower(tok["domain_canon"])
+        canon_u = tok["canonical_key"]
+        ia = pc.index_in(a, value_set=uniq)
+        ib = pc.index_in(b, value_set=uniq)
+        return {
+            "canonical_key_a": pc.take(canon_u, ia),
+            "canonical_key_b": pc.take(canon_u, ib),
+            "dotless_a": pc.take(dotless_u, ia),
+            "dotless_b": pc.take(dotless_u, ib),
+            "domain_key_a": pc.take(domkey_u, ia),
+            "domain_key_b": pc.take(domkey_u, ib),
+        }
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
         n = batch.num_rows
         if n == 0:
             return _empty_scored()
+        f = self._derive_features(batch)
 
         def _np(mask):
             return np.asarray(
@@ -51,11 +82,11 @@ class PairScorer:
 
         # all prefilters are zero-copy Arrow kernels; per-pair Python runs
         # only on the (rare) fuzzy candidates below
-        exact = _np(pc.equal(batch["canonical_key_a"], batch["canonical_key_b"]))
-        same_dom = _np(pc.equal(batch["domain_key_a"], batch["domain_key_b"]))
-        dot_eq = _np(pc.equal(batch["dotless_a"], batch["dotless_b"]))
-        len_a = pc.utf8_length(batch["dotless_a"]).to_numpy(zero_copy_only=False)
-        len_b = pc.utf8_length(batch["dotless_b"]).to_numpy(zero_copy_only=False)
+        exact = _np(pc.equal(f["canonical_key_a"], f["canonical_key_b"]))
+        same_dom = _np(pc.equal(f["domain_key_a"], f["domain_key_b"]))
+        dot_eq = _np(pc.equal(f["dotless_a"], f["dotless_b"]))
+        len_a = pc.utf8_length(f["dotless_a"]).to_numpy(zero_copy_only=False)
+        len_b = pc.utf8_length(f["dotless_b"]).to_numpy(zero_copy_only=False)
         # dot-insensitivity only for locals long enough to be unambiguous:
         # short corpus locals like "te.st"/"test" are distinct identities
         long_enough = (len_a >= self.min_len) & (len_b >= self.min_len)
@@ -74,10 +105,10 @@ class PairScorer:
         if len(idx):
             take = pa.array(idx)
             dot_a = np.asarray(
-                pc.take(batch["dotless_a"], take).to_pylist(), dtype=object
+                pc.take(f["dotless_a"], take).to_pylist(), dtype=object
             )
             dot_b = np.asarray(
-                pc.take(batch["dotless_b"], take).to_pylist(), dtype=object
+                pc.take(f["dotless_b"], take).to_pylist(), dtype=object
             )
             sub_ok = batch_lev_leq(dot_a, dot_b, self.lev_k)
             lev_ok[idx] = sub_ok
