@@ -356,6 +356,16 @@ def _q_ann_lsh_topk(sf_dir: str):
     return lsh_topk(emb, _query_vector(sf_dir), k=10)
 
 
+def _q_embedding_centroids(sf_dir: str):
+    from email_address_parser_ray.sources.io import read_parquet_clean
+    from email_address_parser_ray.stages.ann import embedding_centroids
+
+    emb = read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
+    )
+    return embedding_centroids(emb)
+
+
 def _q_media_features(sf_dir: str):
     import ray.data as rd
     from email_address_parser_ray.stages.multimodal import (
@@ -443,6 +453,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_top_orders": _rel("q3_top_orders"),
         "q5_region_revenue": _rel("q5_region_revenue"),
         "events_hourly": _rel("events_hourly"),
+        "events_sessionize": _rel("events_sessionize"),
         "top_customers": _rel("top_customers"),
         "distinct_segments": _rel("distinct_segments"),
         "events_asof_orders": _rel("events_asof_orders"),
@@ -461,6 +472,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": _q_embedding_neardup,
         "cosine_pairs": _q_cosine_pairs,
         "ann_topk": _q_ann_topk,
+        "embedding_centroids": _q_embedding_centroids,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "media_features": _q_media_features,
     }
@@ -583,6 +595,25 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(*) AS BIGINT) AS n_events, "
             "CAST(ROUND(sum(value) * 100) AS BIGINT) AS sum_value_cents "
             "FROM events GROUP BY event_type, date_trunc('hour', ts)"
+        ),
+        "events_sessionize": (
+            "WITH x AS (SELECT user_id, ts, event_id, "
+            "CASE WHEN LAG(ts) OVER w IS NULL "
+            "OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess "
+            "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "y AS (SELECT user_id, ts, "
+            "SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sess_idx "
+            "FROM x) "
+            "SELECT user_id, CAST(sess_idx AS BIGINT) AS session_idx, "
+            "CAST(count(*) AS BIGINT) AS n_events, min(ts) AS session_start "
+            "FROM y GROUP BY user_id, sess_idx"
+        ),
+        "embedding_centroids": (
+            "WITH u AS (SELECT label, unnest(embedding) AS x, "
+            "generate_subscripts(embedding, 1) AS i FROM embeddings) "
+            "SELECT CAST(label AS BIGINT) AS label, CAST(i AS BIGINT) AS dim, "
+            "CAST(SUM(CAST(FLOOR(x * 1000000) AS BIGINT)) // count(*) AS BIGINT) "
+            "AS centroid_e6 FROM u GROUP BY label, i"
         ),
         "top_customers": (
             "SELECT c_custkey, c_name, "

@@ -466,6 +466,56 @@ def orders_running_total(sf_dir: str):
     )
 
 
+def events_sessionize(sf_dir: str, gap_minutes: int = 30):
+    """Session windows: per-user event sessions split on >gap idle time
+    (the gap-based window the tumbling/running pair doesn't cover).
+    Bucketized by user-hash, per-bucket vectorized pandas (sort → diff >
+    gap → cumsum); oracle = LAG/SUM window functions + group-by."""
+    import ray.data as rd
+
+    events = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = pc.cast(
+            pc.bit_wise_and(t["user_id"], pa.scalar(0x7FFFFFFF, pa.int64())),
+            pa.int64(),
+        )
+        return t.append_column(
+            "bucket",
+            pc.subtract(b, pc.multiply(pc.divide(b, N_JOIN_BUCKETS), N_JOIN_BUCKETS)),
+        )
+
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def sessionize(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        new_user = df["user_id"].ne(df["user_id"].shift())
+        idle = df["ts"].diff() > gap
+        new_sess = (new_user | idle).astype("int64")
+        sess_idx = new_sess.groupby(df["user_id"]).cumsum()
+        g = df.assign(session_idx=sess_idx).groupby(
+            ["user_id", "session_idx"], as_index=False
+        ).agg(n_events=("event_id", "size"), session_start=("ts", "min"))
+        return from_pandas_clean(
+            pd.DataFrame(
+                {
+                    "user_id": g["user_id"].astype("int64"),
+                    "session_idx": g["session_idx"].astype("int64"),
+                    "n_events": g["n_events"].astype("int64"),
+                    "session_start": g["session_start"],
+                }
+            )
+        )
+
+    return (
+        events.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(sessionize, batch_format="pandas")
+    )
+
+
 def distinct_segments(sf_dir: str):
     import ray.data as rd
 

@@ -141,6 +141,59 @@ def cosine_pairs_exact(embeddings_ds, threshold: float = 0.40):
     return embeddings_ds.map_batches(block_row, batch_format="pyarrow")
 
 
+def embedding_centroids(embeddings_ds):
+    """Per-label centroid of the embedding column, in exact integer
+    arithmetic (floor-quantize each component to 1e-6, integer partial
+    sums per batch, one small groupby, truncating division) so the
+    DuckDB unnest/aggregate oracle reproduces it bit-for-bit — the
+    vector-column aggregation pattern (partial combine per batch, tiny
+    shuffle payload: labels x dims rows per batch, never the vectors).
+
+    Returns (label, dim, centroid_e6) with dim 1-based to match SQL
+    ``generate_subscripts``.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = _batch_matrix(batch)  # (n, d) float64 from float32 (exact)
+        q = np.floor(m * 1_000_000.0).astype(np.int64)
+        labels = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq = np.unique(labels)
+        d = q.shape[1]
+        out_label = np.repeat(uniq, d)
+        out_dim = np.tile(np.arange(1, d + 1, dtype=np.int64), len(uniq))
+        sums = np.stack([q[labels == u].sum(axis=0) for u in uniq])
+        cnts = np.array([(labels == u).sum() for u in uniq], dtype=np.int64)
+        return pa.table(
+            {
+                "label": pa.array(out_label, pa.int64()),
+                "dim": pa.array(out_dim, pa.int64()),
+                "p_sum": pa.array(sums.reshape(-1), pa.int64()),
+                "p_cnt": pa.array(np.repeat(cnts, d), pa.int64()),
+            }
+        )
+
+    agg = (
+        embeddings_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["label", "dim"])
+        .aggregate(Sum("p_sum", alias_name="s"), Sum("p_cnt", alias_name="c"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        s = t["s"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cent = np.sign(s) * (np.abs(s) // c)  # truncating div = DuckDB //
+        return pa.table(
+            {
+                "label": pa.compute.cast(t["label"], pa.int64()),
+                "dim": pa.compute.cast(t["dim"], pa.int64()),
+                "centroid_e6": pa.array(cent, pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def _planes(d: int) -> np.ndarray:
     rng = np.random.RandomState(_PROJ_RNG_SEED)
     return rng.normal(size=(N_PLANES, d))
