@@ -456,6 +456,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": _rel("events_sessionize"),
         "top_customers": _rel("top_customers"),
         "distinct_segments": _rel("distinct_segments"),
+        "customers_without_orders": _rel("customers_without_orders"),
         "events_asof_orders": _rel("events_asof_orders"),
         "orders_running_total": _rel("orders_running_total"),
         "pipeline_counters": _q_pipeline_counters,
@@ -624,6 +625,11 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY total_spent_cents DESC, c_custkey LIMIT 20"
         ),
         "distinct_segments": "SELECT DISTINCT c_mktsegment FROM customer",
+        "customers_without_orders": (
+            "SELECT c_custkey, c_name FROM customer ANTI JOIN "
+            "(SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01' "
+            "AND o_orderdate < TIMESTAMP '1997-01-01') o ON c_custkey = o_custkey"
+        ),
         "events_asof_orders": (
             "SELECT e.event_id, e.user_id, o.o_orderkey "
             "FROM events e ASOF JOIN orders o "

@@ -106,7 +106,8 @@ def q3_top_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10):
 
     orders = read_parquet_clean(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
     orders_f = hash_join(
-        orders, cust_keys, on="o_custkey", right_on="c_custkey"
+        orders, cust_keys, on="o_custkey", right_on="c_custkey",
+        join_type="left_semi",  # right side carries no payload
     ).select_columns(["o_orderkey"])
 
     li = read_parquet_clean(
@@ -122,7 +123,10 @@ def q3_top_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10):
         )
 
     li_part = li.map_batches(partial_rev, batch_format="pyarrow")
-    joined = hash_join(li_part, orders_f, on="l_orderkey", right_on="o_orderkey")
+    joined = hash_join(
+        li_part, orders_f, on="l_orderkey", right_on="o_orderkey",
+        join_type="left_semi",
+    )
     agg = (
         joined.map_batches(
             lambda t: pa.table({"o_orderkey": t["l_orderkey"], "p_rev": t["p_rev"]}),
@@ -513,6 +517,30 @@ def events_sessionize(sf_dir: str, gap_minutes: int = 30):
         events.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(sessionize, batch_format="pandas")
+    )
+
+
+def customers_without_orders(sf_dir: str, year: str = "1996"):
+    """Anti-join: customers with no order in the given year (native
+    left_anti hash join — both sides fact-sized, no driver key set;
+    the date filter is pushed below the shuffle)."""
+    from ..stages.joins import hash_join
+
+    cust = read_parquet_clean(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    lo = pa.scalar(pd.Timestamp(f"{year}-01-01"), pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp(f"{int(year) + 1}-01-01"), pa.timestamp("us"))
+    okeys = read_parquet_clean(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+    ).map_batches(
+        lambda t: t.filter(
+            pc.and_(pc.greater_equal(t["o_orderdate"], lo), pc.less(t["o_orderdate"], hi))
+        ).select(["o_custkey"]),
+        batch_format="pyarrow",
+    )
+    return hash_join(
+        cust, okeys, on="c_custkey", right_on="o_custkey", join_type="left_anti"
     )
 
 
