@@ -454,6 +454,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q5_region_revenue": _rel("q5_region_revenue"),
         "events_hourly": _rel("events_hourly"),
         "events_sessionize": _rel("events_sessionize"),
+        "events_props_sum": _rel("events_props_sum"),
+        "parttype_revenue": _rel("parttype_revenue"),
         "top_customers": _rel("top_customers"),
         "distinct_segments": _rel("distinct_segments"),
         "customers_without_orders": _rel("customers_without_orders"),
@@ -596,6 +598,18 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(*) AS BIGINT) AS n_events, "
             "CAST(ROUND(sum(value) * 100) AS BIGINT) AS sum_value_cents "
             "FROM events GROUP BY event_type, date_trunc('hour', ts)"
+        ),
+        "parttype_revenue": (
+            "SELECT p_type, "
+            "CAST(ROUND(sum(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT) "
+            "AS revenue_cents, CAST(count(*) AS BIGINT) AS n_items "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_type"
+        ),
+        "events_props_sum": (
+            "SELECT event_type, "
+            "CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k, "
+            "CAST(count(*) AS BIGINT) AS n_events "
+            "FROM events GROUP BY event_type"
         ),
         "events_sessionize": (
             "WITH x AS (SELECT user_id, ts, event_id, "

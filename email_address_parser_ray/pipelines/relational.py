@@ -470,6 +470,87 @@ def orders_running_total(sf_dir: str):
     )
 
 
+def parttype_revenue(sf_dir: str):
+    """Q14-flavored revenue share by part type: lineitem ⋈ part on
+    partkey (part is a true dimension — broadcast once, probed with a
+    vectorized ``index_in`` lookup), per-batch partial sums, one tiny
+    groupby.  Monetary output in integer cents."""
+    import pyarrow.parquet as pq
+    import ray
+
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"])
+    part_ref = ray.put(
+        (
+            pc.cast(part["p_partkey"], pa.int64()).combine_chunks(),
+            part["p_type"].combine_chunks(),
+        )
+    )
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        pkeys, ptypes = ray.get(part_ref)
+        pos = pc.index_in(pc.cast(t["l_partkey"], pa.int64()), value_set=pkeys)
+        ptype = pc.take(ptypes, pos)
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        t2 = pa.table({"p_type": ptype, "rev": rev})
+        return t2.group_by("p_type").aggregate(
+            [("rev", "sum"), ("rev", "count")]
+        ).rename_columns(["p_type", "p_rev", "p_cnt"])
+
+    agg = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("p_type")
+        .aggregate(Sum("p_rev", alias_name="revenue"), Sum("p_cnt", alias_name="n_items"))
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "p_type": t["p_type"],
+                "revenue_cents": _cents(t["revenue"]),
+                "n_items": pc.cast(t["n_items"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def events_props_sum(sf_dir: str):
+    """Per-record JSON decode (events.props) + aggregate: sum/count of
+    the ``k`` property per event type.  The decode is a vectorized Arrow
+    regex extract (the props schema is a flat one-key object); at 100 TB
+    this is the cheap scalar-function pattern, not a shuffle."""
+    events = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_type", "props"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        ext = pc.extract_regex(t["props"], r'"k":\s*(?P<k>-?\d+)')
+        k = pc.cast(pc.struct_field(ext, "k"), pa.int64())
+        t2 = pa.table({"event_type": t["event_type"], "k": k})
+        return t2.group_by("event_type").aggregate(
+            [("k", "sum"), ("k", "count")]
+        ).rename_columns(["event_type", "p_sum", "p_cnt"])
+
+    agg = (
+        events.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("p_sum", alias_name="sum_k"), Sum("p_cnt", alias_name="n_events"))
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "event_type": t["event_type"],
+                "sum_k": pc.cast(t["sum_k"], pa.int64()),
+                "n_events": pc.cast(t["n_events"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def events_sessionize(sf_dir: str, gap_minutes: int = 30):
     """Session windows: per-user event sessions split on >gap idle time
     (the gap-based window the tumbling/running pair doesn't cover).
