@@ -66,28 +66,25 @@ def _driver_components(addresses: np.ndarray, ea: np.ndarray, eb: np.ndarray) ->
     ok = (ca >= 0) & (cb >= 0)  # defensive: drop edges outside the node set
     ca, cb = ca[ok], cb[ok]
     n = len(order)
-    parent = np.arange(n, dtype=np.int64)
-
-    def find(x: int) -> int:
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]  # path halving
-            x = parent[x]
-        return x
-
-    for a, b in zip(ca, cb):
-        ra, rb = find(int(a)), find(int(b))
-        if ra != rb:
-            # union by smaller index => root IS the lex-min member,
-            # since `order` is sorted
-            if ra < rb:
-                parent[rb] = ra
-            else:
-                parent[ra] = rb
-    roots = np.array([find(i) for i in range(n)], dtype=np.int64)
+    # vectorized min-label propagation with pointer jumping: each round
+    # relaxes every edge (np.minimum.at) then halves chains (lab[lab]),
+    # converging in O(log n) rounds — ~10ms/round at 1M edges vs seconds
+    # for a per-edge Python union-find loop.  `order` is sorted, so the
+    # min INDEX of a component is its lex-min address.
+    lab = np.arange(n, dtype=np.int64)
+    for _ in range(64):  # 2^64 nodes worth of halving — never binds
+        new = lab.copy()
+        if len(ca):
+            np.minimum.at(new, ca, lab[cb])
+            np.minimum.at(new, cb, lab[ca])
+        new = np.minimum(new, new[new])  # pointer jumping
+        if np.array_equal(new, lab):
+            break
+        lab = new
     return pa.table(
         {
             "address": pa.array(order, pa.string()),
-            "cluster_id": pa.array(order[roots], pa.string()),
+            "cluster_id": pa.array(order[lab], pa.string()),
         }
     )
 
