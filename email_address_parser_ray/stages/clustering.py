@@ -190,21 +190,28 @@ def connected_components(
     edges_mat = edges_ds.materialize()
     n_edges = edges_mat.count()
     if n_edges <= SMALL_CC_LIMIT:
-        nodes_mat = nodes_ds.select_columns(["address"]).materialize()
+        nodes_mat = nodes_ds.materialize()
         n_nodes = nodes_mat.count()
         if n_nodes <= SMALL_CC_LIMIT:
+            # column selection happens driver-side on the pulled blocks:
+            # a select_columns() here would spin a whole extra streaming
+            # execution (a ~1-3s barrier) just to drop columns
             edge_schema = pa.schema(
                 [("addr_a", pa.string()), ("addr_b", pa.string())]
             )
             nt = concat_nonempty(
-                ray.get(nodes_mat.to_arrow_refs()),
+                [
+                    t.select(["address"]) if t.num_columns else t
+                    for t in ray.get(nodes_mat.to_arrow_refs())
+                ],
                 pa.schema([("address", pa.string())]),
             )
             et = (
                 concat_nonempty(
-                    ray.get(
-                        edges_mat.select_columns(["addr_a", "addr_b"]).to_arrow_refs()
-                    ),
+                    [
+                        t.select(["addr_a", "addr_b"]) if t.num_columns else t
+                        for t in ray.get(edges_mat.to_arrow_refs())
+                    ],
                     edge_schema,
                 )
                 if n_edges
