@@ -356,6 +356,19 @@ def _q_ann_lsh_topk(sf_dir: str):
     return lsh_topk(emb, _query_vector(sf_dir), k=10)
 
 
+def _q_ann_ivf_topk(sf_dir: str):
+    """IVF cell-probing ANN.  With nprobe = all 10 cells the probe set
+    is exhaustive, so the result is exact and shares ann_topk's SQL
+    oracle (the nprobe<cells approximation knob is pinned by pytest)."""
+    from email_address_parser_ray.sources.io import read_parquet_clean
+    from email_address_parser_ray.stages.ann import ivf_topk
+
+    emb = read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+    )
+    return ivf_topk(emb, _query_vector(sf_dir), k=10, nprobe=10)
+
+
 def _q_embedding_centroids(sf_dir: str):
     from email_address_parser_ray.sources.io import read_parquet_clean
     from email_address_parser_ray.stages.ann import embedding_centroids
@@ -476,6 +489,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cosine_pairs": _q_cosine_pairs,
         "ann_topk": _q_ann_topk,
         "embedding_centroids": _q_embedding_centroids,
+        "ann_ivf_topk": _q_ann_ivf_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "media_features": _q_media_features,
     }
@@ -756,6 +770,13 @@ def oracle_sql() -> dict[str, str]:
             "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45"
         ),
         "ann_topk": (
+            "WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0) "
+            "SELECT e.vec_id, CAST(ROUND(list_cosine_similarity(e.embedding, "
+            "q.embedding) * 10000) AS BIGINT) AS cos_e4 "
+            "FROM embeddings e, q ORDER BY cos_e4 DESC, e.vec_id LIMIT 10"
+        ),
+        "ann_ivf_topk": (
+            # exhaustive-probe IVF is exact => same oracle as ann_topk
             "WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0) "
             "SELECT e.vec_id, CAST(ROUND(list_cosine_similarity(e.embedding, "
             "q.embedding) * 10000) AS BIGINT) AS cos_e4 "

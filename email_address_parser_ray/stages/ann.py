@@ -194,6 +194,38 @@ def embedding_centroids(embeddings_ds):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def ivf_topk(embeddings_ds, query: np.ndarray, k: int = 10, nprobe: int = 3):
+    """IVF-style ANN: coarse inverted cells (here the table's ``label``
+    column — at scale the cells come from a k-means pass and the table
+    is written partitioned by cell), probe the ``nprobe`` cells whose
+    centroid is nearest the query, brute-force only inside them.
+
+    Centroids are computed distributively (``embedding_centroids``
+    partial-sum machinery); only labels×dims integers reach the driver.
+    Approximate by design — ``brute_force_topk`` is the oracle; recall
+    is pinned by a test, not a SQL hash.
+    """
+    import ray
+
+    cent = embedding_centroids(embeddings_ds).to_pandas()
+    piv = cent.pivot(index="label", columns="dim", values="centroid_e6").sort_index()
+    c = _normalize(piv.to_numpy(dtype=np.float64))
+    qn = query.astype(np.float64)
+    qn = qn / (np.linalg.norm(qn) or 1.0)
+    order = np.argsort(-(c @ qn), kind="stable")
+    probe_labels = pa.array(
+        sorted(int(piv.index[i]) for i in order[:nprobe]), pa.int64()
+    )
+
+    probed = embeddings_ds.map_batches(
+        lambda t: t.filter(
+            pa.compute.is_in(pa.compute.cast(t["label"], pa.int64()), value_set=probe_labels)
+        ),
+        batch_format="pyarrow",
+    )
+    return brute_force_topk(probed, query, k)
+
+
 def _planes(d: int) -> np.ndarray:
     rng = np.random.RandomState(_PROJ_RNG_SEED)
     return rng.normal(size=(N_PLANES, d))

@@ -254,3 +254,42 @@ def test_embedding_near_dup_matches_exact(ray_session):
     key = lambda df: sorted(map(tuple, df[["vec_a", "vec_b"]].to_numpy()))
     assert key(lsh) == key(exact)
     assert len(lsh) > 0
+
+
+def test_ivf_topk_probe_behavior(ray_session):
+    """Exhaustive probe equals brute force; restricted probe returns k
+    results drawn only from the probed cells."""
+    from email_address_parser_ray.sources.io import read_parquet_clean
+    from email_address_parser_ray.stages.ann import brute_force_topk, ivf_topk
+    import pyarrow.parquet as pq
+
+    sf = "/root/testdata/sf0.001"
+    t = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    q = np.asarray(t["embedding"][t["vec_id"].to_pylist().index(0)].as_py(), float)
+
+    emb = read_parquet_clean(
+        f"{sf}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+    )
+    full = ivf_topk(emb, q, k=10, nprobe=10).to_pandas()
+    brute = brute_force_topk(
+        read_parquet_clean(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"]),
+        q, k=10,
+    ).to_pandas()
+    assert full.values.tolist() == brute.values.tolist()
+
+    narrow = ivf_topk(emb, q, k=10, nprobe=2).to_pandas()
+    assert len(narrow) == 10
+    # every hit comes from one of the 2 probed cells, and within those
+    # cells the ranking is exact (equals brute force over the same subset)
+    labels = dict(
+        pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "label"])
+        .to_pandas()
+        .itertuples(index=False, name=None)
+    )
+    probed = {labels[v] for v in narrow["vec_id"]}
+    assert len(probed) <= 2
+    sub = read_parquet_clean(
+        f"{sf}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+    ).filter(lambda r: r["label"] in probed)
+    sub_brute = brute_force_topk(sub, q, k=10).to_pandas()
+    assert narrow.values.tolist() == sub_brute.values.tolist()
