@@ -379,6 +379,20 @@ def _q_embedding_centroids(sf_dir: str):
     return embedding_centroids(emb)
 
 
+def _q_kmeans_cells(sf_dir: str):
+    """Distributed integer-exact Lloyd k-means (k=8, 2 iterations,
+    deterministic smallest-vec_id seeds).  Centroids live on a 1e-6
+    grid so the iterations are bit-reproducible across block layouts
+    and the DuckDB oracle can replay them as chained CTEs."""
+    from email_address_parser_ray.sources.io import read_parquet_clean
+    from email_address_parser_ray.stages.kmeans import kmeans_cells
+
+    emb = read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return kmeans_cells(emb, k=8, iters=2)
+
+
 def _q_media_features(sf_dir: str):
     import ray.data as rd
     from email_address_parser_ray.stages.multimodal import (
@@ -490,9 +504,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _q_ann_topk,
         "embedding_centroids": _q_embedding_centroids,
         "ann_ivf_topk": _q_ann_ivf_topk,
+        "kmeans_cells": _q_kmeans_cells,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "media_features": _q_media_features,
     }
+
+
+# kmeans_cells oracle: replay the integer-exact Lloyd iterations as
+# chained CTEs — assignment (argmin L2, ties to lowest cell) and grid
+# update (floor-1e-6 integer sums, truncating //, empty cells keep the
+# previous centroid) mirror stages/kmeans.py exactly.
+_KM_ASSIGN = (
+    "{out} AS (SELECT vec_id, cell FROM ("
+    "SELECT e.vec_id, c.cell, ROW_NUMBER() OVER (PARTITION BY e.vec_id "
+    "ORDER BY list_distance(e.v, list_transform(c.ce6, "
+    "y -> CAST(y AS DOUBLE) / 1000000.0)), c.cell) AS rn "
+    "FROM e CROSS JOIN {cents} c) WHERE rn = 1)"
+)
+_KM_UPDATE = (
+    "{out} AS (SELECT p.cell, COALESCE(mnew.ce6, p.ce6) AS ce6 "
+    "FROM {prev} p LEFT JOIN ("
+    "SELECT cell, list(CAST(s // n AS BIGINT) ORDER BY dim) AS ce6 FROM ("
+    "SELECT a.cell, u.i AS dim, SUM(CAST(FLOOR(u.x * 1000000) AS BIGINT)) AS s, "
+    "COUNT(*) AS n FROM {a} a JOIN (SELECT vec_id, unnest(v) AS x, "
+    "generate_subscripts(v, 1) AS i FROM e) u USING (vec_id) "
+    "GROUP BY a.cell, u.i) GROUP BY cell) mnew USING (cell))"
+)
+_KMEANS_ORACLE = (
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+    "c0 AS (SELECT vec_id AS cell, list_transform(v, "
+    "x -> CAST(FLOOR(x * 1000000) AS BIGINT)) AS ce6 FROM e WHERE vec_id < 8), "
+    + _KM_ASSIGN.format(out="a1", cents="c0") + ", "
+    + _KM_UPDATE.format(out="c1", prev="c0", a="a1") + ", "
+    + _KM_ASSIGN.format(out="a2", cents="c1") + ", "
+    + _KM_UPDATE.format(out="c2", prev="c1", a="a2") + ", "
+    + _KM_ASSIGN.format(out="a3", cents="c2")
+    + " SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(cell AS BIGINT) AS cell FROM a3"
+)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -782,6 +830,7 @@ def oracle_sql() -> dict[str, str]:
             "q.embedding) * 10000) AS BIGINT) AS cos_e4 "
             "FROM embeddings e, q ORDER BY cos_e4 DESC, e.vec_id LIMIT 10"
         ),
+        "kmeans_cells": _KMEANS_ORACLE,
         # rows-only (non-SQL-expressible): minhash_dedup, simhash_pairs
         # (sketch permutations), ann_lsh_topk (approximate-by-design),
         # media_features (binary codec), pipeline_counters (lineage state)

@@ -196,9 +196,10 @@ def embedding_centroids(embeddings_ds):
 
 def ivf_topk(embeddings_ds, query: np.ndarray, k: int = 10, nprobe: int = 3):
     """IVF-style ANN: coarse inverted cells (here the table's ``label``
-    column — at scale the cells come from a k-means pass and the table
-    is written partitioned by cell), probe the ``nprobe`` cells whose
-    centroid is nearest the query, brute-force only inside them.
+    column — at scale the cells come from ``stages/kmeans.kmeans_cells``
+    and the table is written partitioned by cell), probe the ``nprobe``
+    cells whose centroid is nearest the query, brute-force only inside
+    them.
 
     Centroids are computed distributively (``embedding_centroids``
     partial-sum machinery); only labels×dims integers reach the driver.

@@ -293,3 +293,68 @@ def test_ivf_topk_probe_behavior(ray_session):
     ).filter(lambda r: r["label"] in probed)
     sub_brute = brute_force_topk(sub, q, k=10).to_pandas()
     assert narrow.values.tolist() == sub_brute.values.tolist()
+
+
+def _lloyd_reference(ids, m, k, iters, grid=1_000_000):
+    """Pure-numpy integer-exact Lloyd, the spec for stages/kmeans.py."""
+    def assign(m, ce6):
+        c = ce6.astype(np.float64) / grid
+        d2 = (m * m).sum(1)[:, None] - 2.0 * (m @ c.T) + (c * c).sum(1)[None, :]
+        return d2.argmin(1)
+
+    ce6 = np.floor(m[np.argsort(ids)][:k] * grid).astype(np.int64)
+    for _ in range(iters):
+        cell = assign(m, ce6)
+        q = np.floor(m * grid).astype(np.int64)
+        sums = np.zeros((k, q.shape[1]), np.int64)
+        np.add.at(sums, cell, q)
+        cnts = np.bincount(cell, minlength=k).astype(np.int64)
+        upd = np.sign(sums) * (np.abs(sums) // np.maximum(cnts, 1)[:, None])
+        ce6 = np.where(cnts[:, None] > 0, upd, ce6).astype(np.int64)
+    return ce6, assign(m, ce6)
+
+
+def test_kmeans_matches_reference_and_reduces_inertia(ray_session):
+    import pyarrow.parquet as pq
+    from email_address_parser_ray.sources.io import read_parquet_clean
+    from email_address_parser_ray.stages.kmeans import kmeans_cells, kmeans_fit
+
+    sf = "/root/testdata/sf0.001"
+    t = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.asarray(t["vec_id"].to_pylist(), np.int64)
+    m = np.asarray(t["embedding"].to_pylist(), np.float64)
+    order = np.argsort(ids)
+    ids, m = ids[order], m[order]
+
+    emb = read_parquet_clean(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    for iters in (0, 1, 3):
+        ref_c, ref_a = _lloyd_reference(ids, m, k=8, iters=iters)
+        got_c = kmeans_fit(emb, k=8, iters=iters)
+        assert np.array_equal(got_c, ref_c), f"centroids diverge at iters={iters}"
+        got = (
+            kmeans_cells(emb, k=8, iters=iters)
+            .to_pandas()
+            .set_index("vec_id")["cell"]
+            .reindex(ids)
+            .to_numpy()
+        )
+        assert np.array_equal(got, ref_a), f"assignment diverges at iters={iters}"
+
+    def inertia(ce6, a):
+        c = ce6.astype(np.float64) / 1_000_000
+        return float(((m - c[a]) ** 2).sum())
+
+    vals = [inertia(*_lloyd_reference(ids, m, k=8, iters=i)) for i in (0, 1, 3)]
+    assert vals[0] > vals[1] >= vals[2]  # Lloyd never increases inertia
+
+
+def test_kmeans_sample_fit_assigns_everything(ray_session):
+    from email_address_parser_ray.sources.io import read_parquet_clean
+    from email_address_parser_ray.stages.kmeans import kmeans_cells
+
+    sf = "/root/testdata/sf0.001"
+    emb = read_parquet_clean(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    df = kmeans_cells(emb, k=8, iters=2, sample_mod=4).to_pandas()
+    assert len(df) == emb.count()  # sketch fit, full one-pass assignment
+    assert df["cell"].between(0, 7).all()
+    assert df["vec_id"].is_unique
