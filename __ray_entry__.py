@@ -488,6 +488,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_orders": _rel("customers_without_orders"),
         "events_asof_orders": _rel("events_asof_orders"),
         "orders_running_total": _rel("orders_running_total"),
+        "orders_price_quantiles": _rel("orders_price_quantiles"),
+        "top_orders_per_priority": _rel("top_orders_per_priority"),
         "pipeline_counters": _q_pipeline_counters,
         "export_shards": _q_export_shards,
         # training-data ops
@@ -716,6 +718,22 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER ("
             "PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey"
             ") AS BIGINT) AS running_cents FROM orders"
+        ),
+        "orders_price_quantiles": (
+            # engine: dist_quantiles radix refinement; quantile_disc uses
+            # the same 0-based ceil(q*n)-1 rank on ascending cents
+            "SELECT unnest(CAST([2500, 5000, 7500, 9000, 9900] AS BIGINT[])) AS q_e4, "
+            "unnest(quantile_disc(cents, [0.25, 0.50, 0.75, 0.90, 0.99])) AS value_cents "
+            "FROM (SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders)"
+        ),
+        "top_orders_per_priority": (
+            "SELECT o_orderpriority, CAST(rn AS BIGINT) AS rnk, o_orderkey, "
+            "total_cents FROM ("
+            "SELECT o_orderpriority, CAST(o_orderkey AS BIGINT) AS o_orderkey, "
+            "CAST(ROUND(o_totalprice * 100) AS BIGINT) AS total_cents, "
+            "ROW_NUMBER() OVER (PARTITION BY o_orderpriority "
+            "ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT) DESC, o_orderkey) AS rn "
+            "FROM orders) WHERE rn <= 3"
         ),
         "hot_blocks": (
             # blocking-key explode (stages/blocking.py explode_block_keys)

@@ -641,3 +641,172 @@ def distinct_segments(sf_dir: str):
     return agg.map_batches(
         lambda t: t.select(["c_mktsegment"]), batch_format="pyarrow"
     )
+
+
+_QUANTILE_BITS = 16  # buckets per refinement pass = 2^16 (driver pull bound)
+
+
+def dist_quantiles(ds, column: str, qs):
+    """Exact distributed quantiles of an int64 column by iterative radix
+    refinement — the scale-safe alternative to a global sort.
+
+    Each pass histograms ``(value - lo) >> shift`` into at most 2^16
+    buckets per quantile (per-batch ``np.unique`` partial counts → one
+    small groupby), the driver locates the bucket containing each target
+    rank, and the next pass refines only inside those buckets.  Driver
+    memory and shuffle payload are bounded by 2^16 rows per pass
+    regardless of data size; an int64 domain resolves in ≤ 4 passes
+    (64 bits / 16 bits per level).  Rank convention matches DuckDB
+    ``quantile_disc``: 0-based index ``max(ceil(q*n)-1, 0)`` in
+    ascending order.
+
+    Returns a list of exact values aligned with ``qs``.
+    """
+    import math
+
+    from ray.data.aggregate import Max, Min
+
+    stats = ds.aggregate(Min(column), Max(column), Count())
+    lo0, hi0, n = stats[f"min({column})"], stats[f"max({column})"], stats["count()"]
+    if not n:
+        raise ValueError("dist_quantiles over an empty dataset")
+    state = {
+        i: (int(lo0), int(hi0), max(math.ceil(q * n) - 1, 0)) for i, q in enumerate(qs)
+    }
+    results: dict[int, int] = {}
+
+    while state:
+        active = sorted(state)
+        ranges = [state[i][:2] for i in active]
+        maxw = max(hi - lo + 1 for lo, hi in ranges)
+        shift = max(0, maxw.bit_length() - _QUANTILE_BITS)
+
+        def partial(t: pa.Table) -> pa.Table:
+            v = t[column].to_numpy(zero_copy_only=False).astype(np.int64)
+            qi_p, b_p, c_p = [], [], []
+            for pos, (rlo, rhi) in enumerate(ranges):
+                sel = v[(v >= rlo) & (v <= rhi)]
+                if not len(sel):
+                    continue
+                ub, cnt = np.unique((sel - rlo) >> shift, return_counts=True)
+                qi_p.append(np.full(len(ub), pos, np.int64))
+                b_p.append(ub)
+                c_p.append(cnt.astype(np.int64))
+            if not qi_p:
+                return pa.table(
+                    {
+                        "qi": pa.array([], pa.int64()),
+                        "b": pa.array([], pa.int64()),
+                        "cnt": pa.array([], pa.int64()),
+                    }
+                )
+            return pa.table(
+                {
+                    "qi": pa.array(np.concatenate(qi_p), pa.int64()),
+                    "b": pa.array(np.concatenate(b_p), pa.int64()),
+                    "cnt": pa.array(np.concatenate(c_p), pa.int64()),
+                }
+            )
+
+        hist = (
+            ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["qi", "b"])
+            .aggregate(Sum("cnt", alias_name="cnt"))
+            .to_pandas()
+        )
+        for pos, i in enumerate(active):
+            rlo, rhi, rank = state[i]
+            sub = hist[hist["qi"] == pos].sort_values("b")
+            cum = sub["cnt"].cumsum().to_numpy()
+            j = int(np.searchsorted(cum, rank + 1, side="left"))
+            bucket = int(sub["b"].iloc[j])
+            before = int(cum[j]) - int(sub["cnt"].iloc[j])
+            new_lo = rlo + (bucket << shift)
+            if shift == 0:
+                results[i] = new_lo
+                del state[i]
+            else:
+                state[i] = (
+                    new_lo,
+                    min(new_lo + (1 << shift) - 1, rhi),
+                    rank - before,
+                )
+
+    return [results[i] for i in range(len(qs))]
+
+
+def orders_price_quantiles(sf_dir: str):
+    """Exact order-price quantiles in integer cents (oracle:
+    ``quantile_disc``) via ``dist_quantiles`` radix refinement."""
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet", columns=["o_totalprice"])
+    with_cents = orders.map_batches(
+        lambda t: pa.table({"cents": _cents(t["o_totalprice"])}),
+        batch_format="pyarrow",
+    )
+    qs = [0.25, 0.50, 0.75, 0.90, 0.99]
+    vals = dist_quantiles(with_cents, "cents", qs)
+    return pa.table(
+        {
+            "q_e4": pa.array([int(round(q * 10_000)) for q in qs], pa.int64()),
+            "value_cents": pa.array(vals, pa.int64()),
+        }
+    )
+
+
+def grouped_topk(ds, group_col: str, order_col: str, k: int, tiebreak_col: str):
+    """Per-group top-k (window-rank semantics: ORDER BY order_col DESC,
+    tiebreak_col ASC).  Each batch is pruned to its own per-group top-k
+    first, so the shuffle moves at most k rows per group per block —
+    never the fact table — and the final per-group rank runs on ≤
+    k x blocks rows per group."""
+
+    def prune(df: pd.DataFrame) -> pa.Table:
+        kept = (
+            df.sort_values(
+                [group_col, order_col, tiebreak_col],
+                ascending=[True, False, True],
+                kind="mergesort",
+            )
+            .groupby(group_col, sort=False)
+            .head(k)
+        )
+        return from_pandas_clean(kept)
+
+    def final(df: pd.DataFrame) -> pa.Table:
+        out = (
+            df.sort_values(
+                [order_col, tiebreak_col], ascending=[False, True], kind="mergesort"
+            )
+            .head(k)
+            .reset_index(drop=True)
+        )
+        out.insert(1, "rnk", np.arange(1, len(out) + 1, dtype=np.int64))
+        return from_pandas_clean(out[[group_col, "rnk", tiebreak_col, order_col]])
+
+    return (
+        ds.map_batches(prune, batch_format="pandas")
+        .groupby(group_col)
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def top_orders_per_priority(sf_dir: str, k: int = 3):
+    """Grouped top-k coverage: the k largest orders (integer cents,
+    orderkey tie-break) within each order priority class."""
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderpriority", "o_orderkey", "o_totalprice"],
+    )
+    cents = orders.map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderpriority": t["o_orderpriority"],
+                "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+                "total_cents": _cents(t["o_totalprice"]),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return grouped_topk(
+        cents, "o_orderpriority", "total_cents", k, tiebreak_col="o_orderkey"
+    )

@@ -89,3 +89,57 @@ def test_sessionize_gap_splits(ray_session):
     assert list(out["user_id"]) == [1, 1, 2]
     assert list(out["session_idx"]) == [1, 2, 1]
     assert list(out["n_events"]) == [2, 1, 1]
+
+
+def test_dist_quantiles_matches_numpy_multi_pass(ray_session):
+    """Wide int64 range (forces several radix refinement passes),
+    negatives, duplicates — exact quantile_disc rank semantics."""
+    import math
+
+    import ray.data as rd
+    from email_address_parser_ray.pipelines.relational import dist_quantiles
+
+    rng = np.random.RandomState(23)
+    vals = np.concatenate(
+        [
+            rng.randint(-(10**12), 10**12, size=4000),
+            np.repeat([-7, 0, 42], 300),  # heavy duplicates
+        ]
+    ).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"v": pa.array(vals, pa.int64())})).repartition(8)
+    qs = [0.0, 0.25, 0.5, 0.9, 0.99, 1.0]
+    got = dist_quantiles(ds, "v", qs)
+    srt = np.sort(vals)
+    want = [int(srt[max(math.ceil(q * len(vals)) - 1, 0)]) for q in qs]
+    assert got == want
+
+
+def test_grouped_topk_matches_pandas(ray_session):
+    import ray.data as rd
+    from email_address_parser_ray.pipelines.relational import grouped_topk
+
+    rng = np.random.RandomState(31)
+    n = 2000
+    df = pd.DataFrame(
+        {
+            "grp": rng.choice(["a", "b", "c", "d"], size=n),
+            "val": rng.randint(0, 50, size=n).astype(np.int64),  # many ties
+            "id": np.arange(n, dtype=np.int64),
+        }
+    )
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)).repartition(6)
+    got = (
+        grouped_topk(ds, "grp", "val", 5, tiebreak_col="id")
+        .to_pandas()
+        .sort_values(["grp", "rnk"])
+        .reset_index(drop=True)
+    )
+    want = (
+        df.sort_values(["grp", "val", "id"], ascending=[True, False, True], kind="mergesort")
+        .groupby("grp", sort=True)
+        .head(5)
+        .reset_index(drop=True)
+    )
+    want["rnk"] = want.groupby("grp").cumcount() + 1
+    want = want[["grp", "rnk", "id", "val"]].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
