@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import hashlib
 import re
-from typing import Dict, List
+from typing import Dict
 
 import numpy as np
 import pyarrow as pa
@@ -100,18 +100,26 @@ def lang_id(batch: pa.Table) -> pa.Table:
     (hits * 50 > n).  lang_score_ppm = hits * 1e6 // n.
     """
     texts = batch["text"].to_pylist()
-    langs: List[str] = []
-    ppms: List[int] = []
-    for t in texts:
-        toks = _WS.split(t.lower().strip())[:256]  # cap per-row work
-        n = len(toks)  # >= 1: splitting '' yields ['']
-        best_lang, best_hits = "und", 0
-        for lang, sw in _STOPWORDS.items():
-            hits = sum(1 for w in toks if w in sw)
-            if hits > best_hits:
-                best_lang, best_hits = lang, hits
-        langs.append(best_lang if best_hits * 50 > n else "und")
-        ppms.append(best_hits * 1_000_000 // n)
+    tok_rows = [_WS.split(t.lower().strip())[:256] for t in texts]  # cap per-row work
+    lens = np.array([len(x) for x in tok_rows], np.int64)  # >= 1: splitting '' yields ['']
+    n_rows = len(texts)
+    flat = np.array([w for row in tok_rows for w in row], dtype=object)
+    row_of = np.repeat(np.arange(n_rows, dtype=np.int64), lens)
+
+    # hit counts per (row, language) in one np.isin sweep per language
+    names = list(_STOPWORDS)
+    hits = np.zeros((n_rows, len(names)), np.int64)
+    for j, lang in enumerate(names):
+        sw = np.array(sorted(_STOPWORDS[lang]), dtype=object)
+        hits[:, j] = np.bincount(row_of[np.isin(flat, sw)], minlength=n_rows)
+
+    # argmax ties favor the earlier language (np.argmax first-hit); zero
+    # hits and sub-2%-rate rows fall back to 'und'
+    best_j = hits.argmax(axis=1)
+    best_hits = hits[np.arange(n_rows), best_j]
+    name_arr = np.array(names, dtype=object)
+    langs = np.where(best_hits * 50 > lens, name_arr[best_j], "und")
+    ppms = best_hits * 1_000_000 // lens
     return pa.table(
         {
             "doc_id": batch["doc_id"],
