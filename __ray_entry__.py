@@ -849,7 +849,56 @@ def oracle_sql() -> dict[str, str]:
             "FROM embeddings e, q ORDER BY cos_e4 DESC, e.vec_id LIMIT 10"
         ),
         "kmeans_cells": _KMEANS_ORACLE,
-        # rows-only (non-SQL-expressible): minhash_dedup, simhash_pairs
-        # (sketch permutations), ann_lsh_topk (approximate-by-design),
-        # media_features (binary codec), pipeline_counters (lineage state)
+        "minhash_dedup": (
+            # the oracle states the all-pairs exact-Jaccard IDEAL:
+            # string-shingle pairs >= 0.7 (same integer-e6 arithmetic as
+            # the engine's verify stage) closed transitively via a
+            # recursive CTE.  The engine's banding recall at this
+            # threshold is 1-(1-0.49)^64 ~ 1-5e-19 per pair, so its
+            # candidate set matches the ideal and the exact verify makes
+            # precision identical.
+            "WITH RECURSIVE tk AS (SELECT doc_id, regexp_split_to_array(trim(text, "
+            "' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '\\s+') AS toks "
+            "FROM documents), "
+            "s AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3 "
+            "THEN [array_to_string(toks, ' ')] "
+            "ELSE list_transform(range(1, len(toks) - 1), "
+            "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS sh FROM tk), "
+            "p AS (SELECT a.doc_id AS da, b.doc_id AS db "
+            "FROM s a JOIN s b ON a.doc_id < b.doc_id "
+            "WHERE len(list_intersect(a.sh, b.sh)) * 1000000 // "
+            "(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 700000), "
+            "e AS (SELECT da AS a, db AS b FROM p UNION ALL SELECT db, da FROM p), "
+            "reach AS (SELECT doc_id AS src, doc_id AS dst FROM documents "
+            "UNION SELECT r.src, e.b FROM reach r JOIN e ON e.a = r.dst) "
+            "SELECT CAST(src AS BIGINT) AS doc_id, CAST(MIN(dst) AS BIGINT) AS cluster_id "
+            "FROM reach GROUP BY src"
+        ),
+        "simhash_pairs": (
+            # full sketch replay: md5_number_lower per token is
+            # bit-identical to the engine's token hash, every one of the
+            # 64 vote sums is recomputed, and the 16-bit banding is
+            # pigeonhole-complete for hamming <= 3 — so the engine's
+            # banded output equals this exhaustive self-join exactly.
+            "WITH tk AS (SELECT doc_id, list_filter(regexp_split_to_array("
+            "trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), "
+            "'\\s+'), x -> len(x) > 0) AS toks FROM documents), "
+            "tok AS (SELECT doc_id, unnest(toks) AS t FROM tk), "
+            "h AS (SELECT doc_id, md5_number_lower(t) AS h FROM tok), "
+            "bits AS (SELECT doc_id, b.i AS bit, "
+            "SUM(CASE WHEN (h >> b.i) & 1 = 1 THEN 1 ELSE -1 END) AS v "
+            "FROM h CROSS JOIN generate_series(0, 63) b(i) GROUP BY doc_id, b.i), "
+            "sv AS (SELECT doc_id, SUM(CASE WHEN v > 0 "
+            "THEN CAST(power(2, bit) AS UBIGINT) ELSE 0 END) AS s FROM bits "
+            "GROUP BY doc_id), "
+            "sh AS (SELECT d.doc_id, COALESCE(sv.s, 0) AS s "
+            "FROM documents d LEFT JOIN sv USING (doc_id)) "
+            "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+            "CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming "
+            "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+            "WHERE bit_count(xor(a.s, b.s)) <= 3"
+        ),
+        # rows-only (non-SQL-expressible): ann_lsh_topk
+        # (approximate-by-design), media_features (binary codec),
+        # pipeline_counters (lineage state)
     }

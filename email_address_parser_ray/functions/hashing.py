@@ -4,11 +4,13 @@ Everything here must be deterministic across processes and machines
 (cluster-safe): no Python builtin ``hash`` (PYTHONHASHSEED), no
 ``Date``-style nondeterminism.  zlib.crc32 (C speed, stable) seeds the
 shingle universe; MinHash permutations are fixed affine maps mod a
-Mersenne prime; SimHash projects token crc bits.
+Mersenne prime; SimHash projects md5 token bits (``md5_number_lower``
+byte order, so DuckDB can replay every vote).
 """
 
 from __future__ import annotations
 
+import hashlib
 import zlib
 from typing import List, Sequence
 
@@ -64,7 +66,7 @@ def minhash_signature(shingle_hashes: np.ndarray) -> np.ndarray:
     return vals.min(axis=0).astype(np.uint64)
 
 
-def band_keys(sig: np.ndarray, bands: int = 32) -> List[int]:
+def band_keys(sig: np.ndarray, bands: int = 64) -> List[int]:
     """Split the signature into ``bands`` row-groups; crc each group."""
     rows = len(sig) // bands
     out = []
@@ -81,19 +83,31 @@ def jaccard(a: np.ndarray, b: np.ndarray) -> float:
 
 
 def simhash64(text: str) -> int:
-    """64-bit SimHash over whitespace tokens (crc32-pair → 64 bits)."""
+    """64-bit SimHash over whitespace tokens.
+
+    Token hash = md5 digest bytes 8:16 little-endian — bit-identical to
+    DuckDB's ``md5_number_lower`` — so the whole sketch is replayable in
+    SQL (the simhash_pairs oracle recomputes every vote).  Bit ``i`` of
+    the result is 1 iff the sum over tokens of ±1 votes on
+    ``(token_hash >> i) & 1`` is positive; duplicate tokens vote once
+    each, empty texts hash to 0."""
     toks = text.split()
     if not toks:
         return 0
-    acc = np.zeros(64, dtype=np.int64)
-    for t in toks:
-        h = int(mix64(np.uint64(zlib.crc32(t.encode()))))
-        bits = np.unpackbits(
-            np.frombuffer(np.uint64(h).tobytes(), dtype=np.uint8)
-        ).astype(np.int64)
-        acc += bits * 2 - 1
-    out = np.packbits((acc > 0).astype(np.uint8))
-    return int(np.frombuffer(out.tobytes(), dtype=np.uint64)[0])
+    hs = np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[8:16], "little")
+            for t in toks
+        ),
+        dtype=np.uint64,
+        count=len(toks),
+    )
+    # bits[:, i] == (h >> i) & 1 (little-endian byte view + LSB-first bits)
+    bits = np.unpackbits(
+        hs.view(np.uint8).reshape(len(hs), 8), axis=1, bitorder="little"
+    ).astype(np.int64)
+    acc = (bits * 2 - 1).sum(axis=0)
+    return int(((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
 
 
 def hamming64(a: int, b: int) -> int:

@@ -6,10 +6,12 @@ verify → shared connected-components), mirroring the guide's
 shingle→minhash→band→bucket pattern.  Exact dedup pre-aggregates per
 batch before its single shuffle.
 
-Scale notes: sketches are fixed-size per doc (128×8 B MinHash, 8 B
-SimHash), so the shuffled band tables are tiny relative to the corpus;
+Scale notes: the shuffled band tables carry only fixed-size keys per doc
+(64×16 B MinHash band rows, 8 B SimHash), never signatures or texts;
 bucket groups are capped (``MAX_BUCKET``) with deterministic trimming so
-a degenerate key (e.g. empty docs) cannot go quadratic.
+a degenerate key (e.g. empty docs) cannot go quadratic; candidate pairs
+are verified with EXACT text shingles fetched via two hash joins on the
+(small) candidate table.
 """
 
 from __future__ import annotations
@@ -24,8 +26,6 @@ import pyarrow as pa
 from ..functions.arrowutil import from_pandas_clean
 from ..functions.hashing import (
     band_keys,
-    hamming64,
-    jaccard,
     minhash_signature,
     simhash64,
     simhash_bands,
@@ -108,8 +108,15 @@ def exact_dedup(docs_ds):
 
 # --- MinHash + LSH near-dedup ---------------------------------------------
 
-def minhash_sketch_batch(batch: pa.Table, shingle_k: int = 3, bands: int = 32) -> pa.Table:
-    """text → (band_key, doc_id, signature bytes), one row per band.
+def minhash_sketch_batch(batch: pa.Table, shingle_k: int = 3, bands: int = 64) -> pa.Table:
+    """text → (band_key, doc_id), one row per band.
+
+    The 128-perm signature is computed locally and immediately reduced to
+    its 64 two-row band keys — only 64×16 B per document is ever
+    shuffled, never the signature (let alone the text).  At a 0.7
+    Jaccard threshold the two-row bands give per-pair recall
+    1-(1-0.7²)^64 ≈ 1-5e-19, so the banding stage is effectively exact
+    and the downstream EXACT shingle verify decides membership.
 
     Plain task-based ``map_batches`` body: the sketch has no expensive
     per-worker state (the permutation constants are module-level numpy
@@ -119,29 +126,23 @@ def minhash_sketch_batch(batch: pa.Table, shingle_k: int = 3, bands: int = 32) -
     texts = batch["text"].to_pylist()
     o_band: List[int] = []
     o_doc: List[int] = []
-    o_sig: List[bytes] = []
     for did, t in zip(doc_ids, texts):
         sig = minhash_signature(word_shingles(t, shingle_k))
-        sb = sig.tobytes()
         for bk in band_keys(sig, bands):
             o_band.append(bk)
             o_doc.append(did)
-            o_sig.append(sb)
     return pa.table(
         {
             "band_key": pa.array(o_band, pa.int64()),
             "doc_id": pa.array(o_doc, pa.int64()),
-            "sig": pa.array(o_sig, pa.binary()),
         }
     )
 
 
-def _bucket_pairs_verified(g: pd.DataFrame, threshold: float = 0.7) -> pa.Table:
+def _bucket_candidate_pairs(g: pd.DataFrame) -> pa.Table:
     """Vectorized over one coarse bucket: all band groups inside processed
-    with segment arithmetic (sort by band_key → triu per segment), then
-    the Jaccard-estimate verify IN PLACE (signature agreement over the
-    full 128-perm signatures already co-located here) — no second
-    shuffle or stage for verification."""
+    with segment arithmetic (sort by band_key → triu per segment), with a
+    per-bucket pair dedup before anything is emitted."""
     g = (
         g.drop_duplicates(["band_key", "doc_id"])
         .sort_values(["band_key", "doc_id"], kind="mergesort")
@@ -151,69 +152,88 @@ def _bucket_pairs_verified(g: pd.DataFrame, threshold: float = 0.7) -> pa.Table:
         {
             "doc_a": pa.array([], pa.int64()),
             "doc_b": pa.array([], pa.int64()),
-            "jaccard_est": pa.array([], pa.float64()),
         }
     )
     ia, ib = _segment_pairs(g["band_key"].to_numpy())
     if len(ia) == 0:
         return empty
-    # signature matrix only for rows that participate in pairs
-    used = np.unique(np.concatenate([ia, ib]))
-    pos = np.full(len(g), -1, dtype=np.int64)
-    pos[used] = np.arange(len(used))
-    sigs_obj = g["sig"].to_numpy()
-    mat = np.stack([np.frombuffer(sigs_obj[i], dtype=np.uint64) for i in used])
-    est = (mat[pos[ia]] == mat[pos[ib]]).mean(axis=1)
-    keep = est >= threshold
-    if not keep.any():
-        return empty
     ids = g["doc_id"].to_numpy()
-    return pa.table(
-        {
-            "doc_a": pa.array(ids[ia[keep]], pa.int64()),
-            "doc_b": pa.array(ids[ib[keep]], pa.int64()),
-            "jaccard_est": pa.array(np.round(est[keep], 6), pa.float64()),
-        }
-    )
+    df = pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]}).drop_duplicates()
+    return from_pandas_clean(df)
 
 
-def minhash_candidate_pairs(docs_ds, threshold: float = 0.7):
-    """documents → near-dup candidate pairs (deduped) with Jaccard estimates.
+def minhash_candidate_pairs(docs_ds, bands: int = 64, shingle_k: int = 3):
+    """documents → deduped near-dup candidate pairs (doc_a < doc_b).
 
     One task-based sketch pass, ONE shuffle (coarse band-key buckets),
-    per-bucket vectorized pair emission + signature verify, then a small
-    cross-band dedup aggregate."""
-    banded = docs_ds.map_batches(
-        minhash_sketch_batch, batch_format="pyarrow"
-    ).map_batches(_add_key_bucket, batch_format="pyarrow")
-    verified = banded.groupby("bucket").map_groups(
-        lambda g: _bucket_pairs_verified(g, threshold), batch_format="pandas"
-    )
-    # cross-band dedup of surviving pairs (small): one native aggregate
-    from ray.data.aggregate import Min
+    per-bucket vectorized pair emission, then a small cross-band dedup
+    aggregate.  Candidates are UNVERIFIED — pipe them through
+    ``minhash_verified_pairs`` for the exact-Jaccard filter."""
+    from ray.data.aggregate import Count
 
-    return verified.groupby(["doc_a", "doc_b"]).aggregate(
-        Min("jaccard_est", alias_name="jaccard_est")
+    banded = docs_ds.map_batches(
+        lambda t: minhash_sketch_batch(t, shingle_k, bands), batch_format="pyarrow"
+    ).map_batches(_add_key_bucket, batch_format="pyarrow")
+    cands = banded.groupby("bucket").map_groups(
+        _bucket_candidate_pairs, batch_format="pandas"
     )
+    dedup = cands.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="_nb"))
+    return dedup.map_batches(
+        lambda t: t.select(["doc_a", "doc_b"]), batch_format="pyarrow"
+    )
+
+
+def minhash_verified_pairs(
+    docs_ds, threshold: float = 0.7, bands: int = 64, shingle_k: int = 3
+):
+    """Banding candidates → EXACT string-shingle Jaccard verify.
+
+    The standard sketch→join→verify shape: the (small) candidate pair
+    table is hash-joined back onto the documents twice to fetch both
+    texts, then ``JaccardVerifier`` computes the exact integer-e6
+    k-word-shingle Jaccard — so precision is exact (and, with the
+    near-exact banding recall above, the whole operator matches the
+    all-pairs exact-Jaccard ideal, which is what the DuckDB oracle
+    computes).  Only candidate pairs ever touch the texts again; the
+    full corpus is never re-shuffled."""
+    from .joins import hash_join
+
+    cand = minhash_candidate_pairs(docs_ds, bands, shingle_k)
+    ta = docs_ds.map_batches(
+        lambda t: pa.table({"doc_a": t["doc_id"], "text_a": t["text"]}),
+        batch_format="pyarrow",
+    )
+    tb = docs_ds.map_batches(
+        lambda t: pa.table({"doc_b": t["doc_id"], "text_b": t["text"]}),
+        batch_format="pyarrow",
+    )
+    joined = hash_join(hash_join(cand, ta, on="doc_a"), tb, on="doc_b")
+    verified = joined.map_batches(
+        JaccardVerifier(shingle_k), batch_format="pyarrow"
+    )
+    thr = int(round(threshold * 1_000_000))
+    return verified.filter(expr=f"jaccard_e6 >= {thr}")
 
 
 def minhash_dedup_clusters(docs_ds, threshold: float = 0.7):
-    """Full near-dedup: candidate pairs → connected components → one row
-    per doc with its cluster id (min doc_id of the component)."""
+    """Full near-dedup: banded candidates → exact-Jaccard verified pairs
+    → connected components → one row per doc with its cluster id (min
+    doc_id of the component).  Labels are zero-padded decimal strings so
+    the CC lexicographic-min label IS the numeric min doc_id."""
     from .clustering import connected_components
 
-    pairs = minhash_candidate_pairs(docs_ds, threshold)
+    pairs = minhash_verified_pairs(docs_ds, threshold)
 
-    def to_edges(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "addr_a": pa.compute.cast(t["doc_a"], pa.string()),
-                "addr_b": pa.compute.cast(t["doc_b"], pa.string()),
-            }
+    def pad(col):
+        return pa.compute.utf8_lpad(
+            pa.compute.cast(col, pa.string()), width=12, padding="0"
         )
 
+    def to_edges(t: pa.Table) -> pa.Table:
+        return pa.table({"addr_a": pad(t["doc_a"]), "addr_b": pad(t["doc_b"])})
+
     def to_nodes(t: pa.Table) -> pa.Table:
-        return pa.table({"address": pa.compute.cast(t["doc_id"], pa.string())})
+        return pa.table({"address": pad(t["doc_id"])})
 
     edges = pairs.map_batches(to_edges, batch_format="pyarrow")
     nodes = docs_ds.map_batches(to_nodes, batch_format="pyarrow")
@@ -300,21 +320,29 @@ def ngram_jaccard_pairs(
     return sample.map_batches(block, batch_format="pyarrow")
 
 class JaccardVerifier:
-    """Exact k-word-shingle Jaccard for candidate pairs (needs both texts)."""
+    """Exact k-word-shingle Jaccard for candidate pairs (needs both texts).
+
+    String shingle sets (collision-free) + integer floor arithmetic
+    (``jaccard_e6 = inter * 1e6 // union``) so the value is
+    bit-reproducible by the DuckDB ``list_intersect`` oracle."""
 
     def __init__(self, shingle_k: int = 3):
         self.k = shingle_k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.hashing import word_shingle_set
+
         ta = batch["text_a"].to_pylist()
         tb = batch["text_b"].to_pylist()
-        vals = np.empty(len(ta), dtype=np.float64)
+        vals = np.empty(len(ta), dtype=np.int64)
         for i, (x, y) in enumerate(zip(ta, tb)):
-            vals[i] = jaccard(
-                np.sort(word_shingles(x, self.k)), np.sort(word_shingles(y, self.k))
-            )
+            sa = word_shingle_set(x, self.k)
+            sb = word_shingle_set(y, self.k)
+            inter = len(sa & sb)
+            union = len(sa) + len(sb) - inter
+            vals[i] = inter * 1_000_000 // union if union else 1_000_000
         return batch.drop_columns(["text_a", "text_b"]).append_column(
-            "jaccard", pa.array(np.round(vals, 6), pa.float64())
+            "jaccard_e6", pa.array(vals, pa.int64())
         )
 
 

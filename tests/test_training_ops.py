@@ -75,7 +75,7 @@ def test_jaccard_verifier_exact():
         }
     )
     out = JaccardVerifier()(t)
-    assert out["jaccard"][0].as_py() == 1.0
+    assert out["jaccard_e6"][0].as_py() == 1_000_000
 
 
 def test_brute_force_topk_matches_numpy(ray_session):
