@@ -349,11 +349,15 @@ def _q_ann_topk(sf_dir: str):
 
 
 def _q_ann_lsh_topk(sf_dir: str):
+    """SRP-LSH ANN top-k.  6 planes => 64 buckets, so at the test scale
+    (500 vectors) the probe set holds a real candidate pool; the
+    integer-exact bucketing makes the result bit-reproducible by the
+    plane-literal SQL oracle."""
     from email_address_parser_ray.sources.io import read_parquet_clean
     from email_address_parser_ray.stages.ann import lsh_topk
 
     emb = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    return lsh_topk(emb, _query_vector(sf_dir), k=10)
+    return lsh_topk(emb, _query_vector(sf_dir), k=10, probes=3, n_planes=6)
 
 
 def _q_ann_ivf_topk(sf_dir: str):
@@ -543,6 +547,41 @@ _KMEANS_ORACLE = (
     + _KM_ASSIGN.format(out="a3", cents="c2")
     + " SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(cell AS BIGINT) AS cell FROM a3"
 )
+
+
+def _lsh_topk_oracle() -> str:
+    """Replay the integer-exact SRP bucketing (stages/ann.py) in SQL:
+    the quantized hyperplanes and the deterministic probe-key set are
+    embedded as literals, the per-vector bucket is the same integer
+    sign pattern, and the final top-k matches ann_topk's shape."""
+    from email_address_parser_ray.stages.ann import _planes_q, lsh_probe_keys
+
+    n_planes = 6  # matches _q_ann_lsh_topk
+    qvec = _query_vector(SF_CORRECTNESS)
+    d = len(qvec)
+    planes_q = _planes_q(d, n_planes)
+    probe_list = ", ".join(
+        str(k) for k in lsh_probe_keys(qvec, d, probes=3, n_planes=n_planes)
+    )
+    plane_rows = ", ".join(
+        f"({p}, CAST([{', '.join(str(int(w)) for w in planes_q[p])}] AS BIGINT[]))"
+        for p in range(n_planes)
+    )
+    return (
+        f"WITH pl(p, w) AS (VALUES {plane_rows}), "
+        "eq AS (SELECT vec_id, embedding, list_transform(embedding, "
+        "x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q "
+        "FROM embeddings), "
+        "b AS (SELECT e.vec_id, SUM(CASE WHEN list_inner_product(e.q, pl.w) > 0 "
+        "THEN CAST(power(2, pl.p) AS BIGINT) ELSE 0 END) AS bucket "
+        "FROM eq e CROSS JOIN pl GROUP BY e.vec_id), "
+        "probed AS (SELECT eq.vec_id, eq.embedding FROM eq JOIN b USING (vec_id) "
+        f"WHERE b.bucket IN ({probe_list})), "
+        "qv AS (SELECT embedding FROM embeddings WHERE vec_id = 0) "
+        "SELECT p.vec_id, CAST(ROUND(list_cosine_similarity(p.embedding, "
+        "qv.embedding) * 10000) AS BIGINT) AS cos_e4 FROM probed p, qv "
+        "ORDER BY cos_e4 DESC, p.vec_id LIMIT 10"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -898,7 +937,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
             "WHERE bit_count(xor(a.s, b.s)) <= 3"
         ),
-        # rows-only (non-SQL-expressible): ann_lsh_topk
-        # (approximate-by-design), media_features (binary codec),
-        # pipeline_counters (lineage state)
+        "ann_lsh_topk": _lsh_topk_oracle(),
+        # rows-only (non-SQL-expressible): media_features (binary
+        # codec), pipeline_counters (lineage state)
     }

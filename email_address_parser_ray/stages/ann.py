@@ -227,42 +227,81 @@ def ivf_topk(embeddings_ds, query: np.ndarray, k: int = 10, nprobe: int = 3):
     return brute_force_topk(probed, query, k)
 
 
-def _planes(d: int) -> np.ndarray:
+PLANE_Q = 10_000  # hyperplane weights quantized to 1e-4 grid
+EMB_Q = 1_000_000  # embedding components quantized to 1e-6 grid
+
+
+def _planes(d: int, n_planes: int = N_PLANES) -> np.ndarray:
     rng = np.random.RandomState(_PROJ_RNG_SEED)
-    return rng.normal(size=(N_PLANES, d))
+    return rng.normal(size=(n_planes, d))
 
 
-def _sign_key(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
-    bits = (m @ planes.T) > 0
-    return (bits * (1 << np.arange(N_PLANES))).sum(axis=1).astype(np.int64)
+def _planes_q(d: int, n_planes: int = N_PLANES) -> np.ndarray:
+    """Integer hyperplanes: floor(plane * 1e4) as int64.  The bucket key
+    is a sign pattern of INTEGER dot products (floor-1e6 embedding ×
+    floor-1e4 plane), so it is bit-reproducible in any engine — the
+    DuckDB oracle replays these exact literals.  Sign of the dot is
+    invariant under positive scaling, so skipping normalization loses
+    nothing; magnitudes stay < 2^42, exact even in a float64 SUM."""
+    return np.floor(_planes(d, n_planes) * PLANE_Q).astype(np.int64)
 
 
-def bucket_embeddings(embeddings_ds, d: int):
+def _quantize_emb(m: np.ndarray) -> np.ndarray:
+    return np.floor(m * EMB_Q).astype(np.int64)
+
+
+def _sign_key(m: np.ndarray, planes_q: np.ndarray) -> np.ndarray:
+    """Bucket key from RAW (unnormalized) embedding rows via exact
+    integer dot products against the quantized hyperplanes."""
+    bits = (_quantize_emb(m) @ planes_q.T) > 0
+    return (bits * (1 << np.arange(planes_q.shape[0]))).sum(axis=1).astype(np.int64)
+
+
+def bucket_embeddings(embeddings_ds, d: int, n_planes: int = N_PLANES):
     """Add a signed-random-projection bucket key (one pass, stateless)."""
-    planes = _planes(d)
+    planes_q = _planes_q(d, n_planes)
 
     def add_key(batch: pa.Table) -> pa.Table:
-        m = _normalize(_batch_matrix(batch))
-        return batch.append_column("bucket", pa.array(_sign_key(m, planes), pa.int64()))
+        m = _batch_matrix(batch)
+        return batch.append_column("bucket", pa.array(_sign_key(m, planes_q), pa.int64()))
 
     return embeddings_ds.map_batches(add_key, batch_format="pyarrow")
 
 
-def lsh_topk(embeddings_ds, query: np.ndarray, k: int = 10, probes: int = 4):
+def lsh_probe_keys(
+    query: np.ndarray, d: int, probes: int = 4, n_planes: int = N_PLANES
+) -> List[int]:
+    """Deterministic probe set for ``lsh_topk``: the query's own bucket
+    plus single-bit flips of the ``probes`` lowest-|margin| planes.
+    Exposed so the SQL oracle can embed the exact keys as literals."""
+    planes_q = _planes_q(d, n_planes)
+    qq = _quantize_emb(query.astype(np.float64).reshape(1, -1))
+    dots = (qq @ planes_q.T)[0]
+    base = int(((dots > 0) * (1 << np.arange(n_planes))).sum())
+    flip_order = np.argsort(np.abs(dots), kind="stable")[:probes]
+    return sorted({base} | {base ^ (1 << int(b)) for b in flip_order})
+
+
+def lsh_topk(
+    embeddings_ds,
+    query: np.ndarray,
+    k: int = 10,
+    probes: int = 4,
+    n_planes: int = N_PLANES,
+):
     """ANN top-k: probe the query's bucket plus ``probes`` single-bit flips.
 
-    Recall is approximate by design; the brute-force path is the oracle.
+    The bucketing is integer-exact (see ``_planes_q``), so the probed
+    candidate set — and therefore the whole result — is reproduced
+    bit-for-bit by the DuckDB oracle replaying the quantized planes.
+    ``n_planes`` sizes the table so buckets hold ~n/2^planes vectors:
+    12 planes for web-scale tables, fewer at small n so the probe set
+    still holds a real candidate pool.
     """
     d = len(query)
-    planes = _planes(d)
-    qn = query.astype(np.float64)
-    qn = qn / (np.linalg.norm(qn) or 1.0)
-    base = int(_sign_key(qn.reshape(1, -1), planes)[0])
-    margins = np.abs(qn @ planes.T)
-    flip_order = np.argsort(margins)[:probes]
-    probe_keys = {base} | {base ^ (1 << int(b)) for b in flip_order}
+    probe_keys = lsh_probe_keys(query, d, probes, n_planes)
 
-    bucketed = bucket_embeddings(embeddings_ds, d)
+    bucketed = bucket_embeddings(embeddings_ds, d, n_planes)
     probed = bucketed.map_batches(
         lambda t: t.filter(
             pa.compute.is_in(t["bucket"], value_set=pa.array(sorted(probe_keys)))
