@@ -398,13 +398,35 @@ def _q_kmeans_cells(sf_dir: str):
 
 
 def _q_media_features(sf_dir: str):
+    """Actor-pool media decode stage over the cached fake corpus,
+    exploded to one row per (media_id, feature) so the md5-derived
+    pseudo-features are value-checked end-to-end by the SQL oracle."""
     import ray.data as rd
     from email_address_parser_ray.stages.multimodal import (
-        media_features, synthesize_media_table,
+        ensure_media_parquet, media_features,
     )
 
-    media = rd.from_arrow(synthesize_media_table(256))
-    return media_features(media)
+    media = rd.read_parquet(ensure_media_parquet(256))
+    feats = media_features(media)
+
+    def explode(t: pa.Table) -> pa.Table:
+        col = t["features"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        dim = len(col[0]) if len(col) else 0
+        idx = np.repeat(np.arange(t.num_rows), dim)
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "media_id": pc.take(t["media_id"], pa.array(idx)),
+                "kind": pc.take(t["kind"], pa.array(idx)),
+                "n_bytes": pc.take(t["n_bytes"], pa.array(idx)),
+                "feat_idx": pa.array(np.tile(np.arange(dim), t.num_rows), pa.int64()),
+                "feat_val": pa.array(flat.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return feats.map_batches(explode, batch_format="pyarrow")
 
 
 def _q_export_shards(sf_dir: str):
@@ -588,9 +610,11 @@ def oracle_sql() -> dict[str, str]:
     # the record-linkage oracles read the synthesized gold tables; make
     # sure they exist before DuckDB runs
     from email_address_parser_ray.functions.corpus import ensure_fixtures
+    from email_address_parser_ray.stages.multimodal import ensure_media_parquet
 
     fixtures = ensure_fixtures()
     root = _tcache(SF_CORRECTNESS)
+    _media_path = ensure_media_parquet(256)
     gm = f"read_parquet('{root}/gold_mentions.parquet')"
     ge = f"read_parquet('{root}/gold_entities.parquet')"
     gn = f"read_parquet('{root}/gold_nodes.parquet')"
@@ -938,6 +962,20 @@ def oracle_sql() -> dict[str, str]:
             "WHERE bit_count(xor(a.s, b.s)) <= 3"
         ),
         "ann_lsh_topk": _lsh_topk_oracle(),
-        # rows-only (non-SQL-expressible): media_features (binary
-        # codec), pipeline_counters (lineage state)
+        "media_features": (
+            # replay the md5-derived pseudo-features over the same cached
+            # payload bytes (stages/multimodal.py MediaDecoder._decode)
+            f"WITH f AS (SELECT media_id, kind, "
+            f"CAST(octet_length(payload) AS BIGINT) AS n_bytes, "
+            f"md5_number_lower(hex(payload)) AS lo, "
+            f"md5_number_upper(hex(payload)) AS hi "
+            f"FROM read_parquet('{_media_path}')) "
+            f"SELECT media_id, kind, n_bytes, CAST(t.i AS BIGINT) AS feat_idx, "
+            f"CAST(CASE WHEN t.i < 4 THEN (lo >> (16 * t.i)) & 65535 "
+            f"ELSE (hi >> (16 * (t.i - 4))) & 65535 END AS BIGINT) AS feat_val "
+            f"FROM f CROSS JOIN generate_series(0, 7) t(i)"
+        ),
+        # rows-only (non-SQL-expressible): pipeline_counters (lineage
+        # state — manifest fingerprints/partition layout, not a query
+        # over the input tables)
     }

@@ -18,7 +18,8 @@ torchaudio/ffmpeg and remain stubbed).
 
 from __future__ import annotations
 
-import zlib
+import hashlib
+import os
 
 import numpy as np
 import pyarrow as pa
@@ -90,10 +91,17 @@ class MediaDecoder:
                 "media codec not available for this kind in this environment; "
                 "plug libjpeg/ffmpeg/torchaudio here"
             )
-        # deterministic pseudo-features from the payload bytes
-        seed = zlib.crc32(payload)
-        rng = np.random.RandomState(seed & 0x7FFFFFFF)
-        return rng.normal(size=self.dim)
+        # deterministic pseudo-features: 16-bit words of md5(hex(payload)).
+        # Chosen over an RNG stand-in because any engine can recompute it —
+        # DuckDB: md5_number_lower/upper(hex(payload)) >> (16*i) & 65535 —
+        # so the whole distributed decode plumbing is value-checkable.
+        digest = hashlib.md5(payload.hex().upper().encode("ascii")).digest()
+        lo = int.from_bytes(digest[8:], "little")
+        hi = int.from_bytes(digest[:8], "little")
+        words = [(lo >> (16 * i)) & 0xFFFF for i in range(4)] + [
+            (hi >> (16 * i)) & 0xFFFF for i in range(4)
+        ]
+        return np.array([words[i % 8] for i in range(self.dim)], dtype=np.float64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch["payload"].to_pylist()
@@ -204,6 +212,21 @@ class FrameSampler:
                 "frame_payload": pa.array(payloads, pa.binary()),
             }
         )
+
+
+def ensure_media_parquet(n: int = 256, seed: int = 1234) -> str:
+    """Write the deterministic fake media corpus to a cached parquet file
+    (atomic rename) so both the Ray query and the DuckDB oracle read the
+    same bytes."""
+    import pyarrow.parquet as pq
+
+    path = f"/tmp/eap_ray_media/media_{n}_{seed}.parquet"
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = f"{path}.tmp.{os.getpid()}"
+        pq.write_table(synthesize_media_table(n, seed), tmp)
+        os.replace(tmp, path)
+    return path
 
 
 def media_features(media_ds, concurrency: int = 2, batch_size: int = 32):
