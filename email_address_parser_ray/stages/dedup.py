@@ -23,7 +23,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ..functions.arrowutil import from_pandas_clean
+from ..functions.arrowutil import concat_nonempty, from_pandas_clean
 from ..functions.hashing import (
     band_keys,
     minhash_signature,
@@ -183,22 +183,87 @@ def minhash_candidate_pairs(docs_ds, bands: int = 64, shingle_k: int = 3):
     )
 
 
+SMALL_CAND_LIMIT = 500_000  # candidate pairs below which broadcast-verify wins
+
+
 def minhash_verified_pairs(
     docs_ds, threshold: float = 0.7, bands: int = 64, shingle_k: int = 3
 ):
     """Banding candidates → EXACT string-shingle Jaccard verify.
 
-    The standard sketch→join→verify shape: the (small) candidate pair
-    table is hash-joined back onto the documents twice to fetch both
-    texts, then ``JaccardVerifier`` computes the exact integer-e6
-    k-word-shingle Jaccard — so precision is exact (and, with the
-    near-exact banding recall above, the whole operator matches the
-    all-pairs exact-Jaccard ideal, which is what the DuckDB oracle
-    computes).  Only candidate pairs ever touch the texts again; the
-    full corpus is never re-shuffled."""
+    The standard sketch→join→verify shape, size-gated like the CC
+    short-circuit: below ``SMALL_CAND_LIMIT`` candidate pairs the
+    needed texts are fetched with ONE streaming filter pass over the
+    corpus and broadcast once via ``ray.put`` (two tiny-table shuffle
+    joins at that scale are pure fixed overhead); above it the
+    candidate table is hash-joined back onto the documents twice.
+    Either way ``JaccardVerifier`` computes the exact integer-e6
+    k-word-shingle Jaccard — precision is exact and, with the
+    near-exact banding recall, the operator matches the all-pairs
+    exact-Jaccard ideal the DuckDB oracle computes.  Only candidate
+    pairs ever touch the texts again; the corpus is never re-shuffled."""
+    import ray
+    import ray.data as rd
+
     from .joins import hash_join
 
-    cand = minhash_candidate_pairs(docs_ds, bands, shingle_k)
+    thr = int(round(threshold * 1_000_000))
+    cand_mat = minhash_candidate_pairs(docs_ds, bands, shingle_k).materialize()
+    if cand_mat.count() <= SMALL_CAND_LIMIT:
+        cand_tbl = concat_nonempty(
+            ray.get(cand_mat.to_arrow_refs()),
+            pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())]),
+        )
+        if cand_tbl.num_rows == 0:
+            return rd.from_arrow(
+                pa.schema(
+                    [
+                        ("doc_a", pa.int64()),
+                        ("doc_b", pa.int64()),
+                        ("jaccard_e6", pa.int64()),
+                    ]
+                ).empty_table()
+            )
+        ids = np.unique(
+            np.concatenate(
+                [
+                    cand_tbl["doc_a"].to_numpy(zero_copy_only=False),
+                    cand_tbl["doc_b"].to_numpy(zero_copy_only=False),
+                ]
+            )
+        )
+        ids_ref = ray.put(pa.array(ids, pa.int64()))
+
+        def fetch_needed(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return t.filter(pc.is_in(t["doc_id"], value_set=ray.get(ids_ref)))
+
+        needed = concat_nonempty(
+            ray.get(
+                docs_ds.map_batches(fetch_needed, batch_format="pyarrow")
+                .materialize()
+                .to_arrow_refs()
+            ),
+            pa.schema([("doc_id", pa.int64()), ("text", pa.string())]),
+        )
+        texts_ref = ray.put(
+            dict(zip(needed["doc_id"].to_pylist(), needed["text"].to_pylist()))
+        )
+        verifier = JaccardVerifier(shingle_k)
+
+        def attach_and_verify(t: pa.Table) -> pa.Table:
+            texts = ray.get(texts_ref)
+            t = t.append_column(
+                "text_a", pa.array([texts[i] for i in t["doc_a"].to_pylist()])
+            ).append_column(
+                "text_b", pa.array([texts[i] for i in t["doc_b"].to_pylist()])
+            )
+            return verifier(t)
+
+        verified = cand_mat.map_batches(attach_and_verify, batch_format="pyarrow")
+        return verified.filter(expr=f"jaccard_e6 >= {thr}")
+
     ta = docs_ds.map_batches(
         lambda t: pa.table({"doc_a": t["doc_id"], "text_a": t["text"]}),
         batch_format="pyarrow",
@@ -207,11 +272,10 @@ def minhash_verified_pairs(
         lambda t: pa.table({"doc_b": t["doc_id"], "text_b": t["text"]}),
         batch_format="pyarrow",
     )
-    joined = hash_join(hash_join(cand, ta, on="doc_a"), tb, on="doc_b")
+    joined = hash_join(hash_join(cand_mat, ta, on="doc_a"), tb, on="doc_b")
     verified = joined.map_batches(
         JaccardVerifier(shingle_k), batch_format="pyarrow"
     )
-    thr = int(round(threshold * 1_000_000))
     return verified.filter(expr=f"jaccard_e6 >= {thr}")
 
 
