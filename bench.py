@@ -109,7 +109,7 @@ def main() -> None:
     )
 
     timings = _bench_queries(SF_DIR)
-    headline = timings["resolve"]
+    headline = timings.get("resolve")
     out = {
         "metric": "resolve_pipeline_sec_sf_dir",
         "value": headline,
