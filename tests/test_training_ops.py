@@ -53,6 +53,26 @@ def test_minhash_finds_planted_near_dups(ray_session):
     assert cl[5] not in (cl[0], cl[3])
 
 
+def test_minhash_verify_paths_agree(ray_session, monkeypatch):
+    """The broadcast-lookup fast path (below SMALL_CAND_LIMIT) and the
+    hash-join path (above it) must produce identical verified pairs."""
+    import ray.data as rd
+    from email_address_parser_ray.stages import dedup
+
+    docs = _docs_with_near_dups()
+
+    def run():
+        out = dedup.minhash_verified_pairs(
+            rd.from_arrow(docs), threshold=0.5
+        ).to_pandas()
+        return sorted(map(tuple, out[["doc_a", "doc_b", "jaccard_e6"]].to_numpy()))
+
+    fast = run()
+    monkeypatch.setattr(dedup, "SMALL_CAND_LIMIT", -1)  # force hash-join path
+    slow = run()
+    assert fast == slow and len(fast) >= 4
+
+
 def test_simhash_finds_exact_and_near(ray_session):
     import ray.data as rd
     from email_address_parser_ray.stages.dedup import simhash_near_dups
