@@ -516,6 +516,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_running_total": _rel("orders_running_total"),
         "orders_price_quantiles": _rel("orders_price_quantiles"),
         "top_orders_per_priority": _rel("top_orders_per_priority"),
+        "events_distinct_users": _rel("events_distinct_users"),
+        "docs_vocab": _rel("docs_vocab"),
         "pipeline_counters": _q_pipeline_counters,
         "export_shards": _q_export_shards,
         # training-data ops
@@ -731,6 +733,17 @@ def oracle_sql() -> dict[str, str]:
             "CAST(ROUND(sum(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT) "
             "AS revenue_cents, CAST(count(*) AS BIGINT) AS n_items "
             "FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_type"
+        ),
+        "events_distinct_users": (
+            "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) "
+            "AS n_users FROM events GROUP BY event_type"
+        ),
+        "docs_vocab": (
+            "WITH toks AS (SELECT unnest(list_filter("
+            "regexp_split_to_array(lower(text), '[^a-z0-9]+'), "
+            "x -> len(x) > 0)) AS token FROM documents) "
+            "SELECT token, CAST(count(*) AS BIGINT) AS n FROM toks "
+            "GROUP BY token ORDER BY n DESC, token LIMIT 100"
         ),
         "events_props_sum": (
             "SELECT event_type, "

@@ -810,3 +810,78 @@ def top_orders_per_priority(sf_dir: str, k: int = 3):
     return grouped_topk(
         cents, "o_orderpriority", "total_cents", k, tiebreak_col="o_orderkey"
     )
+
+
+def docs_vocab(sf_dir: str, k: int = 100):
+    """Distributed vocabulary build: lowercase alnum tokens → per-batch
+    partial counts → one token-key shuffle → top-k by frequency.
+
+    The classic wordcount shape for corpus-level vocabulary/BPE seeding:
+    the shuffled payload is (token, partial_count) — bounded by the
+    per-batch DISTINCT token count, not the corpus token count — and the
+    final sort/limit moves only one row per distinct token.  Tokenizer
+    (split on ``[^a-z0-9]+`` after lower()) matches DuckDB's
+    ``regexp_split_to_array`` exactly, so the oracle value-checks the
+    whole pipeline."""
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), "[^a-z0-9]+")
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        return (
+            pa.table({"token": flat})
+            .group_by("token")
+            .aggregate([("token", "count")])
+            .rename_columns(["token", "p_cnt"])
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("p_cnt", alias_name="n"))
+    )
+    counts = agg.map_batches(
+        lambda t: pa.table({"token": t["token"], "n": pc.cast(t["n"], pa.int64())}),
+        batch_format="pyarrow",
+    )
+    return counts.sort(["n", "token"], descending=[True, False]).limit(k)
+
+
+def events_distinct_users(sf_dir: str):
+    """COUNT(DISTINCT) coverage: distinct users per event type via
+    two-level partial aggregation — per-batch pair dedup, one
+    (event_type, user_id) shuffle to finish the dedup, then a per-batch
+    count partial into the tiny per-type aggregate.  The shuffled rows
+    are the distinct pairs, never the raw event stream."""
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+
+    pairs = (
+        ds.map_batches(
+            lambda t: t.group_by(["event_type", "user_id"]).aggregate([]),
+            batch_format="pyarrow",
+        )
+        .groupby(["event_type", "user_id"])
+        .aggregate(Count(alias_name="_n"))
+    )
+    agg = (
+        pairs.map_batches(
+            lambda t: t.group_by("event_type")
+            .aggregate([("user_id", "count")])
+            .rename_columns(["event_type", "p_cnt"]),
+            batch_format="pyarrow",
+        )
+        .groupby("event_type")
+        .aggregate(Sum("p_cnt", alias_name="n_users"))
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "event_type": t["event_type"],
+                "n_users": pc.cast(t["n_users"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
