@@ -518,6 +518,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders_per_priority": _rel("top_orders_per_priority"),
         "events_distinct_users": _rel("events_distinct_users"),
         "docs_vocab": _rel("docs_vocab"),
+        "events_pivot": _rel("events_pivot"),
+        "orders_lag_gap": _rel("orders_lag_gap"),
+        "events_sliding_3h": _rel("events_sliding_3h"),
+        "lineitem_moments": _rel("lineitem_moments"),
+        "docs_tfidf_top_terms": _rel("docs_tfidf_top_terms"),
         "pipeline_counters": _q_pipeline_counters,
         "export_shards": _q_export_shards,
         # training-data ops
@@ -744,6 +749,57 @@ def oracle_sql() -> dict[str, str]:
             "x -> len(x) > 0)) AS token FROM documents) "
             "SELECT token, CAST(count(*) AS BIGINT) AS n FROM toks "
             "GROUP BY token ORDER BY n DESC, token LIMIT 100"
+        ),
+        "events_pivot": (
+            "SELECT event_type, "
+            + ", ".join(
+                "CAST(sum(CASE WHEN EXTRACT(hour FROM ts) >= {lo} AND "
+                "EXTRACT(hour FROM ts) < {hi} THEN 1 ELSE 0 END) AS BIGINT) "
+                "AS n_q{q}".format(lo=6 * q, hi=6 * (q + 1), q=q)
+                for q in range(4)
+            )
+            + " FROM events GROUP BY event_type"
+        ),
+        "orders_lag_gap": (
+            "SELECT o_orderkey, o_custkey, CAST(COALESCE(date_diff('day', "
+            "LAG(o_orderdate) OVER (PARTITION BY o_custkey "
+            "ORDER BY o_orderdate, o_orderkey), o_orderdate), -1) AS BIGINT) "
+            "AS gap_days FROM orders"
+        ),
+        "events_sliding_3h": (
+            "WITH h AS (SELECT date_trunc('hour', ts) AS hour, "
+            "count(*) AS c FROM events GROUP BY 1) "
+            "SELECT a.hour, CAST(sum(b.c) AS BIGINT) AS n_3h FROM h a "
+            "JOIN h b ON b.hour BETWEEN a.hour - INTERVAL 2 HOUR AND a.hour "
+            "GROUP BY a.hour"
+        ),
+        "lineitem_moments": (
+            "WITH x AS (SELECT l_returnflag, "
+            "CAST(round(l_quantity, 0) AS BIGINT) AS q, "
+            "CAST(round(l_discount * 1000000, 0) AS BIGINT) AS d FROM lineitem) "
+            "SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(q) AS BIGINT) AS sum_qty, "
+            "CAST(sum(q * q) AS BIGINT) AS sum_qty2, "
+            "CAST(sum(d) AS BIGINT) AS sum_disc_ppm, "
+            "CAST(sum(d * d) AS BIGINT) AS sum_disc_ppm2, "
+            "CAST(sum(q * d) AS BIGINT) AS sum_qty_disc "
+            "FROM x GROUP BY l_returnflag"
+        ),
+        "docs_tfidf_top_terms": (
+            "WITH toks AS (SELECT doc_id, unnest(list_filter("
+            "regexp_split_to_array(lower(text), '[^a-z0-9]+'), "
+            "x -> len(x) > 0)) AS token FROM documents), "
+            "tf AS (SELECT doc_id, token, count(*) AS tf "
+            "FROM toks GROUP BY doc_id, token), "
+            "df AS (SELECT token, count(*) AS df FROM tf GROUP BY token), "
+            "n AS (SELECT count(*) AS n_docs FROM documents), "
+            "scored AS (SELECT tf.doc_id, tf.token, "
+            "CAST(tf.tf * (n.n_docs // df.df) AS BIGINT) AS score "
+            "FROM tf JOIN df USING (token) CROSS JOIN n), "
+            "ranked AS (SELECT doc_id, token, score, CAST(row_number() OVER ("
+            "PARTITION BY doc_id ORDER BY score DESC, token) AS BIGINT) AS rnk "
+            "FROM scored) "
+            "SELECT doc_id, rnk, token, score FROM ranked WHERE rnk <= 5"
         ),
         "events_props_sum": (
             "SELECT event_type, "

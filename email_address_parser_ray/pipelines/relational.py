@@ -885,3 +885,290 @@ def events_distinct_users(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
+
+
+def events_pivot(sf_dir: str):
+    """Pivot via conditional aggregation: event counts per type across
+    the four 6-hour day quadrants, one column per quadrant.
+
+    The pivot happens inside the per-batch projection (each quadrant is
+    a vectorized 0/1 condition column summed in the partial group_by),
+    so the shuffle moves one already-pivoted row per (batch, type) and
+    no row-explosion or second pivot pass exists anywhere — the
+    scale-safe shape for a bounded column set."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        hod = pc.hour(t["ts"])
+        cols = {"event_type": t["event_type"]}
+        for q in range(4):
+            in_q = pc.and_(
+                pc.greater_equal(hod, pa.scalar(6 * q)),
+                pc.less(hod, pa.scalar(6 * (q + 1))),
+            )
+            cols[f"q{q}"] = pc.cast(in_q, pa.int64())
+        return (
+            pa.table(cols)
+            .group_by("event_type")
+            .aggregate([(f"q{q}", "sum") for q in range(4)])
+            .rename_columns(["event_type"] + [f"p{q}" for q in range(4)])
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(*[Sum(f"p{q}", alias_name=f"n_q{q}") for q in range(4)])
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {"event_type": t["event_type"]}
+            | {f"n_q{q}": pc.cast(t[f"n_q{q}"], pa.int64()) for q in range(4)}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def orders_lag_gap(sf_dir: str):
+    """LAG window coverage: per-customer gap in days between consecutive
+    orders (ordered by o_orderdate, o_orderkey; first order → -1).
+
+    Same bucketized-window shape as ``orders_running_total``: hash the
+    partition key to a bounded bucket count, one shuffle, then a
+    vectorized pandas groupby-shift inside each bucket — the window
+    never sees more than its bucket's rows and no global sort exists."""
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_orderdate"],
+    )
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = pc.cast(
+            pc.bit_wise_and(t["o_custkey"], pa.scalar(0x7FFFFFFF, pa.int64())),
+            pa.int64(),
+        )
+        return t.append_column(
+            "bucket",
+            pc.subtract(b, pc.multiply(pc.divide(b, N_JOIN_BUCKETS), N_JOIN_BUCKETS)),
+        )
+
+    def lag_gap(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(
+            ["o_custkey", "o_orderdate", "o_orderkey"], kind="mergesort"
+        )
+        prev = df.groupby("o_custkey", sort=False)["o_orderdate"].shift()
+        gap = (df["o_orderdate"] - prev).dt.days
+        return from_pandas_clean(pd.DataFrame(
+            {
+                "o_orderkey": df["o_orderkey"].to_numpy(),
+                "o_custkey": df["o_custkey"].to_numpy(),
+                "gap_days": gap.fillna(-1).astype("int64").to_numpy(),
+            }
+        ))
+
+    return (
+        orders.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(lag_gap, batch_format="pandas")
+    )
+
+
+def events_sliding_3h(sf_dir: str):
+    """Sliding-window aggregate: for every hour that has events, the
+    event count over the trailing 3-hour window (that hour + the two
+    before it).
+
+    Shape: tumbling hourly partial counts (one small shuffle), then
+    each hourly count is *re-emitted* at its three target hours and
+    re-aggregated — the sliding window is a flat-map + groupby over the
+    hourly aggregate, never over raw events.  The hourly aggregate is
+    materialized once (it is bounded by the time range, not the data
+    volume: a decade is <90k rows) and the existing-hour set is
+    broadcast via ``ray.put`` to filter out window positions with no
+    anchor hour — a dimension-side broadcast, not a shuffle join."""
+    import ray
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(t["ts"], unit="hour")
+        return (
+            pa.table({"hour": hour})
+            .group_by("hour")
+            .aggregate([("hour", "count")])
+            .rename_columns(["hour", "p_cnt"])
+        )
+
+    hourly = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("hour")
+        .aggregate(Sum("p_cnt", alias_name="c"))
+    ).materialize()
+    hours_ref = ray.put(
+        pa.concat_tables(ray.get(hourly.to_arrow_refs()))["hour"].combine_chunks()
+    )
+
+    def shift_emit(t: pa.Table) -> pa.Table:
+        parts = []
+        for d in range(3):
+            shifted = pc.add(
+                t["hour"], pa.scalar(d * 3600 * 1_000_000, pa.duration("us"))
+            )
+            parts.append(pa.table({"target_hour": shifted, "c": t["c"]}))
+        merged = pa.concat_tables(parts)
+        return (
+            merged.group_by("target_hour")
+            .aggregate([("c", "sum")])
+            .rename_columns(["target_hour", "p_sum"])
+        )
+
+    shifted = (
+        hourly.map_batches(shift_emit, batch_format="pyarrow")
+        .groupby("target_hour")
+        .aggregate(Sum("p_sum", alias_name="n_3h"))
+    )
+
+    def keep_existing(t: pa.Table) -> pa.Table:
+        hours = ray.get(hours_ref)
+        mask = pc.is_in(t["target_hour"], value_set=hours)
+        kept = t.filter(mask)
+        return pa.table(
+            {"hour": kept["target_hour"], "n_3h": pc.cast(kept["n_3h"], pa.int64())}
+        )
+
+    return shifted.map_batches(keep_existing, batch_format="pyarrow")
+
+
+def lineitem_moments(sf_dir: str):
+    """One-pass distributed numeric moments per return flag: exact
+    integer sums (n, Σx, Σx², Σy, Σy², Σxy) over quantity and discount
+    (in ppm), sufficient to derive mean/variance/covariance/correlation
+    downstream without a second pass.
+
+    All six accumulators are int64-exact (quantity ≤ 50, discount ppm ≤
+    100k ⇒ no overflow below ~10¹² rows per flag), so the result hashes
+    identically to the SQL oracle regardless of combine order — the
+    float-free way to value-check a distributed moments aggregate."""
+    ds = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_discount"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        qty = pc.cast(
+            pc.round(t["l_quantity"], round_mode="half_towards_infinity"), pa.int64()
+        )
+        ppm = pc.cast(
+            pc.round(
+                pc.multiply(t["l_discount"], pa.scalar(1_000_000.0)),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        tab = pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "one": pa.array(np.ones(len(qty), dtype=np.int64)),
+                "sx": qty,
+                "sx2": pc.multiply(qty, qty),
+                "sy": ppm,
+                "sy2": pc.multiply(ppm, ppm),
+                "sxy": pc.multiply(qty, ppm),
+            }
+        )
+        return (
+            tab.group_by("l_returnflag")
+            .aggregate([(c, "sum") for c in ("one", "sx", "sx2", "sy", "sy2", "sxy")])
+            .rename_columns(
+                ["l_returnflag", "p_n", "p_sx", "p_sx2", "p_sy", "p_sy2", "p_sxy"]
+            )
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(
+            Sum("p_n", alias_name="n"),
+            Sum("p_sx", alias_name="sum_qty"),
+            Sum("p_sx2", alias_name="sum_qty2"),
+            Sum("p_sy", alias_name="sum_disc_ppm"),
+            Sum("p_sy2", alias_name="sum_disc_ppm2"),
+            Sum("p_sxy", alias_name="sum_qty_disc"),
+        )
+    )
+    cols = ["n", "sum_qty", "sum_qty2", "sum_disc_ppm", "sum_disc_ppm2", "sum_qty_disc"]
+    return agg.map_batches(
+        lambda t: pa.table(
+            {"l_returnflag": t["l_returnflag"]}
+            | {c: pc.cast(t[c], pa.int64()) for c in cols}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def docs_tfidf_top_terms(sf_dir: str, k: int = 5):
+    """Per-document top-k TF-IDF terms with an integer-exact IDF
+    (idf = n_docs // df, C-style integer division) so every score is a
+    deterministic int64 and the whole pipeline value-checks against the
+    SQL replay.
+
+    Shape: tokenize → one (doc_id, token) shuffle for exact TF; DF is
+    then derived *in place* by co-locating the TF rows by token-hash
+    bucket (the TF set already has one row per distinct doc-token pair,
+    so a token's group size IS its document frequency) and scoring with
+    a vectorized pandas transform inside each bucket — no second
+    shuffle, no join, no broadcast of the vocabulary.  The per-doc
+    top-k goes through ``grouped_topk``'s partial-prune so at most k
+    rows per (block, doc) ever move in the final shuffle.  Skew note:
+    a stopword-grade token contributes ~n_docs TF rows to its bucket;
+    production corpora should pre-filter df>50% tokens (standard
+    tf-idf practice) to bound bucket width."""
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    n_docs = docs.count()
+
+    def doc_token_partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), "[^a-z0-9]+")
+        flat = pc.list_flatten(toks)
+        doc = pc.take(t["doc_id"], pc.list_parent_indices(toks))
+        tab = pa.table({"doc_id": doc, "token": flat}).filter(
+            pc.not_equal(flat, "")
+        )
+        return (
+            tab.group_by(["doc_id", "token"])
+            .aggregate([("token", "count")])
+            .rename_columns(["doc_id", "token", "p_tf"])
+        )
+
+    tf = (
+        docs.map_batches(doc_token_partial, batch_format="pyarrow")
+        .groupby(["doc_id", "token"])
+        .aggregate(Sum("p_tf", alias_name="tf"))
+    )
+
+    def add_token_bucket(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            t = pa.schema(
+                [("doc_id", pa.int64()), ("token", pa.string()), ("tf", pa.int64())]
+            ).empty_table()
+        h = pd.util.hash_pandas_object(t["token"].to_pandas(), index=False)
+        return t.append_column(
+            "bucket",
+            pa.array((h % N_JOIN_BUCKETS).astype(np.int64).to_numpy(), pa.int64()),
+        )
+
+    def score_bucket(df: pd.DataFrame) -> pa.Table:
+        dfc = df.groupby("token", sort=False)["doc_id"].transform("size")
+        idf = (n_docs // dfc).to_numpy(dtype=np.int64)
+        return from_pandas_clean(pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(dtype=np.int64),
+                "token": df["token"].to_numpy(),
+                "score": df["tf"].to_numpy(dtype=np.int64) * idf,
+            }
+        ))
+
+    scored = (
+        tf.map_batches(add_token_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(score_bucket, batch_format="pandas")
+    )
+    return grouped_topk(scored, "doc_id", "score", k, tiebreak_col="token")
