@@ -265,6 +265,14 @@ def _q_docs_token_stats(sf_dir: str):
     return docs.map_batches(token_stats, batch_format="pyarrow")
 
 
+def _q_docs_pack_bins(sf_dir: str):
+    from email_address_parser_ray.sources.io import read_parquet_clean
+    from email_address_parser_ray.stages.packing import pack_bins
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return pack_bins(docs, cap=2048)
+
+
 def _q_docs_quality(sf_dir: str):
     from email_address_parser_ray.sources.io import read_parquet_clean
     from email_address_parser_ray.functions.textstats import quality_stats
@@ -523,6 +531,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding_3h": _rel("events_sliding_3h"),
         "lineitem_moments": _rel("lineitem_moments"),
         "docs_tfidf_top_terms": _rel("docs_tfidf_top_terms"),
+        "customers_order_stats": _rel("customers_order_stats"),
+        "docs_sample_per_lang": _rel("docs_sample_per_lang"),
+        "docs_pack_bins": _q_docs_pack_bins,
         "pipeline_counters": _q_pipeline_counters,
         "export_shards": _q_export_shards,
         # training-data ops
@@ -800,6 +811,33 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY doc_id ORDER BY score DESC, token) AS BIGINT) AS rnk "
             "FROM scored) "
             "SELECT doc_id, rnk, token, score FROM ranked WHERE rnk <= 5"
+        ),
+        "customers_order_stats": (
+            "WITH agg AS (SELECT o_custkey, "
+            "CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) "
+            "AS cents, CAST(count(*) AS BIGINT) AS cnt "
+            "FROM orders GROUP BY o_custkey) "
+            "SELECT c_custkey, CAST(COALESCE(cnt, 0) AS BIGINT) AS n_orders, "
+            "CAST(COALESCE(cents, 0) AS BIGINT) AS total_cents "
+            "FROM customer LEFT JOIN agg ON c_custkey = o_custkey"
+        ),
+        "docs_sample_per_lang": (
+            "WITH ranked AS (SELECT lang, doc_id, "
+            "md5('7|' || CAST(doc_id AS VARCHAR)) AS rank_key, "
+            "CAST(row_number() OVER (PARTITION BY lang "
+            "ORDER BY md5('7|' || CAST(doc_id AS VARCHAR)) DESC, doc_id) "
+            "AS BIGINT) AS rnk FROM documents) "
+            "SELECT lang, rnk, doc_id, rank_key FROM ranked WHERE rnk <= 10"
+        ),
+        "docs_pack_bins": (
+            "WITH t AS (SELECT doc_id, "
+            "CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) "
+            "AS n_tokens FROM documents), "
+            "c AS (SELECT doc_id, n_tokens, SUM(n_tokens) OVER ("
+            "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+            ") - n_tokens AS start_off FROM t) "
+            "SELECT doc_id, n_tokens, CAST(start_off // 2048 AS BIGINT) AS bin "
+            "FROM c"
         ),
         "events_props_sum": (
             "SELECT event_type, "

@@ -1172,3 +1172,82 @@ def docs_tfidf_top_terms(sf_dir: str, k: int = 5):
         .map_groups(score_bucket, batch_format="pandas")
     )
     return grouped_topk(scored, "doc_id", "score", k, tiebreak_col="token")
+
+
+def customers_order_stats(sf_dir: str):
+    """LEFT OUTER join coverage: every customer with order count and
+    lifetime spend in integer cents — zero-order customers kept with
+    explicit zeros.
+
+    Both sides are fact-sized at the design point, so the outer join is
+    the native hash-partitioned ``Dataset.join``; the orders side is
+    pre-aggregated per batch (one row per (batch, custkey)) before the
+    shuffle, and per-order cents rounding happens BEFORE the sum so the
+    int64 totals hash identically to the SQL replay."""
+    from ..stages.joins import hash_join
+
+    cust = read_parquet_clean(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (
+            pa.table({"o_custkey": t["o_custkey"], "cents": _cents(t["o_totalprice"])})
+            .group_by("o_custkey")
+            .aggregate([("cents", "sum"), ("cents", "count")])
+            .rename_columns(["o_custkey", "p_cents", "p_cnt"])
+        )
+
+    agg = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(
+            Sum("p_cents", alias_name="cents"), Sum("p_cnt", alias_name="cnt")
+        )
+    )
+    joined = hash_join(
+        cust, agg, on="c_custkey", right_on="o_custkey", join_type="left_outer"
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        zero = pa.scalar(0, pa.int64())
+        return pa.table(
+            {
+                "c_custkey": pc.cast(t["c_custkey"], pa.int64()),
+                "n_orders": pc.coalesce(pc.cast(t["cnt"], pa.int64()), zero),
+                "total_cents": pc.coalesce(pc.cast(t["cents"], pa.int64()), zero),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def docs_sample_per_lang(sf_dir: str, k: int = 10, seed: int = 7):
+    """Stratified deterministic sampling: exactly k documents per
+    language, chosen by md5 rank so the pick is invariant to
+    partitioning, retries, and cluster size (the property a resumable
+    held-out split needs), and exactly reproducible in SQL.
+
+    The rank key is ``md5('{seed}|{doc_id}')``; ``grouped_topk``'s
+    partial per-block prune means at most k rows per (block, lang)
+    ever shuffle — never the corpus."""
+    import hashlib
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+
+    def add_rank_key(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        keys = [
+            hashlib.md5(f"{seed}|{i}".encode("utf-8")).hexdigest() for i in ids
+        ]
+        return pa.table(
+            {
+                "lang": t["lang"],
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "rank_key": pa.array(keys, pa.string()),
+            }
+        )
+
+    ranked = docs.map_batches(add_rank_key, batch_format="pyarrow")
+    return grouped_topk(ranked, "lang", "rank_key", k, tiebreak_col="doc_id")

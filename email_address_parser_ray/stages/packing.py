@@ -1,0 +1,84 @@
+"""Sequence packing via a distributed prefix scan.
+
+The concat-and-chunk packing used for LLM pre-training batches: lay the
+corpus out in a deterministic global order, accumulate token counts,
+and assign every document to the fixed-token-budget bin its *start
+offset* falls in (``bin = start_offset // cap``).  The hard part is the
+global running offset — an inherently sequential scan — done here as
+the classic two-pass parallel prefix sum:
+
+1. one pass computes each sorted block's token TOTAL in parallel
+   (tiny per-block Ray tasks returning one int each);
+2. the driver exclusive-scans the block totals — O(num_blocks) state,
+   never row data;
+3. a second parallel pass computes each block's LOCAL exclusive cumsum
+   and adds its block offset.
+
+This is one of the few operators expressed with raw ``@ray.remote``
+tasks rather than ``map_batches``: a prefix scan needs each task to
+know its block's position in the global order, which the Dataset map
+API deliberately hides.  Partitioning assumption: the input is
+range-sorted by ``doc_id`` (Ray's distributed sort provides it); block
+refs from ``to_arrow_refs()`` preserve that order.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+DEFAULT_CAP = 2048
+
+_SCHEMA = pa.schema(
+    [("doc_id", pa.int64()), ("n_tokens", pa.int64()), ("bin", pa.int64())]
+)
+
+
+def _token_counts(batch: pa.Table) -> pa.Table:
+    # same whitespace tokenizer as functions/textstats.token_stats
+    return pa.table(
+        {
+            "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+            "n_tokens": pc.cast(
+                pc.count_substring_regex(batch["text"], r"\S+"), pa.int64()
+            ),
+        }
+    )
+
+
+def pack_bins(docs_ds, cap: int = DEFAULT_CAP):
+    """(doc_id, n_tokens, bin) with ``bin = global_start_offset // cap``
+    under doc_id order.  ``docs_ds`` must have doc_id + text columns."""
+    import ray
+    import ray.data as rd
+
+    counts = docs_ds.map_batches(_token_counts, batch_format="pyarrow").sort("doc_id")
+    refs = counts.to_arrow_refs()
+
+    @ray.remote(num_cpus=0.5)
+    def block_total(tab: pa.Table) -> int:
+        if tab.num_columns == 0 or len(tab) == 0:
+            return 0
+        return int(pc.sum(tab["n_tokens"]).as_py() or 0)
+
+    @ray.remote(num_cpus=0.5)
+    def assign(tab: pa.Table, offset: int, cap: int) -> pa.Table:
+        if tab.num_columns == 0 or len(tab) == 0:
+            return _SCHEMA.empty_table()
+        n = tab["n_tokens"].to_numpy(zero_copy_only=False).astype(np.int64)
+        starts = offset + np.concatenate(([0], np.cumsum(n)[:-1]))
+        return pa.table(
+            {
+                "doc_id": tab["doc_id"],
+                "n_tokens": tab["n_tokens"],
+                "bin": pa.array(starts // cap, pa.int64()),
+            }
+        )
+
+    totals = ray.get([block_total.remote(r) for r in refs])
+    offsets = np.concatenate(([0], np.cumsum(totals)[:-1])).astype(np.int64)
+    out_refs = [
+        assign.remote(r, int(off), int(cap)) for r, off in zip(refs, offsets)
+    ]
+    return rd.from_arrow_refs(out_refs)

@@ -182,3 +182,91 @@ def test_docs_tfidf_matches_pure_python(ray_session, tmp_path):
         sub = got[got["doc_id"] == i].sort_values("rnk")
         assert list(sub["token"]) == [w for _, w in scored]
         assert list(sub["score"]) == [-s for s, _ in scored]
+
+
+def test_pack_bins_partition_invariant_prefix_sum(ray_session):
+    import ray.data as rd
+
+    from email_address_parser_ray.stages.packing import pack_bins
+
+    rng = np.random.RandomState(9)
+    n = 400
+    texts = [" ".join(["w"] * rng.randint(1, 120)) for _ in range(n)]
+    t = pa.table(
+        {"doc_id": pa.array(range(n), pa.int64()), "text": pa.array(texts)}
+    )
+    tokens = np.array([len(s.split()) for s in texts], dtype=np.int64)
+    starts = np.concatenate(([0], np.cumsum(tokens)[:-1]))
+    want = starts // 256
+
+    for blocks in (1, 7, 32):
+        ds = rd.from_arrow(t).repartition(blocks)
+        got = (
+            pack_bins(ds, cap=256)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert (got["n_tokens"].to_numpy() == tokens).all()
+        assert (got["bin"].to_numpy() == want).all(), blocks
+
+
+def test_customers_order_stats_keeps_zero_order_customers(ray_session, tmp_path):
+    rng = np.random.RandomState(10)
+    n_cust, n_ord = 300, 900
+    cust = pa.table({"c_custkey": pa.array(range(n_cust), pa.int64())})
+    ckeys = rng.randint(0, n_cust // 2, size=n_ord)  # half never order
+    orders = pa.table(
+        {
+            "o_custkey": pa.array(ckeys, pa.int64()),
+            "o_totalprice": pa.array(rng.rand(n_ord) * 500),
+        }
+    )
+    pq.write_table(cust, str(tmp_path / "customer.parquet"))
+    pq.write_table(orders, str(tmp_path / "orders.parquet"))
+    got = (
+        relational.customers_order_stats(str(tmp_path))
+        .to_pandas()
+        .set_index("c_custkey")
+        .sort_index()
+    )
+    assert len(got) == n_cust
+    cents = np.rint(orders["o_totalprice"].to_numpy() * 100).astype(np.int64)
+    want = pd.DataFrame({"k": ckeys, "c": cents}).groupby("k")["c"].agg(["count", "sum"])
+    for k in range(n_cust):
+        if k in want.index:
+            assert got.loc[k, "n_orders"] == want.loc[k, "count"]
+            assert got.loc[k, "total_cents"] == want.loc[k, "sum"]
+        else:
+            assert got.loc[k, "n_orders"] == 0
+            assert got.loc[k, "total_cents"] == 0
+
+
+def test_sample_per_lang_partition_invariant(ray_session, tmp_path):
+    rng = np.random.RandomState(12)
+    n = 600
+    langs = np.array(["en", "es", "fr", "de"])[rng.randint(0, 4, size=n)]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(["x"] * n),
+            "lang": pa.array(langs),
+            "source": pa.array(["t"] * n),
+            "n_chars": pa.array([1] * n, pa.int64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    a = (
+        relational.docs_sample_per_lang(str(tmp_path), k=5)
+        .to_pandas()
+        .sort_values(["lang", "rnk"])
+        .reset_index(drop=True)
+    )
+    b = (
+        relational.docs_sample_per_lang(str(tmp_path), k=5)
+        .to_pandas()
+        .sort_values(["lang", "rnk"])
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
+    assert (a.groupby("lang").size() == 5).all()
