@@ -6,7 +6,7 @@ Stage graph (every arrow is streaming; shuffles marked):
     read_parquet(transcripts)                      [column-pruned read]
       → map_batches(extract_mentions)              [stateless, vectorized]
       → build_nodes: partial agg + groupby(address)      [shuffle 1]
-      → explode_block_keys → groupby(block_key) pairs    [shuffle 2]
+      → explode_block_keys → slim int64-key shuffle → pairs  [shuffle 2]
       → map_batches(PairScorer actor pool)         [stateful actor pool]
       → connected_components                       [iterated shuffles]
       → assignments (address, cluster_id) joined back onto mentions

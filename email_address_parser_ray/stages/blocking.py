@@ -135,13 +135,27 @@ def explode_block_keys(batch: pa.Table) -> pa.Table:
     dom = pc.utf8_lower(batch["domain_canon"])
     prefix = pc.utf8_slice_codeunits(dot, 0, 4)
     suffix = pc.utf8_slice_codeunits(pc.utf8_reverse(dot), 0, 4)
-    base = batch.append_column("dotless", dot).append_column("domain_key", dom)
+    # only the columns a consumer actually reads leave this stage
+    # (emit: address/dotless/pass_tag; hot_blocks: block_key) — the
+    # node's other columns would otherwise multiply the exploded payload
+    base = pa.table(
+        {"address": batch["address"], "dotless": dot, "domain_key": dom}
+    )
     parts: List[pa.Table] = []
+
+    def _part(src: pa.Table, key, tag: str) -> pa.Table:
+        return pa.table(
+            {
+                "address": src["address"],
+                "dotless": src["dotless"],
+                "block_key": key,
+                "pass_tag": pa.array([tag] * src.num_rows, pa.string()),
+            }
+        )
+
     for tag, key_part in (("d", dot), ("p", prefix), ("s", suffix)):
         key = pc.binary_join_element_wise(dom, pa.scalar(tag), key_part, "|")
-        parts.append(base.append_column("block_key", key).append_column(
-            "pass_tag", pa.array([tag] * batch.num_rows, pa.string())
-        ))
+        parts.append(_part(base, key, tag))
     # deletion-neighborhood pass, fully vectorized: one Arrow slice-pair
     # per deletion position (<= DEL_KEY_MAX_LEN passes over the batch)
     # instead of a per-node Python loop — the loop was the stage's
@@ -167,11 +181,7 @@ def explode_block_keys(batch: pa.Table) -> pa.Table:
             key = pc.binary_join_element_wise(
                 sub["domain_key"], pa.scalar(f"e{i}"), deleted, "|"
             )
-            parts.append(
-                sub.append_column("block_key", key).append_column(
-                    "pass_tag", pa.array(["e"] * sub.num_rows, pa.string())
-                )
-            )
+            parts.append(_part(sub, key, "e"))
     return pa.concat_tables(parts)
 
 
@@ -182,12 +192,29 @@ def explode_block_keys(batch: pa.Table) -> pa.Table:
 _PAIR_SIDE_COLS = ["address"]
 
 
-def add_block_bucket(batch: pa.Table, n_buckets: int = N_PAIR_BUCKETS) -> pa.Table:
-    """Stable hash-bucket of the block key (explicit partitioned hash join:
-    one coarse shuffle key instead of millions of tiny groupby groups)."""
-    h = pd.util.hash_pandas_object(batch["block_key"].to_pandas(), index=False)
-    return batch.append_column(
-        "bucket", pa.array((h % n_buckets).astype(np.int64).to_numpy(), pa.int64())
+def slim_hash_keys(batch: pa.Table, n_buckets: int = N_PAIR_BUCKETS) -> pa.Table:
+    """Shuffle-payload minimizer for the pair shuffle: the block-key
+    STRING is replaced by its deterministic 64-bit hash (`key_hash`) and
+    the pass tag by a single `is_d` flag, so the all-to-all ships only
+    (key_hash, bucket, address, dotless, is_d) — the key strings (the
+    widest column) never leave the map side.  A 64-bit collision merges
+    two blocks, which can only ADD candidate pairs (recall is preserved;
+    the scorer filters precision), with ~n²/2⁶⁵ expected extra merges.
+
+    Fuses with ``explode_block_keys`` into one map task, so the dropped
+    columns never hit the object store."""
+    h = (
+        pd.util.hash_pandas_object(batch["block_key"].to_pandas(), index=False)
+        .to_numpy()
+    )
+    return pa.table(
+        {
+            "key_hash": pa.array(h.view(np.int64), pa.int64()),
+            "bucket": pa.array((h % n_buckets).astype(np.int64), pa.int64()),
+            "address": batch["address"],
+            "dotless": batch["dotless"],
+            "is_d": pc.cast(pc.equal(batch["pass_tag"], "d"), pa.int8()),
+        }
     )
 
 
@@ -195,7 +222,7 @@ def emit_pairs_bucket(df: pd.DataFrame) -> pd.DataFrame:
     """Vectorized candidate-pair emission over one whole bucket of blocks.
 
     All blocks in the bucket are processed with numpy segment arithmetic
-    (sort by block_key → group offsets → concatenated triu indices); the
+    (sort by key_hash → group offsets → concatenated triu indices); the
     per-group Python work is just index-array construction, never pandas
     object creation.  Rules preserved from the per-block version:
 
@@ -211,8 +238,8 @@ def emit_pairs_bucket(df: pd.DataFrame) -> pd.DataFrame:
     n = len(df)
     if n < 2:
         return empty
-    g = df.sort_values(["block_key", "address"], kind="mergesort").reset_index(drop=True)
-    keys = g["block_key"].to_numpy()
+    g = df.sort_values(["key_hash", "address"], kind="mergesort").reset_index(drop=True)
+    keys = g["key_hash"].to_numpy()
     starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
     ends = np.r_[starts[1:], n]
     ia_parts = []
@@ -235,8 +262,7 @@ def emit_pairs_bucket(df: pd.DataFrame) -> pd.DataFrame:
         return empty
     ia = np.concatenate(ia_parts)
     ib = np.concatenate(ib_parts)
-    tags = g["pass_tag"].to_numpy()
-    nond = tags[ia] != "d"  # p/s/e passes: skip dotless-equal (d| covers them)
+    nond = g["is_d"].to_numpy()[ia] == 0  # p/s/e passes: skip dotless-equal
     keep = ~(nond & (dotless[ia] == dotless[ib]))
     ia, ib = ia[keep], ib[keep]
     if len(ia) == 0:
@@ -261,7 +287,7 @@ def candidate_pairs(nodes_ds, n_buckets: int = N_PAIR_BUCKETS):
         nodes_ds.repartition(max(8, cpus))
         .map_batches(explode_block_keys, batch_format="pyarrow")
         .map_batches(
-            lambda t: add_block_bucket(t, n_buckets), batch_format="pyarrow"
+            lambda t: slim_hash_keys(t, n_buckets), batch_format="pyarrow"
         )
         .groupby("bucket")
         .map_groups(emit_pairs_bucket, batch_format="pandas")
