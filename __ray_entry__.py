@@ -122,6 +122,42 @@ def _q_resolve_clusters(sf_dir: str):
     return cluster_sizes(res["clusters"])
 
 
+def _q_incremental_clusters(sf_dir: str):
+    """Two-day incremental run: resolve the even-conv half from scratch,
+    fold the odd-conv half in via ``incremental_resolve`` (old-old pairs
+    never re-scored), and report cluster sizes.  Oracle: identical to
+    ``resolve_clusters`` — the incremental path is exact vs a full
+    recompute (tests/test_incremental_resolve.py pins edge-set and
+    cluster equality)."""
+    from email_address_parser_ray.pipelines.incremental import incremental_resolve
+    from email_address_parser_ray.pipelines.resolve import (
+        cluster_sizes, extract_mentions, read_transcripts,
+    )
+    from email_address_parser_ray.stages.blocking import build_nodes, candidate_pairs
+    from email_address_parser_ray.stages.scoring import score_pairs
+
+    root = _tcache(sf_dir)
+    mentions = extract_mentions(read_transcripts(f"{root}/transcripts"))
+
+    def half(keep_even):
+        def f(t: pa.Table) -> pa.Table:
+            import numpy as np
+
+            par = np.array(
+                [ord(s[-1]) % 2 == 0 for s in t["conv_id"].to_pylist()], dtype=bool
+            )
+            return t.filter(pa.array(par if keep_even else ~par))
+
+        return f
+
+    m_old = mentions.map_batches(half(True), batch_format="pyarrow")
+    m_new = mentions.map_batches(half(False), batch_format="pyarrow")
+    nodes_old = build_nodes(m_old).materialize()
+    edges_old = score_pairs(candidate_pairs(nodes_old))
+    inc = incremental_resolve(nodes_old, edges_old, m_new)
+    return cluster_sizes(inc["clusters"])
+
+
 def _q_match_edges(sf_dir: str):
     """Accepted match pairs, normalized (addr_a < addr_b) and deduped
     across blocking passes, with the accept rule.  Oracle: the scorer's
@@ -502,6 +538,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "turn_roundtrip": _q_turn_roundtrip,
         "exact_entities": _q_exact_entities,
         "resolve_clusters": _q_resolve_clusters,
+        "incremental_clusters": _q_incremental_clusters,
         "match_edges": _q_match_edges,
         "f1_report": _q_f1_report,
         "hot_blocks": _q_hot_blocks,
@@ -666,6 +703,15 @@ def oracle_sql() -> dict[str, str]:
             f"FROM {gm} GROUP BY address"
         ),
         "resolve_clusters": (
+            f"WITH mentioned AS (SELECT DISTINCT address FROM {gm}), "
+            f"surf AS (SELECT DISTINCT g.entity_id, g.address FROM {ge} g "
+            f"JOIN mentioned m USING (address)), "
+            f"sz AS (SELECT entity_id, CAST(count(*) AS BIGINT) AS cluster_size "
+            f"FROM surf GROUP BY entity_id) "
+            f"SELECT surf.address AS address, sz.cluster_size AS cluster_size "
+            f"FROM surf JOIN sz USING (entity_id)"
+        ),
+        "incremental_clusters": (
             f"WITH mentioned AS (SELECT DISTINCT address FROM {gm}), "
             f"surf AS (SELECT DISTINCT g.entity_id, g.address FROM {ge} g "
             f"JOIN mentioned m USING (address)), "

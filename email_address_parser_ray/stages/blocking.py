@@ -75,17 +75,18 @@ def _rederive_node_columns(batch: pa.Table) -> pa.Table:
     t = tokenize_batch(
         pa.table({"address": batch["address"]}), "address", is_lax=True
     )
-    return pa.table(
-        {
-            "address": batch["address"],
-            "local_part": t["local_part"],
-            "domain": t["domain"],
-            "local_canon": t["local_canon"],
-            "domain_canon": t["domain_canon"],
-            "canonical_key": t["canonical_key"],
-            "n_mentions": batch["n_mentions"],
-        }
-    )
+    cols = {
+        "address": batch["address"],
+        "local_part": t["local_part"],
+        "domain": t["domain"],
+        "local_canon": t["local_canon"],
+        "domain_canon": t["domain_canon"],
+        "canonical_key": t["canonical_key"],
+        "n_mentions": batch["n_mentions"],
+    }
+    if "is_new" in batch.column_names:  # incremental-resolve marker
+        cols["is_new"] = batch["is_new"]
+    return pa.table(cols)
 
 
 def build_nodes(mentions_ds, n_buckets: int = N_PAIR_BUCKETS):
@@ -138,20 +139,22 @@ def explode_block_keys(batch: pa.Table) -> pa.Table:
     # only the columns a consumer actually reads leave this stage
     # (emit: address/dotless/pass_tag; hot_blocks: block_key) — the
     # node's other columns would otherwise multiply the exploded payload
-    base = pa.table(
-        {"address": batch["address"], "dotless": dot, "domain_key": dom}
-    )
+    base_cols = {"address": batch["address"], "dotless": dot, "domain_key": dom}
+    if "is_new" in batch.column_names:  # incremental-resolve marker
+        base_cols["is_new"] = batch["is_new"]
+    base = pa.table(base_cols)
     parts: List[pa.Table] = []
 
     def _part(src: pa.Table, key, tag: str) -> pa.Table:
-        return pa.table(
-            {
-                "address": src["address"],
-                "dotless": src["dotless"],
-                "block_key": key,
-                "pass_tag": pa.array([tag] * src.num_rows, pa.string()),
-            }
-        )
+        cols = {
+            "address": src["address"],
+            "dotless": src["dotless"],
+            "block_key": key,
+            "pass_tag": pa.array([tag] * src.num_rows, pa.string()),
+        }
+        if "is_new" in src.column_names:
+            cols["is_new"] = src["is_new"]
+        return pa.table(cols)
 
     for tag, key_part in (("d", dot), ("p", prefix), ("s", suffix)):
         key = pc.binary_join_element_wise(dom, pa.scalar(tag), key_part, "|")
@@ -207,15 +210,16 @@ def slim_hash_keys(batch: pa.Table, n_buckets: int = N_PAIR_BUCKETS) -> pa.Table
         pd.util.hash_pandas_object(batch["block_key"].to_pandas(), index=False)
         .to_numpy()
     )
-    return pa.table(
-        {
-            "key_hash": pa.array(h.view(np.int64), pa.int64()),
-            "bucket": pa.array((h % n_buckets).astype(np.int64), pa.int64()),
-            "address": batch["address"],
-            "dotless": batch["dotless"],
-            "is_d": pc.cast(pc.equal(batch["pass_tag"], "d"), pa.int8()),
-        }
-    )
+    cols = {
+        "key_hash": pa.array(h.view(np.int64), pa.int64()),
+        "bucket": pa.array((h % n_buckets).astype(np.int64), pa.int64()),
+        "address": batch["address"],
+        "dotless": batch["dotless"],
+        "is_d": pc.cast(pc.equal(batch["pass_tag"], "d"), pa.int8()),
+    }
+    if "is_new" in batch.column_names:
+        cols["is_new"] = pc.cast(batch["is_new"], pa.int8())
+    return pa.table(cols)
 
 
 def emit_pairs_bucket(df: pd.DataFrame) -> pd.DataFrame:
@@ -264,6 +268,12 @@ def emit_pairs_bucket(df: pd.DataFrame) -> pd.DataFrame:
     ib = np.concatenate(ib_parts)
     nond = g["is_d"].to_numpy()[ia] == 0  # p/s/e passes: skip dotless-equal
     keep = ~(nond & (dotless[ia] == dotless[ib]))
+    if "is_new" in g.columns:
+        # incremental mode: pairs between two already-resolved addresses
+        # were scored in a previous run — only pairs touching a new
+        # surface leave this stage
+        new = g["is_new"].to_numpy() != 0
+        keep &= new[ia] | new[ib]
     ia, ib = ia[keep], ib[keep]
     if len(ia) == 0:
         return empty
