@@ -301,6 +301,44 @@ def _q_docs_token_stats(sf_dir: str):
     return docs.map_batches(token_stats, batch_format="pyarrow")
 
 
+def _q_events_pagerank(sf_dir: str):
+    """Integer-exact PageRank (2 damped iterations) over the bipartite
+    user ↔ event-type graph; the DuckDB oracle replays the iterations
+    as chained CTEs with the same int64 arithmetic."""
+    from ray.data.aggregate import Count
+    from email_address_parser_ray.sources.io import read_parquet_clean
+    from email_address_parser_ray.stages.graph import pagerank_integer
+
+    ev = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        return t.group_by(["user_id", "event_type"]).aggregate([])
+
+    edges = (
+        ev.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["user_id", "event_type"])
+        .aggregate(Count(alias_name="_n"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "src": pc.binary_join_element_wise(
+                        pa.array(["u:"] * len(t)),
+                        pc.cast(t["user_id"], pa.string()),
+                        "",
+                    ),
+                    "dst": pc.binary_join_element_wise(
+                        pa.array(["t:"] * len(t)), t["event_type"], ""
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    return pagerank_integer(edges, iters=2)
+
+
 def _q_docs_pack_bins(sf_dir: str):
     from email_address_parser_ray.sources.io import read_parquet_clean
     from email_address_parser_ray.stages.packing import pack_bins
@@ -571,6 +609,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_order_stats": _rel("customers_order_stats"),
         "docs_sample_per_lang": _rel("docs_sample_per_lang"),
         "docs_pack_bins": _q_docs_pack_bins,
+        "events_pagerank": _q_events_pagerank,
         "pipeline_counters": _q_pipeline_counters,
         "export_shards": _q_export_shards,
         # training-data ops
@@ -874,6 +913,26 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY md5('7|' || CAST(doc_id AS VARCHAR)) DESC, doc_id) "
             "AS BIGINT) AS rnk FROM documents) "
             "SELECT lang, rnk, doc_id, rank_key FROM ranked WHERE rnk <= 10"
+        ),
+        "events_pagerank": (
+            "WITH e0 AS (SELECT DISTINCT 'u:' || CAST(user_id AS VARCHAR) AS src, "
+            "'t:' || event_type AS dst FROM events), "
+            "e AS (SELECT src, dst FROM e0 "
+            "UNION ALL SELECT dst AS src, src AS dst FROM e0), "
+            "deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d "
+            "FROM e GROUP BY src), "
+            "r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM deg), "
+            "c1 AS (SELECT e.dst AS node, sum(r0.r // deg.d) AS s FROM e "
+            "JOIN r0 ON e.src = r0.node JOIN deg ON e.src = deg.node "
+            "GROUP BY e.dst), "
+            "r1 AS (SELECT c1.node, CAST(150000 + (85 * c1.s) // 100 AS BIGINT) "
+            "AS r FROM c1), "
+            "c2 AS (SELECT e.dst AS node, sum(r1.r // deg.d) AS s FROM e "
+            "JOIN r1 ON e.src = r1.node JOIN deg ON e.src = deg.node "
+            "GROUP BY e.dst), "
+            "r2 AS (SELECT c2.node, CAST(150000 + (85 * c2.s) // 100 AS BIGINT) "
+            "AS r FROM c2) "
+            "SELECT node, r FROM r2"
         ),
         "docs_pack_bins": (
             "WITH t AS (SELECT doc_id, "
