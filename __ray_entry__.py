@@ -301,6 +301,27 @@ def _q_docs_token_stats(sf_dir: str):
     return docs.map_batches(token_stats, batch_format="pyarrow")
 
 
+_MIX_CUTOFFS = {
+    "src0": "cc", "src1": "cc", "src2": "cc", "src3": "cc", "src4": "cc",
+    "src5": "66", "src6": "66", "src7": "66", "src8": "66", "src9": "66",
+}
+
+
+def _q_docs_mixture_sample(sf_dir: str):
+    """Weighted data mixing: sources src0-4 kept at ~80%, src5-9 at
+    ~40%, the long tail at ~10% — md5-keyed per doc so the mix is
+    partition/retry/cluster-size invariant and SQL-replayable."""
+    from email_address_parser_ray.sources.io import read_parquet_clean
+    from email_address_parser_ray.stages.sampling import mixture_sample
+
+    docs = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "lang"]
+    )
+    return mixture_sample(
+        docs, "source", _MIX_CUTOFFS, ["doc_id"], default_cutoff="1a", seed=7
+    )
+
+
 def _q_events_pagerank(sf_dir: str):
     """Integer-exact PageRank (2 damped iterations) over the bipartite
     user ↔ event-type graph; the DuckDB oracle replays the iterations
@@ -610,6 +631,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_sample_per_lang": _rel("docs_sample_per_lang"),
         "docs_pack_bins": _q_docs_pack_bins,
         "events_pagerank": _q_events_pagerank,
+        "docs_mixture_sample": _q_docs_mixture_sample,
         "pipeline_counters": _q_pipeline_counters,
         "export_shards": _q_export_shards,
         # training-data ops
@@ -913,6 +935,13 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY md5('7|' || CAST(doc_id AS VARCHAR)) DESC, doc_id) "
             "AS BIGINT) AS rnk FROM documents) "
             "SELECT lang, rnk, doc_id, rank_key FROM ranked WHERE rnk <= 10"
+        ),
+        "docs_mixture_sample": (
+            "SELECT doc_id, source, lang FROM documents "
+            "WHERE md5('7|' || CAST(doc_id AS VARCHAR)) < CASE "
+            "WHEN source IN ('src0','src1','src2','src3','src4') THEN 'cc' "
+            "WHEN source IN ('src5','src6','src7','src8','src9') THEN '66' "
+            "ELSE '1a' END"
         ),
         "events_pagerank": (
             "WITH e0 AS (SELECT DISTINCT 'u:' || CAST(user_id AS VARCHAR) AS src, "

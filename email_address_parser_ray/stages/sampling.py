@@ -47,3 +47,35 @@ def hash_sample(ds, key_cols: List[str], cutoff_hex: str = "0d", seed: int = 7):
         return batch.filter(pa.array(mask, pa.bool_()))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def mixture_sample(
+    ds,
+    source_col: str,
+    cutoffs: dict,
+    key_cols: List[str],
+    default_cutoff: str = "00",
+    seed: int = 7,
+):
+    """Weighted mixture sampling — the training-data 'data mixing'
+    primitive: each row is kept iff ``md5("{seed}|{keys...}")`` falls
+    below its SOURCE's hex cutoff, so every source is downsampled at its
+    own rate (e.g. {"web": "1a", "books": "cc"} ≈ 10% web, 80% books).
+
+    Content-keyed like ``hash_sample``: the mix is invariant to
+    partitioning, retries and cluster size, and exactly reproducible in
+    SQL with a CASE over the source column."""
+
+    def keep(batch: pa.Table) -> pa.Table:
+        srcs = batch[source_col].to_pylist()
+        cols = [batch[c].to_pylist() for c in key_cols]
+        mask = [
+            hashlib.md5(
+                ("|".join([str(seed)] + [str(v) for v in vals])).encode("utf-8")
+            ).hexdigest()
+            < cutoffs.get(src, default_cutoff)
+            for src, vals in zip(srcs, zip(*cols))
+        ]
+        return batch.filter(pa.array(mask, pa.bool_()))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
