@@ -22,7 +22,7 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Sum
 
 from .joins import hash_join
 
