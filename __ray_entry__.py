@@ -67,19 +67,24 @@ def _q_turn_roundtrip(sf_dir: str):
         per_turn = mentions.group_by(["conv_id", "turn_idx"]).aggregate(
             [("mention_idx", "count")]
         )
-        counts = {
-            (c, i): n
-            for c, i, n in zip(
-                per_turn["conv_id"].to_pylist(),
-                per_turn["turn_idx"].to_pylist(),
-                per_turn["mention_idx_count"].to_pylist(),
-            )
-        }
-        n_m = [
-            counts.get((c, i), 0)
-            for c, i in zip(t["conv_id"].to_pylist(), t["turn_idx"].to_pylist())
-        ]
-        return t.append_column("n_mentions", pa.array(n_m, pa.int64()))
+        # vectorized (conv_id, turn_idx) lookup: composite string key +
+        # index_in/take instead of a per-row Python dict probe
+        def _flat(col):
+            return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+
+        key_m = pc.binary_join_element_wise(
+            _flat(per_turn["conv_id"]),
+            _flat(pc.cast(per_turn["turn_idx"], pa.string())),
+            "|",
+        )
+        key_t = pc.binary_join_element_wise(
+            t["conv_id"], pc.cast(t["turn_idx"], pa.string()), "|"
+        )
+        idx = pc.index_in(key_t, value_set=key_m)
+        n_m = pc.cast(
+            pc.fill_null(pc.take(per_turn["mention_idx_count"], idx), 0), pa.int64()
+        )
+        return t.append_column("n_mentions", n_m)
 
     return ds.map_batches(annotate, batch_format="pyarrow").select_columns(
         ["conv_id", "turn_idx", "text"]
@@ -164,25 +169,13 @@ def _q_match_edges(sf_dir: str):
     accept rules restated in SQL over the gold node canonicalization
     (levenshtein / string equality on the same dotless + domain_key
     features the engine blocks and scores on)."""
-    from ray.data.aggregate import Min
     from email_address_parser_ray.pipelines.resolve import resolve
 
     root = _tcache(sf_dir)
+    # resolve()'s edge stage already normalizes (addr_a < addr_b) and
+    # dedupes across blocking passes (stages/scoring.py dedupe_edges)
     edges = resolve(f"{root}/transcripts")["edges"]
-
-    def norm(t: pa.Table) -> pa.Table:
-        lt = pc.less(t["addr_a"], t["addr_b"])
-        lo = pc.if_else(lt, t["addr_a"], t["addr_b"])
-        hi = pc.if_else(lt, t["addr_b"], t["addr_a"])
-        out = pa.table({"addr_a": lo, "addr_b": hi, "rule": t["rule"]})
-        # per-batch partial dedup before the global one
-        return out.group_by(["addr_a", "addr_b", "rule"]).aggregate([])
-
-    return (
-        edges.map_batches(norm, batch_format="pyarrow")
-        .groupby(["addr_a", "addr_b"])
-        .aggregate(Min("rule", alias_name="rule"))
-    )
+    return edges.select_columns(["addr_a", "addr_b", "rule"])
 
 
 def _q_sample_mentions(sf_dir: str):
@@ -203,22 +196,39 @@ def _q_sample_mentions(sf_dir: str):
     return sampled.select_columns(["conv_id", "turn_idx", "mention_idx", "address"])
 
 
-def _q_corpus_strict(sf_dir: str):
-    """Reference conformance through the VECTORIZED tokenizer: all 940
-    cartesian strict cases; oracle = the expected truth table (the same
-    corpus rust-lib/build.rs compiles its generated tests from)."""
+def _q_corpus_conformance(sf_dir: str):
+    """Reference conformance through the VECTORIZED kernels, merged into
+    one query surface (the driver's correctness gate caps at 50 queries):
+    all 940 cartesian strict cases through ``tokenize_batch``
+    (EmailAddress::parse / is_valid — A1/A2) AND through
+    ``validate_pairs_batch`` (EmailAddress::new ok flag + the reference's
+    exact error string — A3).  Oracle = the expected truth table (the
+    same corpus rust-lib/build.rs compiles its generated tests from)."""
     import ray.data as rd
     from email_address_parser_ray.functions.corpus import ensure_fixtures
-    from email_address_parser_ray.functions.fastpath import tokenize_batch
+    from email_address_parser_ray.functions.fastpath import (
+        tokenize_batch, validate_pairs_batch,
+    )
 
     paths = ensure_fixtures()
-    ds = rd.read_parquet(paths["corpus_addresses"], columns=["case_id", "address"])
-    return ds.map_batches(
-        lambda t: tokenize_batch(t, "address", is_lax=False).select(
-            ["case_id", "is_valid"]
-        ),
-        batch_format="pyarrow",
+    ds = rd.read_parquet(
+        paths["corpus_addresses"],
+        columns=["case_id", "address", "local_part", "domain"],
     )
+
+    def conform(t: pa.Table) -> pa.Table:
+        tok = tokenize_batch(t, "address", is_lax=False)
+        new = validate_pairs_batch(t)
+        return pa.table(
+            {
+                "case_id": t["case_id"],
+                "is_valid": tok["is_valid"],
+                "new_ok": new["new_ok"],
+                "new_error": new["new_error"],
+            }
+        )
+
+    return ds.map_batches(conform, batch_format="pyarrow")
 
 
 def _q_isemail_lax(sf_dir: str):
@@ -236,21 +246,6 @@ def _q_isemail_lax(sf_dir: str):
     )
 
 
-def _q_new_strict(sf_dir: str):
-    """EmailAddress::new analog over the corpus column pairs (A3):
-    strict-mode ok flag + the reference's exact error string."""
-    import ray.data as rd
-    from email_address_parser_ray.functions.corpus import ensure_fixtures
-    from email_address_parser_ray.functions.fastpath import validate_pairs_batch
-
-    paths = ensure_fixtures()
-    ds = rd.read_parquet(
-        paths["corpus_addresses"], columns=["case_id", "local_part", "domain"]
-    )
-    return ds.map_batches(
-        lambda t: validate_pairs_batch(t).select(["case_id", "new_ok", "new_error"]),
-        batch_format="pyarrow",
-    )
 
 
 def _q_f1_report(sf_dir: str):
@@ -293,12 +288,16 @@ def _q_docs_exact_dedup(sf_dir: str):
     return exact_dedup(docs)
 
 
-def _q_docs_token_stats(sf_dir: str):
+def _q_docs_text_profile(sf_dir: str):
+    """Whole text-analysis family (token counting, quality scoring,
+    md5 fingerprinting, stopword language-ID) in one vectorized pass —
+    one merged query surface because the driver's correctness gate caps
+    at 50 entries; every column is individually SQL-oracled."""
     from email_address_parser_ray.sources.io import read_parquet_clean
-    from email_address_parser_ray.functions.textstats import token_stats
+    from email_address_parser_ray.functions.textstats import text_profile
 
     docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return docs.map_batches(token_stats, batch_format="pyarrow")
+    return docs.map_batches(text_profile, batch_format="pyarrow")
 
 
 _MIX_CUTOFFS = {
@@ -368,30 +367,6 @@ def _q_docs_pack_bins(sf_dir: str):
     return pack_bins(docs, cap=2048)
 
 
-def _q_docs_quality(sf_dir: str):
-    from email_address_parser_ray.sources.io import read_parquet_clean
-    from email_address_parser_ray.functions.textstats import quality_stats
-
-    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return docs.map_batches(quality_stats, batch_format="pyarrow")
-
-
-def _q_docs_fingerprint(sf_dir: str):
-    from email_address_parser_ray.sources.io import read_parquet_clean
-    from email_address_parser_ray.functions.textstats import fingerprint
-
-    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return docs.map_batches(fingerprint, batch_format="pyarrow")
-
-
-def _q_docs_lang_id(sf_dir: str):
-    from email_address_parser_ray.sources.io import read_parquet_clean
-    from email_address_parser_ray.functions.textstats import lang_id
-
-    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return docs.map_batches(lang_id, batch_format="pyarrow")
-
-
 def _q_minhash_dedup(sf_dir: str):
     from email_address_parser_ray.sources.io import read_parquet_clean
     from email_address_parser_ray.stages.dedup import minhash_dedup_clusters
@@ -443,37 +418,49 @@ def _q_cosine_pairs(sf_dir: str):
     return cosine_pairs_exact(emb, threshold=0.40)
 
 
-def _q_ann_topk(sf_dir: str):
+def _q_ann_methods_topk(sf_dir: str):
+    """All three ANN top-k strategies over the same query vector, tagged
+    by method and unioned into one query surface (the driver's
+    correctness gate caps at 50 entries):
+
+    * ``brute`` — exact per-batch partial top-k (numpy matmul against
+      the broadcast query), shuffle-free;
+    * ``ivf``   — IVF cell probing; with nprobe = all 10 cells the probe
+      set is exhaustive, so the rows equal brute's (the nprobe<cells
+      approximation knob is pinned by pytest);
+    * ``lsh``   — SRP-LSH with 6 planes => 64 buckets, so at the test
+      scale (500 vectors) the probe set holds a real candidate pool; the
+      integer-exact bucketing makes the rows bit-reproducible by the
+      plane-literal SQL oracle."""
     from email_address_parser_ray.sources.io import read_parquet_clean
-    from email_address_parser_ray.stages.ann import brute_force_topk
+    from email_address_parser_ray.stages.ann import (
+        brute_force_topk, ivf_topk, lsh_topk,
+    )
 
-    emb = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    return brute_force_topk(emb, _query_vector(sf_dir), k=10)
-
-
-def _q_ann_lsh_topk(sf_dir: str):
-    """SRP-LSH ANN top-k.  6 planes => 64 buckets, so at the test scale
-    (500 vectors) the probe set holds a real candidate pool; the
-    integer-exact bucketing makes the result bit-reproducible by the
-    plane-literal SQL oracle."""
-    from email_address_parser_ray.sources.io import read_parquet_clean
-    from email_address_parser_ray.stages.ann import lsh_topk
-
-    emb = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    return lsh_topk(emb, _query_vector(sf_dir), k=10, probes=3, n_planes=6)
-
-
-def _q_ann_ivf_topk(sf_dir: str):
-    """IVF cell-probing ANN.  With nprobe = all 10 cells the probe set
-    is exhaustive, so the result is exact and shares ann_topk's SQL
-    oracle (the nprobe<cells approximation knob is pinned by pytest)."""
-    from email_address_parser_ray.sources.io import read_parquet_clean
-    from email_address_parser_ray.stages.ann import ivf_topk
-
+    q = _query_vector(sf_dir)
     emb = read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    emb_l = read_parquet_clean(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
     )
-    return ivf_topk(emb, _query_vector(sf_dir), k=10, nprobe=10)
+    parts = [
+        ("brute", brute_force_topk(emb, q, k=10)),
+        ("ivf", ivf_topk(emb_l, q, k=10, nprobe=10)),
+        ("lsh", lsh_topk(emb, q, k=10, probes=3, n_planes=6)),
+    ]
+
+    def tag(name):
+        def f(t: pa.Table) -> pa.Table:
+            return t.append_column("method", pa.array([name] * t.num_rows))
+
+        return f
+
+    out = None
+    for name, ds in parts:
+        tagged = ds.map_batches(tag(name), batch_format="pyarrow")
+        out = tagged if out is None else out.union(tagged)
+    return out
 
 
 def _q_embedding_centroids(sf_dir: str):
@@ -558,7 +545,11 @@ def _q_export_shards(sf_dir: str):
 def _q_pipeline_counters(sf_dir: str):
     """Run the checkpointed pipeline and report per-stage row counters
     from the lineage manifests (north rule: per-partition lineage +
-    metrics; rows-only check)."""
+    metrics).  The query projects the manifests to their SQL-expressible
+    columns — (stage, n_rows) — so the lineage state is VALUE-checked
+    against the gold tables (mention count / distinct surfaces / logical
+    match-pair count); the engine-internal fields (input fingerprint,
+    per-partition file layout) stay in the manifest API."""
     import pyarrow as pa
     from email_address_parser_ray.pipelines.resolve import resolve
     from email_address_parser_ray.state.checkpoint import load_manifest
@@ -569,14 +560,7 @@ def _q_pipeline_counters(sf_dir: str):
     rows = []
     for stage in ("mentions", "nodes", "edges", "clusters"):
         man = load_manifest(ck, stage)
-        rows.append(
-            {
-                "stage": stage,
-                "rows": man["rows"],
-                "n_partitions": len(man["partitions"]),
-                "input_fp": man["input_fp"],
-            }
-        )
+        rows.append({"stage": stage, "n_rows": man["rows"]})
     return pa.Table.from_pylist(rows)
 
 
@@ -590,6 +574,12 @@ def _rel(name):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    # EXACTLY 50 entries: the driver's correctness gate records at most
+    # 50 rows (CORRECTNESS_r02 had 50 of 56, dropping the last 6 in
+    # registration order), so same-grain queries over the same table are
+    # merged into single surfaces (corpus_conformance, ann_methods_topk,
+    # orders_windows, docs_text_profile) rather than dropped — every
+    # operator keeps a value-checked column or method tag.
     return {
         # record-linkage flagship family
         "extract_mentions": _q_extract_mentions,
@@ -601,10 +591,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "match_edges": _q_match_edges,
         "f1_report": _q_f1_report,
         "hot_blocks": _q_hot_blocks,
+        "pipeline_counters": _q_pipeline_counters,
+        "export_shards": _q_export_shards,
         # reference-grammar conformance (the corpus IS the spec)
-        "corpus_strict": _q_corpus_strict,
+        "corpus_conformance": _q_corpus_conformance,
         "isemail_lax": _q_isemail_lax,
-        "new_strict": _q_new_strict,
+        # embedding / ANN / clustering family (cheap — keep early)
+        "ann_methods_topk": _q_ann_methods_topk,
+        "embedding_centroids": _q_embedding_centroids,
+        "kmeans_cells": _q_kmeans_cells,
+        "media_features": _q_media_features,
+        "embedding_neardup": _q_embedding_neardup,
+        "cosine_pairs": _q_cosine_pairs,
+        # training-data ops
+        "docs_text_profile": _q_docs_text_profile,
+        "docs_exact_dedup": _q_docs_exact_dedup,
+        "minhash_dedup": _q_minhash_dedup,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "simhash_pairs": _q_simhash_pairs,
+        "docs_pack_bins": _q_docs_pack_bins,
+        "docs_mixture_sample": _q_docs_mixture_sample,
+        "docs_sample_per_lang": _rel("docs_sample_per_lang"),
+        "docs_vocab": _rel("docs_vocab"),
+        "docs_tfidf_top_terms": _rel("docs_tfidf_top_terms"),
         # relational operator coverage
         "q1_lineitem": _rel("q1_lineitem"),
         "q3_top_orders": _rel("q3_top_orders"),
@@ -617,40 +626,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_segments": _rel("distinct_segments"),
         "customers_without_orders": _rel("customers_without_orders"),
         "events_asof_orders": _rel("events_asof_orders"),
-        "orders_running_total": _rel("orders_running_total"),
+        "events_range_join": _rel("events_range_join"),
+        "orders_windows": _rel("orders_windows"),
         "orders_price_quantiles": _rel("orders_price_quantiles"),
         "top_orders_per_priority": _rel("top_orders_per_priority"),
         "events_distinct_users": _rel("events_distinct_users"),
-        "docs_vocab": _rel("docs_vocab"),
         "events_pivot": _rel("events_pivot"),
-        "orders_lag_gap": _rel("orders_lag_gap"),
         "events_sliding_3h": _rel("events_sliding_3h"),
         "lineitem_moments": _rel("lineitem_moments"),
-        "docs_tfidf_top_terms": _rel("docs_tfidf_top_terms"),
         "customers_order_stats": _rel("customers_order_stats"),
-        "docs_sample_per_lang": _rel("docs_sample_per_lang"),
-        "docs_pack_bins": _q_docs_pack_bins,
         "events_pagerank": _q_events_pagerank,
-        "docs_mixture_sample": _q_docs_mixture_sample,
-        "pipeline_counters": _q_pipeline_counters,
-        "export_shards": _q_export_shards,
-        # training-data ops
-        "docs_exact_dedup": _q_docs_exact_dedup,
-        "docs_token_stats": _q_docs_token_stats,
-        "docs_quality": _q_docs_quality,
-        "docs_fingerprint": _q_docs_fingerprint,
-        "docs_lang_id": _q_docs_lang_id,
-        "minhash_dedup": _q_minhash_dedup,
-        "ngram_jaccard": _q_ngram_jaccard,
-        "simhash_pairs": _q_simhash_pairs,
-        "embedding_neardup": _q_embedding_neardup,
-        "cosine_pairs": _q_cosine_pairs,
-        "ann_topk": _q_ann_topk,
-        "embedding_centroids": _q_embedding_centroids,
-        "ann_ivf_topk": _q_ann_ivf_topk,
-        "kmeans_cells": _q_kmeans_cells,
-        "ann_lsh_topk": _q_ann_lsh_topk,
-        "media_features": _q_media_features,
     }
 
 
@@ -737,18 +722,35 @@ def oracle_sql() -> dict[str, str]:
     tr = f"read_parquet('{root}/transcripts/*.parquet')"
     corp = f"read_parquet('{fixtures['corpus_addresses']}')"
     ise = f"read_parquet('{fixtures['isemail_cases']}')"
+    # scorer accept rules (stages/scoring.py) restated in SQL over the
+    # gold node canonicalization; same-domain is a rule precondition, so
+    # the self-join can equi-join on domain_key.  Shared by the
+    # match_edges value check and the pipeline_counters edge counter.
+    match_edges_sql = (
+        f"WITH mentioned AS (SELECT DISTINCT address FROM {gm}), "
+        f"n AS (SELECT g.* FROM {gn} g JOIN mentioned m USING (address)), "
+        f"p AS (SELECT a.address AS addr_a, b.address AS addr_b, "
+        f"CASE WHEN a.canonical_key = b.canonical_key THEN 'exact_canonical' "
+        f"WHEN a.dotless = b.dotless AND len(a.dotless) >= 6 "
+        f"  AND len(b.dotless) >= 6 THEN 'dotless_equal' "
+        f"WHEN len(a.dotless) >= 6 AND len(b.dotless) >= 6 "
+        f"  AND abs(len(a.dotless) - len(b.dotless)) <= 1 "
+        f"  AND levenshtein(a.dotless, b.dotless) <= 1 THEN 'lev1' "
+        f"END AS rule "
+        f"FROM n a JOIN n b ON a.domain_key = b.domain_key "
+        f"AND a.address < b.address) "
+        f"SELECT addr_a, addr_b, rule FROM p WHERE rule IS NOT NULL"
+    )
     return {
-        "corpus_strict": (
-            f"SELECT case_id, expected_valid_strict AS is_valid FROM {corp}"
-        ),
-        "isemail_lax": (
-            f"SELECT case_id, expected_valid_lax AS is_valid FROM {ise}"
-        ),
-        "new_strict": (
-            f"SELECT case_id, expected_valid_strict AS new_ok, "
+        "corpus_conformance": (
+            f"SELECT case_id, expected_valid_strict AS is_valid, "
+            f"expected_valid_strict AS new_ok, "
             f"CASE WHEN expected_valid_strict THEN NULL "
             f"ELSE 'Invalid local part ''' || local_part || '''.' END AS new_error "
             f"FROM {corp}"
+        ),
+        "isemail_lax": (
+            f"SELECT case_id, expected_valid_lax AS is_valid FROM {ise}"
         ),
         "extract_mentions": (
             f"SELECT conv_id, turn_idx, mention_idx, address FROM {gm}"
@@ -781,23 +783,16 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT surf.address AS address, sz.cluster_size AS cluster_size "
             f"FROM surf JOIN sz USING (entity_id)"
         ),
-        "match_edges": (
-            # scorer accept rules (stages/scoring.py) restated in SQL over
-            # the gold node canonicalization; same-domain is a rule
-            # precondition, so the self-join can equi-join on domain_key.
-            f"WITH mentioned AS (SELECT DISTINCT address FROM {gm}), "
-            f"n AS (SELECT g.* FROM {gn} g JOIN mentioned m USING (address)), "
-            f"p AS (SELECT a.address AS addr_a, b.address AS addr_b, "
-            f"CASE WHEN a.canonical_key = b.canonical_key THEN 'exact_canonical' "
-            f"WHEN a.dotless = b.dotless AND len(a.dotless) >= 6 "
-            f"  AND len(b.dotless) >= 6 THEN 'dotless_equal' "
-            f"WHEN len(a.dotless) >= 6 AND len(b.dotless) >= 6 "
-            f"  AND abs(len(a.dotless) - len(b.dotless)) <= 1 "
-            f"  AND levenshtein(a.dotless, b.dotless) <= 1 THEN 'lev1' "
-            f"END AS rule "
-            f"FROM n a JOIN n b ON a.domain_key = b.domain_key "
-            f"AND a.address < b.address) "
-            f"SELECT addr_a, addr_b, rule FROM p WHERE rule IS NOT NULL"
+        "match_edges": match_edges_sql,
+        "pipeline_counters": (
+            # the lineage manifests' per-stage row counters restated from
+            # the gold tables: mention rows, distinct surfaces (nodes and
+            # cluster assignments are one row per surface), and the
+            # logical deduped match-pair count (the match_edges rule SQL)
+            f"SELECT 'mentions' AS stage, CAST(count(*) AS BIGINT) AS n_rows FROM {gm} "
+            f"UNION ALL SELECT 'nodes', count(DISTINCT address) FROM {gm} "
+            f"UNION ALL SELECT 'edges', count(*) FROM ({match_edges_sql}) "
+            f"UNION ALL SELECT 'clusters', count(DISTINCT address) FROM {gm}"
         ),
         "f1_report": (
             # the engine must reproduce the gold partition exactly, so the
@@ -878,11 +873,22 @@ def oracle_sql() -> dict[str, str]:
             )
             + " FROM events GROUP BY event_type"
         ),
-        "orders_lag_gap": (
-            "SELECT o_orderkey, o_custkey, CAST(COALESCE(date_diff('day', "
-            "LAG(o_orderdate) OVER (PARTITION BY o_custkey "
-            "ORDER BY o_orderdate, o_orderkey), o_orderdate), -1) AS BIGINT) "
-            "AS gap_days FROM orders"
+        "orders_windows": (
+            "SELECT o_orderkey, o_custkey, "
+            "CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER w "
+            "AS BIGINT) AS running_cents, "
+            "CAST(COALESCE(date_diff('day', LAG(o_orderdate) OVER w, "
+            "o_orderdate), -1) AS BIGINT) AS gap_days "
+            "FROM orders WINDOW w AS (PARTITION BY o_custkey "
+            "ORDER BY o_orderdate, o_orderkey)"
+        ),
+        "events_range_join": (
+            "SELECT a.event_id AS event_id_a, b.event_id AS event_id_b, "
+            "a.user_id, "
+            "CAST(epoch_us(a.ts) - epoch_us(b.ts) AS BIGINT) AS lag_us "
+            "FROM events a JOIN events b ON a.user_id = b.user_id "
+            "AND b.ts <= a.ts AND b.ts >= a.ts - INTERVAL 1 HOUR "
+            "AND a.event_id <> b.event_id"
         ),
         "events_sliding_3h": (
             "WITH h AS (SELECT date_trunc('hour', ts) AS hour, "
@@ -1017,12 +1023,6 @@ def oracle_sql() -> dict[str, str]:
             "FROM events e ASOF JOIN orders o "
             "ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate"
         ),
-        "orders_running_total": (
-            "SELECT o_orderkey, o_custkey, "
-            "CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER ("
-            "PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey"
-            ") AS BIGINT) AS running_cents FROM orders"
-        ),
         "orders_price_quantiles": (
             # engine: dist_quantiles radix refinement; quantile_disc uses
             # the same 0-based ceil(q*n)-1 rank on ascending cents
@@ -1067,49 +1067,44 @@ def oracle_sql() -> dict[str, str]:
             f"(SELECT part, count(*) AS rows FROM parts GROUP BY part) c "
             f"USING (part)"
         ),
-        "docs_lang_id": (
-            "WITH t AS (SELECT doc_id, list_slice(regexp_split_to_array("
-            "trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), "
-            "'\\s+'), 1, 256) AS toks FROM documents), "
-            "h AS (SELECT doc_id, len(toks) AS n, "
-            "len(list_filter(toks, x -> x IN ('the','a','and','of','to','in','is','that','it','for'))) AS en, "
-            "len(list_filter(toks, x -> x IN ('el','la','de','que','y','en','un','una','es','por'))) AS es, "
-            "len(list_filter(toks, x -> x IN ('le','la','de','et','les','des','un','une','est','dans'))) AS fr, "
-            "len(list_filter(toks, x -> x IN ('der','die','das','und','ist','von','ein','eine','zu','mit'))) AS de "
-            "FROM t) "
-            "SELECT doc_id, "
-            "CASE WHEN greatest(en, es, fr, de) * 50 > n THEN "
-            "CASE WHEN en >= es AND en >= fr AND en >= de THEN 'en' "
-            "WHEN es >= fr AND es >= de THEN 'es' "
-            "WHEN fr >= de THEN 'fr' ELSE 'de' END "
-            "ELSE 'und' END AS lang_pred, "
-            "CAST(greatest(en, es, fr, de) * 1000000 // n AS BIGINT) AS lang_score_ppm "
-            "FROM h"
-        ),
         "docs_exact_dedup": (
             "SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, "
             "CAST(count(*) AS BIGINT) AS n_copies FROM documents GROUP BY text"
         ),
-        "docs_token_stats": (
-            "SELECT doc_id, "
+        "docs_text_profile": (
+            # token_stats + quality_stats + fingerprint + lang_id in one
+            # per-doc SELECT (columns match functions/textstats.py
+            # text_profile exactly)
+            "WITH lid AS (SELECT doc_id, n, en, es, fr, de FROM ("
+            "SELECT doc_id, len(toks) AS n, "
+            "len(list_filter(toks, x -> x IN ('the','a','and','of','to','in','is','that','it','for'))) AS en, "
+            "len(list_filter(toks, x -> x IN ('el','la','de','que','y','en','un','una','es','por'))) AS es, "
+            "len(list_filter(toks, x -> x IN ('le','la','de','et','les','des','un','une','est','dans'))) AS fr, "
+            "len(list_filter(toks, x -> x IN ('der','die','das','und','ist','von','ein','eine','zu','mit'))) AS de "
+            "FROM (SELECT doc_id, list_slice(regexp_split_to_array("
+            "trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), "
+            "'\\s+'), 1, 256) AS toks FROM documents))) "
+            "SELECT d.doc_id, "
             "CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens, "
             "CAST(length(text) AS BIGINT) AS n_chars, "
             "CAST(length(regexp_extract_all(text, "
-            "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpeish "
-            "FROM documents"
-        ),
-        "docs_quality": (
-            "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, "
+            "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpeish, "
             "CAST(length(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS n_punct, "
             "CAST(length(regexp_extract_all(text, '[A-Z]')) AS BIGINT) AS n_upper, "
             "CAST(length(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit, "
             "CAST(length(regexp_extract_all(text, '[.,;:!?]')) * 1000000 "
             "  // greatest(length(text), 1) AS BIGINT) AS punct_ppm, "
             "CAST(length(regexp_extract_all(text, '[ ]')) * 1000000 "
-            "  // greatest(length(text), 1) AS BIGINT) AS space_ppm "
-            "FROM documents"
+            "  // greatest(length(text), 1) AS BIGINT) AS space_ppm, "
+            "md5(text) AS fp, "
+            "CASE WHEN greatest(en, es, fr, de) * 50 > n THEN "
+            "CASE WHEN en >= es AND en >= fr AND en >= de THEN 'en' "
+            "WHEN es >= fr AND es >= de THEN 'es' "
+            "WHEN fr >= de THEN 'fr' ELSE 'de' END "
+            "ELSE 'und' END AS lang_pred, "
+            "CAST(greatest(en, es, fr, de) * 1000000 // n AS BIGINT) AS lang_score_ppm "
+            "FROM documents d JOIN lid USING (doc_id)"
         ),
-        "docs_fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents",
         "ngram_jaccard": (
             "WITH samp AS (SELECT doc_id, regexp_split_to_array(trim(text, "
             "' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '\\s+') AS toks "
@@ -1139,18 +1134,17 @@ def oracle_sql() -> dict[str, str]:
             "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45"
         ),
-        "ann_topk": (
-            "WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0) "
-            "SELECT e.vec_id, CAST(ROUND(list_cosine_similarity(e.embedding, "
-            "q.embedding) * 10000) AS BIGINT) AS cos_e4 "
-            "FROM embeddings e, q ORDER BY cos_e4 DESC, e.vec_id LIMIT 10"
-        ),
-        "ann_ivf_topk": (
-            # exhaustive-probe IVF is exact => same oracle as ann_topk
-            "WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0) "
-            "SELECT e.vec_id, CAST(ROUND(list_cosine_similarity(e.embedding, "
-            "q.embedding) * 10000) AS BIGINT) AS cos_e4 "
-            "FROM embeddings e, q ORDER BY cos_e4 DESC, e.vec_id LIMIT 10"
+        "ann_methods_topk": (
+            # brute = exact top-k; exhaustive-probe IVF is exact => same
+            # rows; LSH replays the integer plane bucketing
+            "WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0), "
+            "exact AS (SELECT e.vec_id, "
+            "CAST(ROUND(list_cosine_similarity(e.embedding, q.embedding) "
+            "* 10000) AS BIGINT) AS cos_e4 "
+            "FROM embeddings e, q ORDER BY cos_e4 DESC, e.vec_id LIMIT 10) "
+            "SELECT vec_id, cos_e4, 'brute' AS method FROM exact "
+            "UNION ALL SELECT vec_id, cos_e4, 'ivf' FROM exact "
+            f"UNION ALL SELECT vec_id, cos_e4, 'lsh' FROM ({_lsh_topk_oracle()})"
         ),
         "kmeans_cells": _KMEANS_ORACLE,
         "minhash_dedup": (
@@ -1202,7 +1196,6 @@ def oracle_sql() -> dict[str, str]:
             "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
             "WHERE bit_count(xor(a.s, b.s)) <= 3"
         ),
-        "ann_lsh_topk": _lsh_topk_oracle(),
         "media_features": (
             # replay the md5-derived pseudo-features over the same cached
             # payload bytes (stages/multimodal.py MediaDecoder._decode)
@@ -1216,7 +1209,4 @@ def oracle_sql() -> dict[str, str]:
             f"ELSE (hi >> (16 * (t.i - 4))) & 65535 END AS BIGINT) AS feat_val "
             f"FROM f CROSS JOIN generate_series(0, 7) t(i)"
         ),
-        # rows-only (non-SQL-expressible): pipeline_counters (lineage
-        # state — manifest fingerprints/partition layout, not a query
-        # over the input tables)
     }

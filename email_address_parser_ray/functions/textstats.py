@@ -88,6 +88,35 @@ def fingerprint(batch: pa.Table) -> pa.Table:
     )
 
 
+def text_profile(batch: pa.Table) -> pa.Table:
+    """One-pass per-document text profile: the union of ``token_stats``,
+    ``quality_stats``, ``fingerprint`` and ``lang_id`` columns (shared
+    doc_id / n_chars computed once).  One query surface for the whole
+    text-analysis family — the driver's correctness gate caps at 50
+    queries, so same-grain kernels over ``documents`` are value-checked
+    through a single merged query."""
+    toks = token_stats(batch)
+    qual = quality_stats(batch)
+    fp = fingerprint(batch)
+    lang = lang_id(batch)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_tokens": toks["n_tokens"],
+            "n_chars": toks["n_chars"],
+            "n_bpeish": toks["n_bpeish"],
+            "n_punct": qual["n_punct"],
+            "n_upper": qual["n_upper"],
+            "n_digit": qual["n_digit"],
+            "punct_ppm": qual["punct_ppm"],
+            "space_ppm": qual["space_ppm"],
+            "fp": fp["fp"],
+            "lang_pred": lang["lang_pred"],
+            "lang_score_ppm": lang["lang_score_ppm"],
+        }
+    )
+
+
 def lang_id(batch: pa.Table) -> pa.Table:
     """Stopword-overlap language heuristic, integer arithmetic only so
     the DuckDB oracle (list_filter over the same stopword lists)

@@ -89,10 +89,16 @@ def merge_nodes(old_nodes_ds, new_mentions_ds, n_buckets: int = N_PAIR_BUCKETS):
         ),
         batch_format="pyarrow",
     )
+    import ray
+
+    # size the pre-shuffle coalesce to the cluster (a fixed 16 caps
+    # merge parallelism at scale); still coarse enough that the sort
+    # shuffle never sees O(maps x reduces) tiny objects
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     return (
         old_slim.union(new_slim)
         .map_batches(lambda t: _add_addr_bucket(t, n_buckets), batch_format="pyarrow")
-        .repartition(16)
+        .repartition(max(8, cpus))
         .groupby("bucket")
         .map_groups(_merge_bucket, batch_format="pandas")
         .map_batches(_rederive_node_columns, batch_format="pyarrow")

@@ -423,12 +423,116 @@ def events_asof_orders(sf_dir: str):
     return both.groupby("bucket").map_groups(asof_bucket, batch_format="pandas")
 
 
-def orders_running_total(sf_dir: str):
-    """Windowed running aggregate: per-customer cumulative order value in
-    integer cents, ordered by (o_orderdate, o_orderkey).  Bucketized
-    pandas cumsum (oracle: SUM() OVER (PARTITION BY ... ORDER BY ...))."""
-    import ray.data as rd
+def events_range_join(sf_dir: str, window_hours: int = 1):
+    """Range (interval/band) self-join: every ordered pair of events of
+    the same user where the earlier event falls within the
+    ``window_hours`` trailing window of the later one (inclusive both
+    ends, self-pairs excluded) — the co-occurrence / burst-detection
+    join a sessionizing pipeline runs.
 
+    Ray Data has no native range join, so it is composed from existing
+    primitives (the brief's option (a)): partition by key-hash bucket
+    (one shuffle, same as the as-of join), then inside each bucket
+    resolve the window as TWO as-of lookups against the (key, ts)-sorted
+    frame — last row <= ts (backward) and first row >= ts - window
+    (forward) — and expand the [lo, hi] position ranges with numpy
+    repeat/arange arithmetic.  The intermediate is exactly the OUTPUT
+    pair count (never a per-user cross product), so per-bucket cost is
+    bounded by the true band density.
+
+    Partitioning assumption: all rows of one user key land in one bucket
+    (hash co-location); skew bound is the hottest user's rows per
+    bucket, same as the as-of join."""
+    events = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+
+    def tag(t: pa.Table) -> pa.Table:
+        b = pc.cast(
+            pc.bit_wise_and(t["user_id"], pa.scalar(0x7FFFFFFF, pa.int64())),
+            pa.int64(),
+        )
+        return t.append_column(
+            "bucket",
+            pc.subtract(b, pc.multiply(pc.divide(b, N_JOIN_BUCKETS), N_JOIN_BUCKETS)),
+        )
+
+    win = pd.Timedelta(hours=window_hours)
+
+    def empty() -> pa.Table:
+        return pa.table(
+            {
+                "event_id_a": pa.array([], pa.int64()),
+                "event_id_b": pa.array([], pa.int64()),
+                "user_id": pa.array([], pa.int64()),
+                "lag_us": pa.array([], pa.int64()),
+            }
+        )
+
+    def range_bucket(df: pd.DataFrame) -> pa.Table:
+        if len(df) < 2:
+            return empty()
+        # rows in (key, ts) order; `pos` indexes this frame, so a time
+        # window is a contiguous position range per key
+        r = df.sort_values(["user_id", "ts"], kind="mergesort").reset_index(drop=True)
+        r = r.assign(pos=np.arange(len(r), dtype=np.int64))
+        r_by_ts = r.sort_values("ts", kind="mergesort")
+        ev = r_by_ts.reset_index(drop=True)
+        # keep the Arrow µs resolution: Timedelta arithmetic may upcast
+        # to ns, and merge_asof requires exactly matching datetime units
+        ev = ev.assign(ts_lo=(ev["ts"] - win).astype(ev["ts"].dtype))
+        hi = pd.merge_asof(
+            ev[["ts", "user_id"]],
+            r_by_ts[["ts", "user_id", "pos"]],
+            on="ts", by="user_id", direction="backward",
+        )["pos"].to_numpy(dtype="float64", na_value=np.nan)
+        lo = pd.merge_asof(
+            ev[["ts_lo", "user_id"]].rename(columns={"ts_lo": "t"}),
+            r_by_ts[["ts", "user_id", "pos"]].rename(columns={"ts": "t"}),
+            on="t", by="user_id", direction="forward",
+        )["pos"].to_numpy(dtype="float64", na_value=np.nan)
+        valid = ~(np.isnan(hi) | np.isnan(lo))
+        lo_v = lo[valid].astype(np.int64)
+        hi_v = hi[valid].astype(np.int64)
+        cnt = np.maximum(hi_v - lo_v + 1, 0)
+        total = int(cnt.sum())
+        if total == 0:
+            return empty()
+        start = np.repeat(lo_v, cnt)
+        grp_off = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+        pos_idx = start + (np.arange(total, dtype=np.int64) - np.repeat(grp_off, cnt))
+        ev_idx = np.repeat(np.flatnonzero(valid), cnt)
+        ids_a = ev["event_id"].to_numpy()[ev_idx].astype(np.int64)
+        ids_b = r["event_id"].to_numpy()[pos_idx].astype(np.int64)
+        keep = ids_a != ids_b  # window includes the anchor row; drop it
+        ev_ts = ev["ts"].to_numpy()[ev_idx][keep]
+        b_ts = r["ts"].to_numpy()[pos_idx][keep]
+        return from_pandas_clean(pd.DataFrame(
+            {
+                "event_id_a": ids_a[keep],
+                "event_id_b": ids_b[keep],
+                "user_id": ev["user_id"].to_numpy()[ev_idx][keep].astype(np.int64),
+                "lag_us": ((ev_ts - b_ts) // np.timedelta64(1, "us")).astype(np.int64),
+            }
+        ))
+
+    return (
+        events.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(range_bucket, batch_format="pandas")
+    )
+
+
+def orders_windows(sf_dir: str):
+    """Per-order window-function family in ONE bucketized shuffle:
+    per-customer running order value (SUM OVER) and the LAG gap in days
+    between consecutive orders, both ordered by (o_orderdate,
+    o_orderkey).  Hash the partition key to a bounded bucket count, one
+    shuffle, then vectorized pandas cumsum + groupby-shift inside each
+    bucket — the window never sees more than its bucket's rows and no
+    global sort exists.  One merged query surface (driver's correctness
+    gate caps at 50 queries); ``orders_running_total`` /
+    ``orders_lag_gap`` are column projections of this."""
     orders = read_parquet_clean(
         f"{sf_dir}/orders.parquet",
         columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"],
@@ -451,22 +555,33 @@ def orders_running_total(sf_dir: str):
             pc.subtract(b, pc.multiply(pc.divide(b, N_JOIN_BUCKETS), N_JOIN_BUCKETS)),
         ).append_column("cents", cents)
 
-    def running(df: pd.DataFrame) -> pd.DataFrame:
+    def windows(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(
             ["o_custkey", "o_orderdate", "o_orderkey"], kind="mergesort"
         )
+        grp = df.groupby("o_custkey", sort=False)
+        prev = grp["o_orderdate"].shift()
+        gap = (df["o_orderdate"] - prev).dt.days
         return from_pandas_clean(pd.DataFrame(
             {
                 "o_orderkey": df["o_orderkey"].to_numpy(),
                 "o_custkey": df["o_custkey"].to_numpy(),
-                "running_cents": df.groupby("o_custkey")["cents"].cumsum().to_numpy(),
+                "running_cents": grp["cents"].cumsum().to_numpy(),
+                "gap_days": gap.fillna(-1).astype("int64").to_numpy(),
             }
         ))
 
     return (
         orders.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("bucket")
-        .map_groups(running, batch_format="pandas")
+        .map_groups(windows, batch_format="pandas")
+    )
+
+
+def orders_running_total(sf_dir: str):
+    """Running SUM() OVER window — projection of ``orders_windows``."""
+    return orders_windows(sf_dir).select_columns(
+        ["o_orderkey", "o_custkey", "running_cents"]
     )
 
 
@@ -666,6 +781,13 @@ def dist_quantiles(ds, column: str, qs):
 
     from ray.data.aggregate import Max, Min
 
+    # pin the input once: the Min/Max/Count pass plus every refinement
+    # pass re-scans it, and without materializing, Ray re-executes the
+    # whole upstream pipeline (read + projection) per pass — ~5 full
+    # input scans for one statistic at 100 TB (round-2 verdict fix).
+    # The pinned blocks hold only the projected int64 column, so the
+    # object-store footprint is 8 bytes/row (spillable), not the input.
+    ds = ds.materialize()
     stats = ds.aggregate(Min(column), Max(column), Count())
     lo0, hi0, n = stats[f"min({column})"], stats[f"max({column})"], stats["count()"]
     if not n:
@@ -929,46 +1051,10 @@ def events_pivot(sf_dir: str):
 
 
 def orders_lag_gap(sf_dir: str):
-    """LAG window coverage: per-customer gap in days between consecutive
-    orders (ordered by o_orderdate, o_orderkey; first order → -1).
-
-    Same bucketized-window shape as ``orders_running_total``: hash the
-    partition key to a bounded bucket count, one shuffle, then a
-    vectorized pandas groupby-shift inside each bucket — the window
-    never sees more than its bucket's rows and no global sort exists."""
-    orders = read_parquet_clean(
-        f"{sf_dir}/orders.parquet",
-        columns=["o_custkey", "o_orderkey", "o_orderdate"],
-    )
-
-    def add_bucket(t: pa.Table) -> pa.Table:
-        b = pc.cast(
-            pc.bit_wise_and(t["o_custkey"], pa.scalar(0x7FFFFFFF, pa.int64())),
-            pa.int64(),
-        )
-        return t.append_column(
-            "bucket",
-            pc.subtract(b, pc.multiply(pc.divide(b, N_JOIN_BUCKETS), N_JOIN_BUCKETS)),
-        )
-
-    def lag_gap(df: pd.DataFrame) -> pa.Table:
-        df = df.sort_values(
-            ["o_custkey", "o_orderdate", "o_orderkey"], kind="mergesort"
-        )
-        prev = df.groupby("o_custkey", sort=False)["o_orderdate"].shift()
-        gap = (df["o_orderdate"] - prev).dt.days
-        return from_pandas_clean(pd.DataFrame(
-            {
-                "o_orderkey": df["o_orderkey"].to_numpy(),
-                "o_custkey": df["o_custkey"].to_numpy(),
-                "gap_days": gap.fillna(-1).astype("int64").to_numpy(),
-            }
-        ))
-
-    return (
-        orders.map_batches(add_bucket, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(lag_gap, batch_format="pandas")
+    """LAG window coverage — projection of ``orders_windows`` (first
+    order per customer → -1)."""
+    return orders_windows(sf_dir).select_columns(
+        ["o_orderkey", "o_custkey", "gap_days"]
     )
 
 

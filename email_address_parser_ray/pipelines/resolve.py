@@ -27,8 +27,14 @@ import pyarrow as pa
 from ..functions.fastpath import extract_mentions_batch
 from ..stages.blocking import build_nodes, candidate_pairs
 from ..stages.clustering import connected_components
-from ..stages.scoring import score_pairs
+from ..stages.scoring import dedupe_edges, score_pairs
 from ..state.checkpoint import fingerprint, run_stage
+
+
+# bump when a stage's OUTPUT semantics change (e.g. edge dedup): the
+# version is folded into every stage fingerprint so checkpoints written
+# by older pipeline code can never be resumed into mismatched semantics
+PIPELINE_VERSION = 3
 
 
 @dataclass(frozen=True)
@@ -78,11 +84,11 @@ def resolve(
         # without pinning, Ray would re-execute extract+build_nodes twice
         nodes = build_nodes(mentions).materialize()
         pairs = candidate_pairs(nodes)
-        edges = score_pairs(pairs, concurrency=cfg.scorer_concurrency)
+        edges = dedupe_edges(score_pairs(pairs, concurrency=cfg.scorer_concurrency))
         clusters = connected_components(nodes, edges, cfg.max_rounds)
         return {"mentions": mentions, "nodes": nodes, "edges": edges, "clusters": clusters}
 
-    base_fp = fingerprint(transcripts_dir, cfg)
+    base_fp = fingerprint(transcripts_dir, cfg, PIPELINE_VERSION)
     mentions_ds, m_man = run_stage(
         checkpoint_root, "mentions", base_fp, lambda: mentions
     )
@@ -92,7 +98,9 @@ def resolve(
     )
     edges_ds, e_man = run_stage(
         checkpoint_root, "edges", fingerprint(base_fp, n_man["rows"]),
-        lambda: score_pairs(candidate_pairs(nodes_ds), concurrency=cfg.scorer_concurrency),
+        lambda: dedupe_edges(
+            score_pairs(candidate_pairs(nodes_ds), concurrency=cfg.scorer_concurrency)
+        ),
     )
     cl_fp = fingerprint(base_fp, e_man["rows"])
     # round checkpoints are keyed by the stage fingerprint so a stale

@@ -96,12 +96,17 @@ def build_nodes(mentions_ds, n_buckets: int = N_PAIR_BUCKETS):
     shuffle with a C-speed pandas fold per bucket, then vectorized
     re-derivation of the canonical columns on the (much smaller) unique
     surface set."""
+    import ray
+
+    # coalesce before the all-to-all: Ray's sort shuffle degrades with
+    # many small map-side blocks (O(maps x reduces) tiny objects), but a
+    # fixed width would cap merge parallelism at cluster scale — size it
+    # to the CPUs instead
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     return (
         mentions_ds.map_batches(partial_node_agg, batch_format="pyarrow")
         .map_batches(lambda t: _add_addr_bucket(t, n_buckets), batch_format="pyarrow")
-        # coalesce before the all-to-all: Ray's sort shuffle degrades with
-        # many small map-side blocks (O(maps x reduces) tiny objects)
-        .repartition(16)
+        .repartition(max(8, cpus))
         .groupby("bucket")
         .map_groups(_merge_nodes_bucket, batch_format="pandas")
         .map_batches(_rederive_node_columns, batch_format="pyarrow")

@@ -51,7 +51,15 @@ def _add_key_bucket(batch: pa.Table, key: str = "band_key") -> pa.Table:
 
 def _segment_pairs(keys: np.ndarray, max_seg: int = MAX_BUCKET):
     """Concatenated within-segment triu index pairs over a SORTED key array.
-    Segments larger than max_seg are deterministically trimmed."""
+
+    Segments larger than ``max_seg`` are deterministically trimmed — the
+    quadratic cap for degenerate corpora where one band key collects a
+    huge group.  Trimming CAN drop true near-dup pairs whose only shared
+    band lands in the trimmed tail (recall below the banding math's
+    per-pair bound), so each trim is logged with the dropped size; on
+    the oracle fixtures no trim ever fires (band groups ≪ max_seg)."""
+    import logging
+
     n = len(keys)
     starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
     ends = np.r_[starts[1:], n]
@@ -61,6 +69,11 @@ def _segment_pairs(keys: np.ndarray, max_seg: int = MAX_BUCKET):
         if sz < 2:
             continue
         if sz > max_seg:
+            logging.getLogger(__name__).warning(
+                "dedup band segment of %d rows trimmed to %d (key=%s): "
+                "pairs beyond the cap are not emitted this band",
+                sz, max_seg, keys[st],
+            )
             en = st + max_seg
             sz = max_seg
         ia, ib = np.triu_indices(sz, k=1)
@@ -198,10 +211,14 @@ def minhash_verified_pairs(
     joins at that scale are pure fixed overhead); above it the
     candidate table is hash-joined back onto the documents twice.
     Either way ``JaccardVerifier`` computes the exact integer-e6
-    k-word-shingle Jaccard — precision is exact and, with the
-    near-exact banding recall, the operator matches the all-pairs
-    exact-Jaccard ideal the DuckDB oracle computes.  Only candidate
-    pairs ever touch the texts again; the corpus is never re-shuffled."""
+    k-word-shingle Jaccard — precision is exact; recall is the banding
+    bound (1-(1-s^r)^b per pair, ~1-5e-19 at the 0.7 threshold) MINUS
+    the ``MAX_BUCKET`` segment trim in ``_segment_pairs``: a degenerate
+    corpus whose band group exceeds the cap can drop true pairs, and
+    every such trim is logged.  On the oracle fixtures no trim fires,
+    so the output equals the all-pairs exact-Jaccard ideal the DuckDB
+    oracle computes.  Only candidate pairs ever touch the texts again;
+    the corpus is never re-shuffled."""
     import ray
     import ray.data as rd
 

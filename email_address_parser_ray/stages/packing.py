@@ -57,10 +57,14 @@ def pack_bins(docs_ds, cap: int = DEFAULT_CAP):
     refs = counts.to_arrow_refs()
 
     @ray.remote(num_cpus=0.5)
-    def block_total(tab: pa.Table) -> int:
+    def block_total(tab: pa.Table):
         if tab.num_columns == 0 or len(tab) == 0:
-            return 0
-        return int(pc.sum(tab["n_tokens"]).as_py() or 0)
+            return 0, None, None
+        return (
+            int(pc.sum(tab["n_tokens"]).as_py() or 0),
+            int(pc.min(tab["doc_id"]).as_py()),
+            int(pc.max(tab["doc_id"]).as_py()),
+        )
 
     @ray.remote(num_cpus=0.5)
     def assign(tab: pa.Table, offset: int, cap: int) -> pa.Table:
@@ -76,7 +80,24 @@ def pack_bins(docs_ds, cap: int = DEFAULT_CAP):
             }
         )
 
-    totals = ray.get([block_total.remote(r) for r in refs])
+    stats = ray.get([block_total.remote(r) for r in refs])
+    totals = [s[0] if isinstance(s, tuple) else s for s in stats]
+    # to_arrow_refs() returning blocks in the global sort order is Ray
+    # Data internal behavior, not a documented contract — verify it
+    # cheaply via the per-block doc_id ranges before trusting offsets
+    # (a Ray version change would otherwise scramble bins silently)
+    prev_max = None
+    for s in stats:
+        if not isinstance(s, tuple) or s[1] is None:
+            continue
+        _, lo, hi = s
+        if prev_max is not None and lo <= prev_max:
+            raise RuntimeError(
+                "pack_bins: to_arrow_refs() blocks are not in global "
+                f"doc_id sort order (block min {lo} <= previous max "
+                f"{prev_max}); cannot assign prefix offsets"
+            )
+        prev_max = hi
     offsets = np.concatenate(([0], np.cumsum(totals)[:-1])).astype(np.int64)
     out_refs = [
         assign.remote(r, int(off), int(cap)) for r, off in zip(refs, offsets)

@@ -13,6 +13,10 @@ Two flavors:
   resumable 100-TB export needs for held-out splits), and exactly
   reproducible in SQL (DuckDB ``md5``) — this is the oracle-checked
   variant.
+* ``fast_hash_sample`` / ``fast_mixture_sample`` — the production hot
+  path: the same content-keyed invariants via the splitmix64 finalizer
+  over an int64 key at numpy speed (the md5 variants burn ~1-2 µs/row
+  of Python hashing, the dominant cost at 10^12 rows).
 """
 
 from __future__ import annotations
@@ -20,11 +24,21 @@ from __future__ import annotations
 import hashlib
 from typing import List
 
+import numpy as np
 import pyarrow as pa
 
 
 def seeded_random_sample(ds, fraction: float, seed: int):
     return ds.random_sample(fraction, seed=seed)
+
+
+def _norm_cutoff(cutoff: str) -> str:
+    """Lowercase a hex-prefix cutoff and reject non-hex input (digest
+    comparisons are against lowercase hex, so 'CC' would match nothing)."""
+    c = cutoff.lower()
+    if c and set(c) - set("0123456789abcdef"):
+        raise ValueError(f"cutoff {cutoff!r} is not a hex prefix")
+    return c
 
 
 def hash_sample(ds, key_cols: List[str], cutoff_hex: str = "0d", seed: int = 7):
@@ -34,6 +48,7 @@ def hash_sample(ds, key_cols: List[str], cutoff_hex: str = "0d", seed: int = 7):
 
         WHERE md5(CAST(seed AS VARCHAR) || '|' || col1 || '|' || ...) < '0d'
     """
+    cutoff_hex = _norm_cutoff(cutoff_hex)
 
     def keep(batch: pa.Table) -> pa.Table:
         cols = [batch[c].to_pylist() for c in key_cols]
@@ -45,6 +60,79 @@ def hash_sample(ds, key_cols: List[str], cutoff_hex: str = "0d", seed: int = 7):
             for vals in zip(*cols)
         ]
         return batch.filter(pa.array(mask, pa.bool_()))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def fast_hash_sample(ds, key_col: str, rate_ppm: int, seed: int = 7):
+    """Production-grade vectorized sampler: splitmix64 over an int64 key
+    column, ~numpy speed (no per-row Python, no md5).
+
+    Same invariants as ``hash_sample`` — content-keyed, so the sample is
+    deterministic across partitioning, retries and cluster size — but
+    ~1000x cheaper per row, which is what matters at 10^12 rows.  The
+    md5-based samplers remain the SQL-replayable oracle path; this is
+    the hot path (a row is kept iff
+    ``mix64(key ^ mix64(seed)) % 1e6 < rate_ppm``)."""
+    from ..functions.hashing import mix64
+
+    if not 0 <= rate_ppm <= 1_000_000:
+        raise ValueError(f"rate_ppm {rate_ppm} outside [0, 1e6]")
+    seed_h = mix64(np.uint64(seed))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        k = (
+            batch[key_col]
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+            .view(np.uint64)
+        )
+        h = mix64(k ^ seed_h)
+        mask = (h % np.uint64(1_000_000)) < np.uint64(rate_ppm)
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def fast_mixture_sample(
+    ds,
+    source_col: str,
+    rates_ppm: dict,
+    key_col: str,
+    default_ppm: int = 0,
+    seed: int = 7,
+):
+    """Vectorized weighted data mixing: per-source keep rates in ppm,
+    splitmix64-keyed on an int64 column.  The per-row source→rate lookup
+    is an Arrow dictionary probe (``pc.index_in``), never a Python loop;
+    same determinism contract as ``fast_hash_sample``."""
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import mix64
+
+    for v in list(rates_ppm.values()) + [default_ppm]:
+        if not 0 <= v <= 1_000_000:
+            raise ValueError(f"rate {v} ppm outside [0, 1e6]")
+    names = pa.array(list(rates_ppm.keys()), pa.string())
+    rates = np.fromiter(rates_ppm.values(), dtype=np.uint64, count=len(rates_ppm))
+    seed_h = mix64(np.uint64(seed))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        idx = pc.index_in(batch[source_col], value_set=names)
+        idx_np = (
+            pc.fill_null(idx, -1).to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        miss = idx_np < 0
+        row_rate = np.where(miss, np.uint64(default_ppm), rates[np.where(miss, 0, idx_np)])
+        k = (
+            batch[key_col]
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+            .view(np.uint64)
+        )
+        h = mix64(k ^ seed_h)
+        mask = (h % np.uint64(1_000_000)) < row_rate
+        return batch.filter(pa.array(mask))
 
     return ds.map_batches(keep, batch_format="pyarrow")
 
@@ -65,6 +153,10 @@ def mixture_sample(
     Content-keyed like ``hash_sample``: the mix is invariant to
     partitioning, retries and cluster size, and exactly reproducible in
     SQL with a CASE over the source column."""
+    # md5 hexdigests are always lowercase: an uppercase cutoff like "CC"
+    # would silently keep ~0 rows, so normalize and validate up front
+    cutoffs = {k: _norm_cutoff(v) for k, v in cutoffs.items()}
+    default_cutoff = _norm_cutoff(default_cutoff)
 
     def keep(batch: pa.Table) -> pa.Table:
         srcs = batch[source_col].to_pylist()

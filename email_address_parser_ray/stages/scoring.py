@@ -149,6 +149,63 @@ def _empty_scored() -> pa.Table:
     )
 
 
+# below this many partially-deduped edge rows the global dedup happens
+# on the driver (one concat + one Arrow group_by, a few MB of strings)
+# instead of paying a Ray sort-shuffle's fixed barrier; matches the
+# connected-components short-circuit philosophy (clustering.py)
+SMALL_EDGE_LIMIT = 1_000_000
+
+
+def dedupe_edges(edges_ds):
+    """Normalize accepted edges (addr_a < addr_b) and dedupe pairs
+    co-emitted by multiple blocking passes: per-batch partial dedup so
+    at most one row per (pair, batch) survives the map side, then a
+    size-gated global dedup — driver-side Arrow group_by under
+    ``SMALL_EDGE_LIMIT`` (edges are a tiny fraction of input at the
+    100-TB design point, but the gate keeps the distributed path for
+    adversarial edge densities), hash groupby above.
+
+    The scorer is deterministic per pair, so duplicates agree on rule
+    and score (Min/Max are tiebreak no-ops).  Running this inside
+    ``resolve`` makes the edge stage's checkpoint manifest count the
+    LOGICAL match-pair count (SQL-derivable — the pipeline_counters
+    oracle restates it) and shrinks the connected-components input."""
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Max, Min
+
+    def norm(t: pa.Table) -> pa.Table:
+        lt = pc.less(t["addr_a"], t["addr_b"])
+        lo = pc.if_else(lt, t["addr_a"], t["addr_b"])
+        hi = pc.if_else(lt, t["addr_b"], t["addr_a"])
+        out = pa.table(
+            {"addr_a": lo, "addr_b": hi, "score": t["score"], "rule": t["rule"]}
+        )
+        return (
+            out.group_by(["addr_a", "addr_b"])
+            .aggregate([("rule", "min"), ("score", "max")])
+            .rename_columns(["addr_a", "addr_b", "rule", "score"])
+        )
+
+    partial = edges_ds.map_batches(norm, batch_format="pyarrow").materialize()
+    if partial.count() <= SMALL_EDGE_LIMIT:
+        tabs = [t for t in ray.get(partial.to_arrow_refs()) if t.num_columns]
+        if not tabs:
+            return partial
+        folded = (
+            pa.concat_tables(tabs)
+            .group_by(["addr_a", "addr_b"])
+            .aggregate([("rule", "min"), ("score", "max")])
+            .rename_columns(["addr_a", "addr_b", "rule", "score"])
+        )
+        return rd.from_arrow(folded)
+    return (
+        partial.groupby(["addr_a", "addr_b"])
+        .aggregate(Min("rule", alias_name="rule"), Max("score", alias_name="score"))
+    )
+
+
 def score_pairs(pairs_ds, concurrency=None, batch_size: int = 32768):
     """Candidate pairs → accepted match edges via the scorer actor pool.
 

@@ -1,0 +1,85 @@
+"""Production vectorized samplers: determinism, partition invariance,
+keep-rate accuracy, and cutoff normalization (ADVICE round-2 items)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from email_address_parser_ray.stages.sampling import (
+    fast_hash_sample,
+    fast_mixture_sample,
+    hash_sample,
+    mixture_sample,
+)
+
+
+def _ids(ds):
+    return sorted(r["doc_id"] for r in ds.take_all())
+
+
+def test_fast_hash_sample_rate_and_partition_invariance(ray_session):
+    n = 20_000
+    tbl = pa.table({"doc_id": pa.array(np.arange(n), pa.int64())})
+    ds1 = rd.from_arrow(tbl).repartition(2)
+    ds4 = rd.from_arrow(tbl).repartition(16)
+    kept1 = _ids(fast_hash_sample(ds1, "doc_id", rate_ppm=250_000, seed=7))
+    kept4 = _ids(fast_hash_sample(ds4, "doc_id", rate_ppm=250_000, seed=7))
+    assert kept1 == kept4  # partition layout cannot change the sample
+    # splitmix64 is uniform: 25% ± 2% at n=20k
+    assert abs(len(kept1) / n - 0.25) < 0.02
+    # different seed draws a genuinely different sample
+    kept_other = _ids(fast_hash_sample(ds1, "doc_id", rate_ppm=250_000, seed=8))
+    assert kept_other != kept1
+
+
+def test_fast_mixture_sample_rates_per_source(ray_session):
+    n = 30_000
+    src = np.array(["a", "b", "c"])[np.arange(n) % 3]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n), pa.int64()),
+            "source": pa.array(src, pa.string()),
+        }
+    )
+    ds = rd.from_arrow(tbl).repartition(8)
+    out = fast_mixture_sample(
+        ds, "source", {"a": 800_000, "b": 100_000}, "doc_id", default_ppm=0, seed=7
+    ).to_pandas()
+    rates = out.groupby("source").size() / (n / 3)
+    assert abs(rates.get("a", 0) - 0.8) < 0.03
+    assert abs(rates.get("b", 0) - 0.1) < 0.03
+    assert "c" not in set(out["source"])  # default_ppm=0 drops unknown sources
+
+    # equals the md5 mixture semantics in shape: same function of (key,
+    # source) only — re-running with identical args is bit-identical
+    out2 = fast_mixture_sample(
+        ds, "source", {"a": 800_000, "b": 100_000}, "doc_id", default_ppm=0, seed=7
+    ).to_pandas()
+    assert sorted(out["doc_id"]) == sorted(out2["doc_id"])
+
+
+def test_fast_sampler_rejects_bad_rate(ray_session):
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array([1], pa.int64())}))
+    with pytest.raises(ValueError):
+        fast_hash_sample(ds, "doc_id", rate_ppm=2_000_000)
+    with pytest.raises(ValueError):
+        fast_mixture_sample(ds, "source", {"a": -1}, "doc_id")
+
+
+def test_md5_cutoffs_normalized_to_lowercase(ray_session):
+    n = 2_000
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n), pa.int64()),
+            "source": pa.array(["s"] * n, pa.string()),
+        }
+    )
+    ds = rd.from_arrow(tbl)
+    lower = mixture_sample(ds, "source", {"s": "cc"}, ["doc_id"], seed=7).count()
+    upper = mixture_sample(ds, "source", {"s": "CC"}, ["doc_id"], seed=7).count()
+    assert lower == upper and lower > 0  # 'CC' used to silently keep ~0 rows
+    assert hash_sample(ds, ["doc_id"], cutoff_hex="0D", seed=7).count() == \
+        hash_sample(ds, ["doc_id"], cutoff_hex="0d", seed=7).count()
+    with pytest.raises(ValueError):
+        mixture_sample(ds, "source", {"s": "zz"}, ["doc_id"]).count()
