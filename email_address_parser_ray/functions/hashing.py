@@ -66,6 +66,95 @@ def minhash_signature(shingle_hashes: np.ndarray) -> np.ndarray:
     return vals.min(axis=0).astype(np.uint64)
 
 
+def minhash_signature_batch(
+    shingle_rows: Sequence[np.ndarray], chunk: int = 65536
+) -> np.ndarray:
+    """(n_docs, N_PERM) uint64 signatures for a whole batch in flat numpy
+    passes: concatenate every doc's shingle hashes, apply the affine
+    permutations chunk-wise (bounding peak memory to ``chunk`` x N_PERM
+    x 8 B), and fold per-doc minima with ``np.minimum.reduceat``.
+
+    Bit-identical to per-doc ``minhash_signature`` (same uint64 wrap +
+    mod arithmetic, element-wise); the batch layout removes the per-doc
+    Python/numpy call overhead that dominated the sketch stage."""
+    lens = np.fromiter((len(a) for a in shingle_rows), np.int64, len(shingle_rows))
+    n_docs = len(lens)
+    out = np.empty((n_docs, N_PERM), np.uint64)
+    if n_docs == 0:
+        return out
+    flat = np.concatenate(shingle_rows).astype(np.uint64)
+    offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    ends = offsets + lens
+    # chunk along doc boundaries: each chunk's docs fit whole
+    doc_lo = 0
+    while doc_lo < n_docs:
+        doc_hi = doc_lo
+        base = offsets[doc_lo]
+        while doc_hi < n_docs and ends[doc_hi] - base <= chunk:
+            doc_hi += 1
+        if doc_hi == doc_lo:  # one pathological doc larger than chunk
+            doc_hi = doc_lo + 1
+        seg = flat[base : ends[doc_hi - 1]]
+        with np.errstate(over="ignore"):
+            vals = (seg.reshape(-1, 1) * _A.reshape(1, -1) + _B.reshape(1, -1)) % _MERSENNE
+        out[doc_lo:doc_hi] = np.minimum.reduceat(
+            vals, offsets[doc_lo:doc_hi] - base, axis=0
+        )
+        doc_lo = doc_hi
+    return out
+
+
+_BAND_SALT = mix64(np.arange(4096, dtype=np.uint64) ^ np.uint64(0xBADC0FFEE))
+
+
+def band_keys_batch(sigs: np.ndarray, bands: int = 64) -> np.ndarray:
+    """(n_docs, bands) int64 band keys for two-row bands, fully
+    vectorized: each band's two signature rows are combined with the
+    splitmix64 finalizer plus a per-band salt.  Key equality ⇔ equal
+    (sig[2b], sig[2b+1]) pairs up to a ~2^-64 collision rate, and a
+    collision can only ADD a candidate pair (the exact verify filters
+    precision) — same contract as the crc32 per-doc ``band_keys``, at
+    numpy speed."""
+    rows = sigs.shape[1] // bands
+    assert rows == 2, "band_keys_batch is specialized for two-row bands"
+    combined = mix64(sigs[:, 0::2] ^ mix64(sigs[:, 1::2])) ^ _BAND_SALT[:bands]
+    return mix64(combined).view(np.int64)
+
+
+def simhash64_batch(texts: Sequence[str]) -> np.ndarray:
+    """(n_docs,) uint64 SimHash for a whole batch: one flat token pass,
+    md5 computed once per UNIQUE token string (the vocab repeats
+    heavily), per-doc vote sums via ``np.add.reduceat``.  Bit-identical
+    to per-doc ``simhash64`` — duplicate tokens still vote once per
+    occurrence, empty texts hash to 0 — so the DuckDB
+    ``md5_number_lower`` replay oracle is unaffected."""
+    tok_rows = [t.split() for t in texts]
+    lens = np.fromiter((len(r) for r in tok_rows), np.int64, len(tok_rows))
+    out = np.zeros(len(texts), np.uint64)
+    nz = lens > 0
+    if not nz.any():
+        return out
+    flat = np.array([w for r in tok_rows for w in r], dtype=object)
+    uniq, inv = np.unique(flat, return_inverse=True)
+    uh = np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(u.encode("utf-8")).digest()[8:16], "little")
+            for u in uniq
+        ),
+        dtype=np.uint64,
+        count=len(uniq),
+    )
+    hs = uh[inv]
+    bits = np.unpackbits(
+        hs.view(np.uint8).reshape(len(hs), 8), axis=1, bitorder="little"
+    ).astype(np.int64)
+    votes = bits * 2 - 1
+    offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    acc = np.add.reduceat(votes, offsets[nz], axis=0)
+    out[nz] = ((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(axis=1)
+    return out
+
+
 def band_keys(sig: np.ndarray, bands: int = 64) -> List[int]:
     """Split the signature into ``bands`` row-groups; crc each group."""
     rows = len(sig) // bands

@@ -25,10 +25,9 @@ import pyarrow as pa
 
 from ..functions.arrowutil import concat_nonempty, from_pandas_clean
 from ..functions.hashing import (
-    band_keys,
-    minhash_signature,
-    simhash64,
-    simhash_bands,
+    band_keys_batch,
+    minhash_signature_batch,
+    simhash64_batch,
     word_shingles,
 )
 
@@ -134,20 +133,18 @@ def minhash_sketch_batch(batch: pa.Table, shingle_k: int = 3, bands: int = 64) -
     Plain task-based ``map_batches`` body: the sketch has no expensive
     per-worker state (the permutation constants are module-level numpy
     arrays shipped once with the function), so an actor pool would only
-    add pool spin-up latency."""
-    doc_ids = batch["doc_id"].to_pylist()
+    add pool spin-up latency.  The signature + banding run batch-wide
+    (flat shingle array + ``np.minimum.reduceat``, vectorized band-key
+    mix) — the only remaining per-doc work is the crc32 shingle set."""
+    doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     texts = batch["text"].to_pylist()
-    o_band: List[int] = []
-    o_doc: List[int] = []
-    for did, t in zip(doc_ids, texts):
-        sig = minhash_signature(word_shingles(t, shingle_k))
-        for bk in band_keys(sig, bands):
-            o_band.append(bk)
-            o_doc.append(did)
+    sh_rows = [word_shingles(t, shingle_k) for t in texts]
+    sigs = minhash_signature_batch(sh_rows)
+    keys = band_keys_batch(sigs, bands)  # (n_docs, bands) int64
     return pa.table(
         {
-            "band_key": pa.array(o_band, pa.int64()),
-            "doc_id": pa.array(o_doc, pa.int64()),
+            "band_key": pa.array(keys.ravel(), pa.int64()),
+            "doc_id": pa.array(np.repeat(doc_ids, bands), pa.int64()),
         }
     )
 
@@ -179,9 +176,15 @@ def minhash_candidate_pairs(docs_ds, bands: int = 64, shingle_k: int = 3):
     """documents → deduped near-dup candidate pairs (doc_a < doc_b).
 
     One task-based sketch pass, ONE shuffle (coarse band-key buckets),
-    per-bucket vectorized pair emission, then a small cross-band dedup
-    aggregate.  Candidates are UNVERIFIED — pipe them through
+    per-bucket vectorized pair emission, then a size-gated cross-band
+    dedup: per-bucket pairs are already deduped, so the cross-band
+    residue is tiny — fold it on the driver below ``SMALL_CAND_LIMIT``
+    (saves a whole sort-shuffle barrier, the dominant cost at bench
+    scale) and fall back to the distributed pair groupby above it.
+    Candidates are UNVERIFIED — pipe them through
     ``minhash_verified_pairs`` for the exact-Jaccard filter."""
+    import ray
+    import ray.data as rd
     from ray.data.aggregate import Count
 
     banded = docs_ds.map_batches(
@@ -189,7 +192,13 @@ def minhash_candidate_pairs(docs_ds, bands: int = 64, shingle_k: int = 3):
     ).map_batches(_add_key_bucket, batch_format="pyarrow")
     cands = banded.groupby("bucket").map_groups(
         _bucket_candidate_pairs, batch_format="pandas"
-    )
+    ).materialize()
+    if cands.count() <= SMALL_CAND_LIMIT:
+        schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
+        tbl = concat_nonempty(ray.get(cands.to_arrow_refs()), schema)
+        return rd.from_arrow(
+            tbl.group_by(["doc_a", "doc_b"]).aggregate([])
+        )
     dedup = cands.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="_nb"))
     return dedup.map_batches(
         lambda t: t.select(["doc_a", "doc_b"]), batch_format="pyarrow"
@@ -430,19 +439,20 @@ class JaccardVerifier:
 # --- SimHash ---------------------------------------------------------------
 
 def _simhash_batch(batch: pa.Table) -> pa.Table:
+    """Batch-wide sketch + vectorized 16-bit pigeonhole banding (same
+    key values as per-doc ``simhash_bands``)."""
     texts = batch["text"].to_pylist()
-    hs = [simhash64(t) for t in texts]
-    o_band, o_doc, o_h = [], [], []
-    for did, h in zip(batch["doc_id"].to_pylist(), hs):
-        for bk in simhash_bands(h):
-            o_band.append(bk)
-            o_doc.append(did)
-            o_h.append(h)
+    doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    hs = simhash64_batch(texts)  # (n_docs,) uint64
+    n_bands = 4
+    shifts = (np.arange(n_bands, dtype=np.uint64) * np.uint64(16)).reshape(1, -1)
+    keys = ((hs.reshape(-1, 1) >> shifts) & np.uint64(0xFFFF)).astype(np.int64)
+    keys |= np.arange(n_bands, dtype=np.int64).reshape(1, -1) << 16
     return pa.table(
         {
-            "band_key": pa.array(o_band, pa.int64()),
-            "doc_id": pa.array(o_doc, pa.int64()),
-            "simhash": pa.array(np.array(o_h, dtype=np.uint64)),
+            "band_key": pa.array(keys.ravel(), pa.int64()),
+            "doc_id": pa.array(np.repeat(doc_ids, n_bands), pa.int64()),
+            "simhash": pa.array(np.repeat(hs, n_bands)),
         }
     )
 
