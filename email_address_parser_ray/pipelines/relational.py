@@ -155,9 +155,13 @@ def q5_region_revenue(
 
     Join strategy by side size (the 100-TB shapes):
 
-    * region/nation/supplier — true dimensions: read once on the driver,
-      broadcast via ``ray.put``, probed with vectorized ``index_in``
-      lookups inside ``map_batches`` (never a shuffle);
+    * region/nation — true fixed-cardinality dimensions: read once on
+      the driver, broadcast via ``ray.put``, probed with vectorized
+      ``index_in`` lookups inside ``map_batches`` (never a shuffle);
+    * supplier — SF-dependent (TPC-H supplier grows linearly with scale),
+      so the attach is size-gated by the parquet row-count metadata:
+      broadcast below ``BROADCAST_ROW_LIMIT``, hash-partitioned join
+      above (round-2 verdict: the 'true dimension' claim has a ceiling);
     * orders ⋈ customer and lineitem ⋈ orders — both fact-sized: native
       hash-partitioned joins, with the region/date filters and per-batch
       revenue pre-aggregation pushed BELOW the shuffles.
@@ -185,15 +189,18 @@ def q5_region_revenue(
         )
         if rk in rkeys
     }
-    sup = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
     region_nations = pa.array(sorted(nation_name), pa.int64())
-    supp_ref = ray.put(
-        (
-            pc.cast(sup["s_suppkey"], pa.int64()).combine_chunks(),
-            pc.cast(sup["s_nationkey"], pa.int64()).combine_chunks(),
-            region_nations,
+    supp_path = f"{sf_dir}/supplier.parquet"
+    broadcast_supplier = _parquet_rows(supp_path) <= BROADCAST_ROW_LIMIT
+    if broadcast_supplier:
+        sup = pq.read_table(supp_path, columns=["s_suppkey", "s_nationkey"])
+        supp_ref = ray.put(
+            (
+                pc.cast(sup["s_suppkey"], pa.int64()).combine_chunks(),
+                pc.cast(sup["s_nationkey"], pa.int64()).combine_chunks(),
+                region_nations,
+            )
         )
-    )
 
     lo = pa.scalar(pd.Timestamp(date_lo), pa.timestamp("us"))
     hi = pa.scalar(pd.Timestamp(date_hi), pa.timestamp("us"))
@@ -217,21 +224,82 @@ def q5_region_revenue(
         ["o_orderkey", "c_nationkey"]
     )
 
-    def li_partial(t: pa.Table) -> pa.Table:
-        skeys, snats, rnats = ray.get(supp_ref)
-        pos = pc.index_in(pc.cast(t["l_suppkey"], pa.int64()), value_set=skeys)
-        s_nat = pc.take(snats, pos)
-        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        t2 = pa.table({"l_orderkey": t["l_orderkey"], "s_nationkey": s_nat, "rev": rev})
-        t2 = t2.filter(pc.is_in(t2["s_nationkey"], value_set=rnats))
-        return t2.group_by(["l_orderkey", "s_nationkey"]).aggregate(
-            [("rev", "sum")]
-        ).rename_columns(["l_orderkey", "s_nationkey", "p_rev"])
-
-    li_part = read_parquet_clean(
+    li_raw = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
-    ).map_batches(li_partial, batch_format="pyarrow")
+    )
+    if broadcast_supplier:
+
+        def li_partial(t: pa.Table) -> pa.Table:
+            skeys, snats, rnats = ray.get(supp_ref)
+            pos = pc.index_in(pc.cast(t["l_suppkey"], pa.int64()), value_set=skeys)
+            s_nat = pc.take(snats, pos)
+            rev = pc.multiply(
+                t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+            )
+            t2 = pa.table(
+                {"l_orderkey": t["l_orderkey"], "s_nationkey": s_nat, "rev": rev}
+            )
+            t2 = t2.filter(pc.is_in(t2["s_nationkey"], value_set=rnats))
+            return t2.group_by(["l_orderkey", "s_nationkey"]).aggregate(
+                [("rev", "sum")]
+            ).rename_columns(["l_orderkey", "s_nationkey", "p_rev"])
+
+        li_part = li_raw.map_batches(li_partial, batch_format="pyarrow")
+    else:
+        # hash-join path: partial-agg lineitem to one row per
+        # (l_orderkey, l_suppkey) per batch BELOW the shuffle, join onto
+        # the region-filtered supplier side, re-partial the nationkey sums
+        def li_presum(t: pa.Table) -> pa.Table:
+            rev = pc.multiply(
+                t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+            )
+            t2 = pa.table(
+                {
+                    "l_orderkey": t["l_orderkey"],
+                    "l_suppkey": pc.cast(t["l_suppkey"], pa.int64()),
+                    "rev": rev,
+                }
+            )
+            return t2.group_by(["l_orderkey", "l_suppkey"]).aggregate(
+                [("rev", "sum")]
+            ).rename_columns(["l_orderkey", "l_suppkey", "rev"])
+
+        supp_f = read_parquet_clean(
+            supp_path, columns=["s_suppkey", "s_nationkey"]
+        ).map_batches(
+            lambda t: pa.table(
+                {
+                    "s_suppkey": pc.cast(t["s_suppkey"], pa.int64()),
+                    "s_nationkey": pc.cast(t["s_nationkey"], pa.int64()),
+                }
+            ).filter(
+                pc.is_in(pc.cast(t["s_nationkey"], pa.int64()), value_set=region_nations)
+            ),
+            batch_format="pyarrow",
+        )
+        from ..stages.joins import bucket_join
+
+        li_joined = bucket_join(
+            li_raw.map_batches(li_presum, batch_format="pyarrow"),
+            supp_f,
+            on="l_suppkey",
+            right_on="s_suppkey",
+            n_buckets=N_JOIN_BUCKETS,
+        )
+        li_part = li_joined.map_batches(
+            lambda t: pa.table(
+                {
+                    "l_orderkey": t["l_orderkey"],
+                    "s_nationkey": t["s_nationkey"],
+                    "rev": t["rev"],
+                }
+            )
+            .group_by(["l_orderkey", "s_nationkey"])
+            .aggregate([("rev", "sum")])
+            .rename_columns(["l_orderkey", "s_nationkey", "p_rev"]),
+            batch_format="pyarrow",
+        )
 
     j2 = hash_join(li_part, j1, on="l_orderkey", right_on="o_orderkey")
     matched = j2.map_batches(
@@ -334,6 +402,19 @@ def top_customers(sf_dir: str, k: int = 20):
 
 
 N_JOIN_BUCKETS = 32
+
+# SF-dependent "dimension" sides (TPC-H supplier/part grow linearly with
+# scale) are broadcast via ray.put only below this many rows — above it
+# (~hundreds of MB of key+payload per worker at 100-TB SFs) the attach
+# falls back to a hash-partitioned join.  Row count comes from parquet
+# footer metadata, so the gate costs no data read.
+BROADCAST_ROW_LIMIT = 2_000_000
+
+
+def _parquet_rows(path: str) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(path).metadata.num_rows
 
 
 def events_asof_orders(sf_dir: str):
@@ -587,37 +668,76 @@ def orders_running_total(sf_dir: str):
 
 def parttype_revenue(sf_dir: str):
     """Q14-flavored revenue share by part type: lineitem ⋈ part on
-    partkey (part is a true dimension — broadcast once, probed with a
-    vectorized ``index_in`` lookup), per-batch partial sums, one tiny
-    groupby.  Monetary output in integer cents."""
+    partkey, per-batch partial sums, one tiny groupby.  part is
+    SF-dependent in TPC-H, so the attach is size-gated like q5's
+    supplier: broadcast + vectorized ``index_in`` probe below
+    ``BROADCAST_ROW_LIMIT``, hash-partitioned join (on per-batch
+    (l_partkey, sums) partials — never the raw fact rows) above.
+    Monetary output in integer cents."""
     import pyarrow.parquet as pq
     import ray
 
-    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"])
-    part_ref = ray.put(
-        (
-            pc.cast(part["p_partkey"], pa.int64()).combine_chunks(),
-            part["p_type"].combine_chunks(),
-        )
-    )
+    from ..stages.joins import bucket_join
+
+    part_path = f"{sf_dir}/part.parquet"
     li = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_partkey", "l_extendedprice", "l_discount"],
     )
+    if _parquet_rows(part_path) <= BROADCAST_ROW_LIMIT:
+        part = pq.read_table(part_path, columns=["p_partkey", "p_type"])
+        part_ref = ray.put(
+            (
+                pc.cast(part["p_partkey"], pa.int64()).combine_chunks(),
+                part["p_type"].combine_chunks(),
+            )
+        )
 
-    def partial(t: pa.Table) -> pa.Table:
-        pkeys, ptypes = ray.get(part_ref)
-        pos = pc.index_in(pc.cast(t["l_partkey"], pa.int64()), value_set=pkeys)
-        ptype = pc.take(ptypes, pos)
-        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        t2 = pa.table({"p_type": ptype, "rev": rev})
-        return t2.group_by("p_type").aggregate(
-            [("rev", "sum"), ("rev", "count")]
-        ).rename_columns(["p_type", "p_rev", "p_cnt"])
+        def partial(t: pa.Table) -> pa.Table:
+            pkeys, ptypes = ray.get(part_ref)
+            pos = pc.index_in(pc.cast(t["l_partkey"], pa.int64()), value_set=pkeys)
+            ptype = pc.take(ptypes, pos)
+            rev = pc.multiply(
+                t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+            )
+            t2 = pa.table({"p_type": ptype, "rev": rev})
+            return t2.group_by("p_type").aggregate(
+                [("rev", "sum"), ("rev", "count")]
+            ).rename_columns(["p_type", "p_rev", "p_cnt"])
+
+        typed = li.map_batches(partial, batch_format="pyarrow")
+    else:
+
+        def presum(t: pa.Table) -> pa.Table:
+            rev = pc.multiply(
+                t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+            )
+            t2 = pa.table({"l_partkey": pc.cast(t["l_partkey"], pa.int64()), "rev": rev})
+            return t2.group_by("l_partkey").aggregate(
+                [("rev", "sum"), ("rev", "count")]
+            ).rename_columns(["l_partkey", "p_rev", "p_cnt"])
+
+        part_ds = read_parquet_clean(part_path, columns=["p_partkey", "p_type"]).map_batches(
+            lambda t: pa.table(
+                {
+                    "p_partkey": pc.cast(t["p_partkey"], pa.int64()),
+                    "p_type": t["p_type"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        typed = bucket_join(
+            li.map_batches(presum, batch_format="pyarrow"),
+            part_ds,
+            on="l_partkey",
+            right_on="p_partkey",
+            n_buckets=N_JOIN_BUCKETS,
+        ).map_batches(
+            lambda t: t.select(["p_type", "p_rev", "p_cnt"]), batch_format="pyarrow"
+        )
 
     agg = (
-        li.map_batches(partial, batch_format="pyarrow")
-        .groupby("p_type")
+        typed.groupby("p_type")
         .aggregate(Sum("p_rev", alias_name="revenue"), Sum("p_cnt", alias_name="n_items"))
     )
     return agg.map_batches(

@@ -16,6 +16,13 @@ from __future__ import annotations
 
 from typing import Optional, Sequence, Union
 
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.arrowutil import from_pandas_clean
+
 
 def hash_join(
     left,
@@ -46,3 +53,78 @@ def hash_join(
         on=lk,
         right_on=rk,
     )
+
+
+def bucket_join(
+    left,
+    right,
+    on: str,
+    right_on: Optional[str] = None,
+    n_buckets: int = 32,
+):
+    """Inner equi-join by hash-bucket co-location: union-tag both sides
+    into one schema, ONE shuffle (groupby bucket), vectorized pandas
+    merge per bucket.
+
+    Exists because Ray's native ``Dataset.join`` fails with an Acero
+    "No match ... FieldRef" error whenever a hash partition receives no
+    shard on one side (empty zero-column table built inside the join
+    op) — which is guaranteed for a small-but-over-the-broadcast-gate
+    side at test scale.  The union-tag shape is the same co-location
+    pattern the as-of/range joins use and is total at any scale; skew
+    bound is the hottest key-hash bucket.
+
+    Single-column integer keys only (the gated dimension attaches);
+    non-key column names must be disjoint across sides."""
+    rk = right_on or on
+    ls, rs = left.schema(), right.schema()  # ray.data Schema (names/types)
+    l_cols = list(ls.names)
+    r_cols = list(rs.names)
+    overlap = (set(l_cols) - {on}) & (set(r_cols) - {rk})
+    if overlap:
+        raise ValueError(f"bucket_join: non-key column collision {overlap}")
+    types = dict(zip(rs.names, rs.types))
+    types.update(zip(ls.names, ls.types))
+    out_cols = l_cols + [c for c in r_cols if c != rk]
+    all_cols = sorted(set(l_cols) | {c for c in r_cols if c != rk})
+
+    def tag(side_cols, key_col, is_left):
+        def f(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            key = pc.cast(t[key_col], pa.int64())
+            b = pc.bit_wise_and(key, pa.scalar(0x7FFFFFFF, pa.int64()))
+            cols = {
+                "__bucket": pc.subtract(
+                    b, pc.multiply(pc.divide(b, n_buckets), n_buckets)
+                ),
+                "__is_left": pa.array([is_left] * n),
+                "__key": key,
+            }
+            for c in all_cols:
+                cols[c] = t[c] if c in side_cols else pa.nulls(n, types[c])
+            return pa.table(cols)
+
+        return f
+
+    both = left.map_batches(tag(l_cols, on, True), batch_format="pyarrow").union(
+        right.map_batches(tag(r_cols, rk, False), batch_format="pyarrow")
+    )
+
+    out_schema = pa.schema([(c, types[c]) for c in out_cols])
+
+    def merge(df: pd.DataFrame) -> pa.Table:
+        l = df[df["__is_left"]]
+        r = df[~df["__is_left"]]
+        if len(l) == 0 or len(r) == 0:
+            return out_schema.empty_table()
+        lf = l[["__key"] + [c for c in l_cols if c != on]]
+        rf = r[["__key"] + [c for c in r_cols if c != rk]]
+        m = lf.merge(rf, on="__key", how="inner")
+        m = m.rename(columns={"__key": on})
+        # the union-tag nulls promote int columns to float64 in pandas;
+        # from_pandas with the declared schema restores the Arrow types
+        return pa.Table.from_pandas(
+            m[list(out_cols)], schema=out_schema, preserve_index=False
+        )
+
+    return both.groupby("__bucket").map_groups(merge, batch_format="pandas")

@@ -9,11 +9,13 @@ codec libraries are absent from this container.
 
 ``MediaDecoder``/``ImageResizer`` try-import PIL per actor: when
 Pillow is installed the image paths are REAL (decode → features /
-resize → re-encode); otherwise ``fake=True`` produces deterministic
-pseudo-features (crc-seeded) so the distributed plumbing stays testable
+resize → re-encode).  The AUDIO path is real unconditionally: stdlib
+``wave`` PCM decode → per-segment RMS features (``fake=False`` +
+kind="audio").  ``fake=True`` produces deterministic md5
+pseudo-features so the distributed plumbing stays value-checkable
 end-to-end, and ``fake=False`` raises ``NotImplementedError`` at the
-exact point the codec call goes (audio/video still need
-torchaudio/ffmpeg and remain stubbed).
+exact point the remaining codec call goes (video still needs ffmpeg
+and remains stubbed).
 """
 
 from __future__ import annotations
@@ -79,6 +81,35 @@ class MediaDecoder:
         # per-actor codec load (once, in __init__ — not per batch)
         self.pil = _pil_image()
 
+    def _decode_wav(self, payload: bytes) -> np.ndarray:
+        """REAL audio path: stdlib ``wave`` PCM decode → per-segment RMS
+        energy features (dim equal time buckets).  Handles 8/16-bit PCM,
+        any channel count (downmixed); non-WAV bytes raise wave.Error —
+        honest failure at the codec boundary, not a silent fake."""
+        import io
+        import wave
+
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            nframes = w.getnframes()
+            width = w.getsampwidth()
+            ch = w.getnchannels()
+            raw = w.readframes(nframes)
+        if width == 2:
+            x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+        elif width == 1:
+            x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+        else:
+            raise NotImplementedError(f"{8 * width}-bit PCM not supported")
+        if ch > 1:
+            x = x[: (len(x) // ch) * ch].reshape(-1, ch).mean(axis=1)
+        if len(x) == 0:
+            return np.zeros(self.dim, dtype=np.float64)
+        segs = np.array_split(x, self.dim)
+        return np.array(
+            [np.sqrt(float((s * s).mean())) if len(s) else 0.0 for s in segs],
+            dtype=np.float64,
+        )
+
     def _decode(self, payload: bytes, kind: str) -> np.ndarray:
         if kind == "image" and self.pil is not None and not self.fake:
             import io
@@ -86,10 +117,12 @@ class MediaDecoder:
             img = self.pil.open(io.BytesIO(payload)).convert("L")
             row = np.asarray(img.resize((self.dim, 1)), dtype=np.float64)
             return row.reshape(self.dim) / 255.0
+        if kind == "audio" and not self.fake:
+            return self._decode_wav(payload)
         if not self.fake:
             raise NotImplementedError(
                 "media codec not available for this kind in this environment; "
-                "plug libjpeg/ffmpeg/torchaudio here"
+                "plug libjpeg/ffmpeg here"
             )
         # deterministic pseudo-features: 16-bit words of md5(hex(payload)).
         # Chosen over an RNG stand-in because any engine can recompute it —
