@@ -7,15 +7,21 @@ large), and the Ray-side plumbing (schema, batch sizing, actor
 signature, output layout) is real and tested even though the actual
 codec libraries are absent from this container.
 
-``MediaDecoder``/``ImageResizer`` try-import PIL per actor: when
-Pillow is installed the image paths are REAL (decode → features /
-resize → re-encode).  The AUDIO path is real unconditionally: stdlib
-``wave`` PCM decode → per-segment RMS features (``fake=False`` +
-kind="audio").  ``fake=True`` produces deterministic md5
-pseudo-features so the distributed plumbing stays value-checkable
-end-to-end, and ``fake=False`` raises ``NotImplementedError`` at the
-exact point the remaining codec call goes (video still needs ffmpeg
-and remains stubbed).
+All three kinds have REAL ``fake=False`` decode paths with zero
+external dependencies, each over a public uncompressed container
+format:
+
+* image — 24-bit uncompressed BMP (BI_RGB), pure-numpy plane decode
+  (and PIL for compressed formats when it happens to be installed);
+* audio — stdlib ``wave`` PCM decode → per-segment RMS features;
+* video — YUV4MPEG2 (.y4m) demux: plain-text stream header + raw
+  ``FRAME`` planes, parsed with numpy; ``FrameSampler`` emits real
+  luma-plane frames and ``MediaDecoder`` folds per-frame mean luma.
+
+Compressed codecs (JPEG/H.264/FLAC...) still need libjpeg/ffmpeg and
+raise ``NotImplementedError`` at the exact call site.  ``fake=True``
+produces deterministic md5 pseudo-features so the distributed plumbing
+stays value-checkable end-to-end against the DuckDB oracle.
 """
 
 from __future__ import annotations
@@ -35,6 +41,139 @@ def _pil_image():
         return Image
     except ImportError:
         return None
+
+# ---------------------------------------------------------------------------
+# Pure-numpy codecs for public uncompressed container formats.  These are
+# the engine's dependency-free REAL decode paths; spec cites: BMP — Windows
+# BITMAPINFOHEADER layout (public since Win3.0); Y4M — the YUV4MPEG2 stream
+# format shipped with mjpegtools and consumed by ffmpeg/x264.
+# ---------------------------------------------------------------------------
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """24-bit uncompressed (BI_RGB) BMP → float64 grayscale HxW in [0,1].
+
+    Parses the 14-byte file header + BITMAPINFOHEADER, honors the
+    4-byte-aligned row stride and bottom-up row order (negative height =
+    top-down).  Anything that is not a 24bpp BI_RGB bitmap raises
+    ``ValueError`` — honest failure at the codec boundary."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = int.from_bytes(payload[10:14], "little")
+    hdr_sz = int.from_bytes(payload[14:18], "little")
+    if hdr_sz < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_sz}")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    comp = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"only 24bpp BI_RGB supported (got bpp={bpp} comp={comp})")
+    top_down = h < 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3  # rows pad to 4-byte boundaries
+    need = off + stride * h
+    if len(payload) < need:
+        raise ValueError("truncated BMP pixel array")
+    rows = np.frombuffer(payload, np.uint8, count=stride * h, offset=off)
+    px = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if not top_down:
+        px = px[::-1]
+    bgr = px.astype(np.float64)
+    # ITU-R BT.601 luma; BMP stores B,G,R order
+    return (0.114 * bgr[..., 0] + 0.587 * bgr[..., 1] + 0.299 * bgr[..., 2]) / 255.0
+
+
+def encode_bmp(gray: np.ndarray) -> bytes:
+    """float64 grayscale in [0,1] → 24-bit bottom-up BI_RGB BMP bytes
+    (R=G=B).  Row stride padded to 4 bytes per the format."""
+    h, w = gray.shape
+    v = np.clip(np.round(gray * 255.0), 0, 255).astype(np.uint8)
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), np.uint8)
+    rows[:, : w * 3] = np.repeat(v, 3, axis=1)
+    px = rows[::-1].tobytes()
+    off = 14 + 40
+    total = off + len(px)
+    hdr = (
+        b"BM"
+        + total.to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + off.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(px).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2  # 72 DPI
+        + (0).to_bytes(4, "little") * 2
+    )
+    return hdr + px
+
+
+def demux_y4m(payload: bytes):
+    """YUV4MPEG2 demux → (width, height, list of uint8 luma planes HxW).
+
+    Stream header: ``YUV4MPEG2 W<w> H<h> F<n>:<d> ... [C<fmt>]\\n`` then
+    ``FRAME[ params]\\n`` + raw planar YCbCr per frame.  Supports C420*
+    (1.5 bytes/px), C422 (2), C444 (3), mono (1); only the luma plane is
+    returned (the feature/sampling stages are luma-based).  Non-Y4M bytes
+    raise ``ValueError``."""
+    nl = payload.find(b"\n")
+    if nl < 0 or not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 stream")
+    w = h = 0
+    cfmt = "420"
+    for tok in payload[9:nl].split():
+        t = tok.decode("ascii", "replace")
+        if t[0] == "W":
+            w = int(t[1:])
+        elif t[0] == "H":
+            h = int(t[1:])
+        elif t[0] == "C":
+            cfmt = t[1:]
+    if w <= 0 or h <= 0:
+        raise ValueError("Y4M header missing W/H")
+    if cfmt.startswith("420"):
+        frame_len = w * h + 2 * ((w // 2) * (h // 2))
+    elif cfmt.startswith("422"):
+        frame_len = w * h + 2 * ((w // 2) * h)
+    elif cfmt.startswith("444"):
+        frame_len = 3 * w * h
+    elif cfmt.startswith("mono"):
+        frame_len = w * h
+    else:
+        raise ValueError(f"unsupported Y4M chroma format C{cfmt}")
+    pos = nl + 1
+    frames = []
+    n = len(payload)
+    while pos < n:
+        if payload[pos : pos + 5] != b"FRAME":
+            raise ValueError(f"bad FRAME marker at byte {pos}")
+        fnl = payload.find(b"\n", pos)
+        if fnl < 0 or fnl + 1 + frame_len > n:
+            raise ValueError("truncated Y4M frame")
+        y = np.frombuffer(payload, np.uint8, count=w * h, offset=fnl + 1)
+        frames.append(y.reshape(h, w))
+        pos = fnl + 1 + frame_len
+    return w, h, frames
+
+
+def encode_y4m(frames: "list[np.ndarray]") -> bytes:
+    """uint8 luma planes HxW → a C420 Y4M stream (chroma planes neutral
+    128) — the test-side encoder for the demuxer above."""
+    h, w = frames[0].shape
+    chroma = np.full(((h // 2) * (w // 2),), 128, np.uint8).tobytes()
+    out = [f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C420jpeg\n".encode("ascii")]
+    for f in frames:
+        out.append(b"FRAME\n")
+        out.append(f.astype(np.uint8).tobytes())
+        out.append(chroma)
+        out.append(chroma)
+    return b"".join(out)
+
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -110,20 +249,44 @@ class MediaDecoder:
             dtype=np.float64,
         )
 
-    def _decode(self, payload: bytes, kind: str) -> np.ndarray:
-        if kind == "image" and self.pil is not None and not self.fake:
+    def _decode_image(self, payload: bytes) -> np.ndarray:
+        """REAL image path: BMP via the pure-numpy decoder (dependency
+        free), other formats via PIL when installed.  Features = mean
+        luma over ``dim`` equal column bands."""
+        if payload[:2] == b"BM":
+            gray = decode_bmp(payload)
+        elif self.pil is not None:
             import io
 
             img = self.pil.open(io.BytesIO(payload)).convert("L")
-            row = np.asarray(img.resize((self.dim, 1)), dtype=np.float64)
-            return row.reshape(self.dim) / 255.0
-        if kind == "audio" and not self.fake:
-            return self._decode_wav(payload)
-        if not self.fake:
+            gray = np.asarray(img, dtype=np.float64) / 255.0
+        else:
             raise NotImplementedError(
-                "media codec not available for this kind in this environment; "
-                "plug libjpeg/ffmpeg here"
+                "compressed image codec not available; payload is not BMP "
+                "and Pillow is not installed"
             )
+        bands = np.array_split(gray, self.dim, axis=1)
+        return np.array([float(b.mean()) if b.size else 0.0 for b in bands])
+
+    def _decode_y4m(self, payload: bytes) -> np.ndarray:
+        """REAL video path: Y4M demux → per-frame mean luma, resampled to
+        ``dim`` equal time buckets (mean within each bucket)."""
+        _, _, frames = demux_y4m(payload)
+        if not frames:
+            return np.zeros(self.dim, dtype=np.float64)
+        luma = np.array([f.mean() / 255.0 for f in frames])
+        segs = np.array_split(luma, self.dim)
+        return np.array([float(s.mean()) if len(s) else 0.0 for s in segs])
+
+    def _decode(self, payload: bytes, kind: str) -> np.ndarray:
+        if not self.fake:
+            if kind == "image":
+                return self._decode_image(payload)
+            if kind == "audio":
+                return self._decode_wav(payload)
+            if kind == "video":
+                return self._decode_y4m(payload)
+            raise NotImplementedError(f"unknown media kind {kind!r}")
         # deterministic pseudo-features: 16-bit words of md5(hex(payload)).
         # Chosen over an RNG stand-in because any engine can recompute it —
         # DuckDB: md5_number_lower/upper(hex(payload)) >> (16*i) & 65535 —
@@ -154,11 +317,13 @@ class MediaDecoder:
 
 
 class ImageResizer:
-    """Actor-pool resize stage: real Ray plumbing, stubbed codec.
+    """Actor-pool resize stage.
 
-    With ``fake=True`` the payload is passed through and only the typed
-    metadata is rewritten (a real build decodes, resizes with
-    libjpeg/PIL, re-encodes); ``fake=False`` raises at the codec call.
+    ``fake=False`` is REAL for BMP payloads (pure-numpy decode →
+    nearest-neighbor resample → BMP re-encode) and for any PIL-readable
+    format when Pillow is installed; other compressed formats raise at
+    the codec call.  With ``fake=True`` the payload is passed through
+    and only the typed metadata is rewritten.
     """
 
     def __init__(self, target_w: int = 256, target_h: int = 256, fake: bool = True):
@@ -167,15 +332,28 @@ class ImageResizer:
         self.fake = fake
         self.pil = _pil_image()
 
-    def _resize_real(self, batch: pa.Table) -> pa.Table:
+    def _resize_one(self, payload: bytes) -> bytes:
+        if payload[:2] == b"BM":
+            gray = decode_bmp(payload)
+            h, w = gray.shape
+            # nearest-neighbor resample — pure numpy fancy indexing
+            ri = np.minimum((np.arange(self.h) * h) // self.h, h - 1)
+            ci = np.minimum((np.arange(self.w) * w) // self.w, w - 1)
+            return encode_bmp(gray[np.ix_(ri, ci)])
+        if self.pil is None:
+            raise NotImplementedError(
+                "compressed image codec not available; payload is not BMP "
+                "and Pillow is not installed"
+            )
         import io
 
-        out = []
-        for payload in batch["payload"].to_pylist():
-            img = self.pil.open(io.BytesIO(payload))
-            buf = io.BytesIO()
-            img.resize((self.w, self.h)).save(buf, format=img.format or "PNG")
-            out.append(buf.getvalue())
+        img = self.pil.open(io.BytesIO(payload))
+        buf = io.BytesIO()
+        img.resize((self.w, self.h)).save(buf, format=img.format or "PNG")
+        return buf.getvalue()
+
+    def _resize_real(self, batch: pa.Table) -> pa.Table:
+        out = [self._resize_one(p) for p in batch["payload"].to_pylist()]
         n = batch.num_rows
         return pa.table(
             {
@@ -191,8 +369,6 @@ class ImageResizer:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if not self.fake:
-            if self.pil is None:
-                raise NotImplementedError("image codec not available; install Pillow")
             return self._resize_real(batch)
         n = batch.num_rows
         return pa.table(
@@ -211,18 +387,31 @@ class ImageResizer:
 class FrameSampler:
     """Video → frames flat-map stage: one output row per sampled frame.
 
-    Deterministic frame positions (every ``stride``-th of ``n_frames``);
-    with ``fake=True`` the "frame" is a crc-derived byte slice so the
-    fan-out plumbing (schema, row multiplication, small batches) is real.
+    ``fake=False`` is REAL for Y4M payloads: demux, take ``n_frames``
+    evenly-spaced frames, emit each luma plane re-encoded as a BMP
+    image payload (so downstream image stages consume sampled frames
+    directly).  With ``fake=True`` the "frame" is a deterministic byte
+    slice so the fan-out plumbing (schema, row multiplication, small
+    batches) stays testable without any codec.
     """
 
     def __init__(self, n_frames: int = 4, fake: bool = True):
         self.n_frames = n_frames
         self.fake = fake
 
+    def _sample_real(self, payload: bytes):
+        _, _, frames = demux_y4m(payload)
+        if not frames:
+            return []
+        # evenly-spaced deterministic positions over the real frame count
+        idx = np.unique(
+            (np.arange(self.n_frames) * len(frames)) // max(1, self.n_frames)
+        )
+        return [
+            (int(i), encode_bmp(frames[i].astype(np.float64) / 255.0)) for i in idx
+        ]
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if not self.fake:
-            raise NotImplementedError("video demuxer not available; plug ffmpeg here")
         ids, kinds, frames, payloads = [], [], [], []
         for mid, kind, payload in zip(
             batch["media_id"].to_pylist(),
@@ -230,6 +419,13 @@ class FrameSampler:
             batch["payload"].to_pylist(),
         ):
             if kind != "video":
+                continue
+            if not self.fake:
+                for f, frame_bytes in self._sample_real(payload):
+                    ids.append(mid)
+                    kinds.append(kind)
+                    frames.append(f)
+                    payloads.append(frame_bytes)
                 continue
             step = max(1, len(payload) // self.n_frames)
             for f in range(self.n_frames):
