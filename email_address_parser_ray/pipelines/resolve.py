@@ -40,7 +40,7 @@ PIPELINE_VERSION = 3
 @dataclass(frozen=True)
 class ResolveConfig:
     is_lax: bool = True
-    scorer_concurrency: Optional[int] = None  # None -> adaptive (cpus//4, cpus)
+    scorer_concurrency: Optional[int] = None  # None -> adaptive (cpus//2, cpus)
     extract_batch_size: int = 8192
     max_rounds: int = 16
 

@@ -53,6 +53,11 @@ N_CC_BUCKETS = 64
 # rounds take over (the 100-TB path).  ~1M string edges is tens of MB on
 # the driver — comfortably within one heap.
 SMALL_CC_LIMIT = 1_000_000
+# ... but long addresses can blow the row-count gate (1M edges of 100-B
+# surfaces ≈ 200 MB of driver heap), so the short-circuit ALSO requires
+# the materialized blocks to fit a byte budget (round-2 verdict): above
+# it the distributed rounds run even when the row count is small.
+SMALL_CC_BYTE_LIMIT = 256 * 1024 * 1024
 
 
 def _driver_components(addresses: np.ndarray, ea: np.ndarray, eb: np.ndarray) -> pa.Table:
@@ -189,10 +194,14 @@ def connected_components(
     # --- small-graph short-circuit (driver union-find) -------------------
     edges_mat = edges_ds.materialize()
     n_edges = edges_mat.count()
-    if n_edges <= SMALL_CC_LIMIT:
+    if n_edges <= SMALL_CC_LIMIT and (
+        edges_mat.size_bytes() or 0
+    ) <= SMALL_CC_BYTE_LIMIT:
         nodes_mat = nodes_ds.materialize()
         n_nodes = nodes_mat.count()
-        if n_nodes <= SMALL_CC_LIMIT:
+        if n_nodes <= SMALL_CC_LIMIT and (
+            nodes_mat.size_bytes() or 0
+        ) <= SMALL_CC_BYTE_LIMIT:
             # column selection happens driver-side on the pulled blocks:
             # a select_columns() here would spin a whole extra streaming
             # execution (a ~1-3s barrier) just to drop columns

@@ -209,15 +209,20 @@ def dedupe_edges(edges_ds):
 def score_pairs(pairs_ds, concurrency=None, batch_size: int = 32768):
     """Candidate pairs → accepted match edges via the scorer actor pool.
 
-    ``concurrency`` defaults to an autoscaling (cpus//4, cpus) pool: a
-    non-trivial floor skips the slow one-by-one ramp, while keeping
-    headroom so the pool never reserves every CPU on a small cluster
-    (a machine-sized fixed pool starves the upstream read/shuffle)."""
+    ``concurrency`` defaults to an autoscaling (cpus//2, cpus) pool.
+    Ray fuses the upstream pair-emission map into this actor pool, so
+    the POOL is the stage's parallelism cap and its ramp-up is on the
+    critical path: measured at sf3.0/32 CPUs, floor cpus//4 ran the
+    88 s of emit+score remote work at effective width ~6 (24.8 s wall)
+    while floor cpus//2 reached 16.3 s.  A FIXED pool of exactly
+    ``cpus`` is far worse — it reserves every CPU slot and starves the
+    upstream repartition/sort tasks (measured: the stage stalls
+    >150 s) — so the floor keeps headroom below the machine size."""
     if concurrency is None:
         import ray
 
         cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-        concurrency = (max(1, cpus // 4), cpus)
+        concurrency = (max(1, cpus // 2), cpus)
     if isinstance(concurrency, int):
         concurrency = (1, concurrency)
     return pairs_ds.map_batches(

@@ -74,3 +74,12 @@ def test_paths_agree_on_resolve_graph(ray_session, monkeypatch):
     fast = fast.sort_values("address").reset_index(drop=True)
     slow = slow.sort_values("address").reset_index(drop=True)
     pd.testing.assert_frame_equal(fast, slow)
+
+
+def test_byte_budget_gate_forces_distributed(ray_session, monkeypatch):
+    """A graph under the row-count gate but over the byte budget must take
+    the distributed rounds (and still produce the exact assignment)."""
+    from email_address_parser_ray.stages import clustering
+
+    monkeypatch.setattr(clustering, "SMALL_CC_BYTE_LIMIT", 1)  # 1 byte
+    assert _run_cc(ray_session, monkeypatch, 10**6) == _expected()
