@@ -114,10 +114,19 @@ def incremental_resolve(
 ):
     """Fold a new mention stream into an existing resolution.  Returns
     {"nodes", "edges", "clusters"} where edges = carried-forward old
-    edges ∪ newly scored delta edges."""
+    edges ∪ newly scored delta edges.
+
+    The delta edges are materialized here (they are the slim
+    (addr_a, addr_b, score) table, tiny next to mentions) so that at
+    most ONE ``PairScorer`` actor pool is live per executing DAG: the
+    pool's autoscaling floor is ``cpus//2`` (stages/scoring.py), and if
+    ``old_edges_ds`` is itself a lazy scored pipeline, materializing
+    their union in ``connected_components`` would otherwise put two
+    pools (= all CPUs) in one DAG and starve the upstream sort tasks —
+    a deadlock, not just slowness."""
     nodes = merge_nodes(old_nodes_ds, new_mentions_ds).materialize()
     delta_pairs = candidate_pairs(nodes)
-    new_edges = score_pairs(delta_pairs, concurrency=scorer_concurrency)
+    new_edges = score_pairs(delta_pairs, concurrency=scorer_concurrency).materialize()
     edges = old_edges_ds.union(new_edges)
     clusters = connected_components(nodes, edges, max_rounds)
     return {"nodes": nodes, "edges": edges, "clusters": clusters}

@@ -217,7 +217,13 @@ def score_pairs(pairs_ds, concurrency=None, batch_size: int = 32768):
     while floor cpus//2 reached 16.3 s.  A FIXED pool of exactly
     ``cpus`` is far worse — it reserves every CPU slot and starves the
     upstream repartition/sort tasks (measured: the stage stalls
-    >150 s) — so the floor keeps headroom below the machine size."""
+    >150 s) — so the floor keeps headroom below the machine size.
+
+    CONSTRAINT: at most one scorer pool may be live per executing DAG.
+    Two lazy ``score_pairs`` branches under one ``union`` reserve
+    2 × cpus//2 = every CPU and deadlock the streaming executor
+    (observed at sf0.01/16 CPUs in incremental_resolve before it
+    materialized the delta edges) — materialize one branch first."""
     if concurrency is None:
         import ray
 
