@@ -375,20 +375,71 @@ def _q_minhash_dedup(sf_dir: str):
     return minhash_dedup_clusters(docs, threshold=0.7)
 
 
-def _q_ngram_jaccard(sf_dir: str):
+def _q_docs_near_pairs(sf_dir: str):
+    """Two near-dup pair detectors over ``documents`` at the same
+    (doc_a, doc_b) grain, unioned with a ``method`` tag: the exact
+    n-gram-Jaccard baseline over an md5 doc sample (metric =
+    jaccard_e6) and the banded-SimHash sketch over the full corpus
+    (metric = hamming).  Both branches are task-based pipelines, so the
+    lazy union carries no actor pools (scoring.py pool constraint)."""
+    import pyarrow.compute as pc
+
     from email_address_parser_ray.sources.io import read_parquet_clean
-    from email_address_parser_ray.stages.dedup import ngram_jaccard_pairs
+    from email_address_parser_ray.stages.dedup import (
+        ngram_jaccard_pairs, simhash_near_dups,
+    )
 
     docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return ngram_jaccard_pairs(docs)
+
+    def tag(method, metric_col):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "doc_a": t["doc_a"],
+                    "doc_b": t["doc_b"],
+                    "method": pa.array([method] * len(t), pa.string()),
+                    "metric": pc.cast(t[metric_col], pa.int64()),
+                }
+            )
+
+        return f
+
+    a = ngram_jaccard_pairs(docs).map_batches(
+        tag("ngram", "jaccard_e6"), batch_format="pyarrow"
+    )
+    b = simhash_near_dups(docs, max_hamming=3).map_batches(
+        tag("simhash", "hamming"), batch_format="pyarrow"
+    )
+    return a.union(b)
 
 
-def _q_simhash_pairs(sf_dir: str):
+def _q_docs_decontaminate(sf_dir: str):
+    """Benchmark decontamination: docs with doc_id % 97 == 0 act as the
+    held-out eval suite; every other doc sharing >= 1 exact 3-word
+    shingle with it is flagged with its distinct-shared-shingle count."""
     from email_address_parser_ray.sources.io import read_parquet_clean
-    from email_address_parser_ray.stages.dedup import simhash_near_dups
+    from email_address_parser_ray.stages.dedup import decontaminate
 
     docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return simhash_near_dups(docs, max_hamming=3)
+
+    def part(keep_eval):
+        def f(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            is_ev = pc.equal(
+                pc.subtract(
+                    t["doc_id"],
+                    pc.multiply(pc.divide(t["doc_id"], 97), pa.scalar(97, pa.int64())),
+                ),
+                pa.scalar(0, pa.int64()),
+            )
+            return t.filter(is_ev if keep_eval else pc.invert(is_ev))
+
+        return f
+
+    train = docs.map_batches(part(False), batch_format="pyarrow")
+    ev = docs.map_batches(part(True), batch_format="pyarrow")
+    return decontaminate(train, ev)
 
 
 def _q_embedding_neardup(sf_dir: str):
@@ -607,8 +658,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_text_profile": _q_docs_text_profile,
         "docs_exact_dedup": _q_docs_exact_dedup,
         "minhash_dedup": _q_minhash_dedup,
-        "ngram_jaccard": _q_ngram_jaccard,
-        "simhash_pairs": _q_simhash_pairs,
+        "docs_near_pairs": _q_docs_near_pairs,
+        "docs_decontaminate": _q_docs_decontaminate,
         "docs_pack_bins": _q_docs_pack_bins,
         "docs_mixture_sample": _q_docs_mixture_sample,
         "docs_sample_per_lang": _rel("docs_sample_per_lang"),
@@ -1105,20 +1156,61 @@ def oracle_sql() -> dict[str, str]:
             "CAST(greatest(en, es, fr, de) * 1000000 // n AS BIGINT) AS lang_score_ppm "
             "FROM documents d JOIN lid USING (doc_id)"
         ),
-        "ngram_jaccard": (
+        "docs_near_pairs": (
+            # union of the two pair detectors at the same grain: the
+            # exact n-gram-Jaccard baseline (md5 doc sample) and the
+            # full-corpus 64-vote SimHash sketch replay, tagged by
+            # method (metric = jaccard_e6 resp. hamming)
             "WITH samp AS (SELECT doc_id, regexp_split_to_array(trim(text, "
             "' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '\\s+') AS toks "
             "FROM documents WHERE md5('7|' || CAST(doc_id AS VARCHAR)) < '40'), "
             "s AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3 "
             "THEN [array_to_string(toks, ' ')] "
             "ELSE list_transform(range(1, len(toks) - 1), "
-            "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS sh FROM samp) "
-            "SELECT doc_a, doc_b, jaccard_e6 FROM ("
+            "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS sh FROM samp), "
+            "ng AS (SELECT doc_a, doc_b, jaccard_e6 FROM ("
             "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
             "CAST(len(list_intersect(a.sh, b.sh)) * 1000000 // "
             "(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS BIGINT) "
             "AS jaccard_e6 "
-            "FROM s a JOIN s b ON a.doc_id < b.doc_id) WHERE jaccard_e6 > 0"
+            "FROM s a JOIN s b ON a.doc_id < b.doc_id) WHERE jaccard_e6 > 0), "
+            "tk AS (SELECT doc_id, list_filter(regexp_split_to_array("
+            "trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), "
+            "'\\s+'), x -> len(x) > 0) AS toks FROM documents), "
+            "tok AS (SELECT doc_id, unnest(toks) AS t FROM tk), "
+            "h AS (SELECT doc_id, md5_number_lower(t) AS h FROM tok), "
+            "bits AS (SELECT doc_id, b.i AS bit, "
+            "SUM(CASE WHEN (h >> b.i) & 1 = 1 THEN 1 ELSE -1 END) AS v "
+            "FROM h CROSS JOIN generate_series(0, 63) b(i) GROUP BY doc_id, b.i), "
+            "sv AS (SELECT doc_id, SUM(CASE WHEN v > 0 "
+            "THEN CAST(power(2, bit) AS UBIGINT) ELSE 0 END) AS s FROM bits "
+            "GROUP BY doc_id), "
+            "sh AS (SELECT d.doc_id, COALESCE(sv.s, 0) AS s "
+            "FROM documents d LEFT JOIN sv USING (doc_id)), "
+            "sim AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+            "CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming "
+            "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+            "WHERE bit_count(xor(a.s, b.s)) <= 3) "
+            "SELECT doc_a, doc_b, 'ngram' AS method, jaccard_e6 AS metric FROM ng "
+            "UNION ALL "
+            "SELECT doc_a, doc_b, 'simhash' AS method, hamming AS metric FROM sim"
+        ),
+        "docs_decontaminate": (
+            # GPT-3/Pile-style n-gram decontamination: eval suite =
+            # doc_id % 97 == 0; train docs sharing >= 1 exact 3-word
+            # shingle are flagged with the distinct shared-shingle count
+            "WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(text, "
+            "' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '\\s+') AS toks "
+            "FROM documents), "
+            "s AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3 "
+            "THEN [array_to_string(toks, ' ')] "
+            "ELSE list_transform(range(1, len(toks) - 1), "
+            "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS sh FROM tk), "
+            "tg AS (SELECT doc_id, unnest(sh) AS g FROM s WHERE doc_id % 97 <> 0), "
+            "ev AS (SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id % 97 = 0) "
+            "SELECT CAST(t.doc_id AS BIGINT) AS doc_id, "
+            "CAST(COUNT(*) AS BIGINT) AS n_hits "
+            "FROM tg t JOIN ev USING (g) GROUP BY t.doc_id"
         ),
         "cosine_pairs": (
             "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
@@ -1171,30 +1263,6 @@ def oracle_sql() -> dict[str, str]:
             "UNION SELECT r.src, e.b FROM reach r JOIN e ON e.a = r.dst) "
             "SELECT CAST(src AS BIGINT) AS doc_id, CAST(MIN(dst) AS BIGINT) AS cluster_id "
             "FROM reach GROUP BY src"
-        ),
-        "simhash_pairs": (
-            # full sketch replay: md5_number_lower per token is
-            # bit-identical to the engine's token hash, every one of the
-            # 64 vote sums is recomputed, and the 16-bit banding is
-            # pigeonhole-complete for hamming <= 3 — so the engine's
-            # banded output equals this exhaustive self-join exactly.
-            "WITH tk AS (SELECT doc_id, list_filter(regexp_split_to_array("
-            "trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), "
-            "'\\s+'), x -> len(x) > 0) AS toks FROM documents), "
-            "tok AS (SELECT doc_id, unnest(toks) AS t FROM tk), "
-            "h AS (SELECT doc_id, md5_number_lower(t) AS h FROM tok), "
-            "bits AS (SELECT doc_id, b.i AS bit, "
-            "SUM(CASE WHEN (h >> b.i) & 1 = 1 THEN 1 ELSE -1 END) AS v "
-            "FROM h CROSS JOIN generate_series(0, 63) b(i) GROUP BY doc_id, b.i), "
-            "sv AS (SELECT doc_id, SUM(CASE WHEN v > 0 "
-            "THEN CAST(power(2, bit) AS UBIGINT) ELSE 0 END) AS s FROM bits "
-            "GROUP BY doc_id), "
-            "sh AS (SELECT d.doc_id, COALESCE(sv.s, 0) AS s "
-            "FROM documents d LEFT JOIN sv USING (doc_id)) "
-            "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
-            "CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming "
-            "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
-            "WHERE bit_count(xor(a.s, b.s)) <= 3"
         ),
         "media_features": (
             # replay the md5-derived pseudo-features over the same cached

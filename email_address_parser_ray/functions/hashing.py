@@ -176,7 +176,7 @@ def simhash64(text: str) -> int:
 
     Token hash = md5 digest bytes 8:16 little-endian — bit-identical to
     DuckDB's ``md5_number_lower`` — so the whole sketch is replayable in
-    SQL (the simhash_pairs oracle recomputes every vote).  Bit ``i`` of
+    SQL (the docs_near_pairs oracle recomputes every vote).  Bit ``i`` of
     the result is 1 iff the sum over tokens of ±1 votes on
     ``(token_hash >> i) & 1`` is positive; duplicate tokens vote once
     each, empty texts hash to 0."""

@@ -436,6 +436,74 @@ class JaccardVerifier:
         )
 
 
+# --- benchmark decontamination --------------------------------------------
+
+DECONTAM_MAX_EVAL_SHINGLES = 50_000_000  # broadcast guard (~GBs of strings)
+
+
+def decontaminate(train_ds, eval_ds, k_shingle: int = 3):
+    """Benchmark decontamination: flag training documents that share any
+    exact k-word shingle with an eval/benchmark corpus (the GPT-3 / Pile
+    n-gram-overlap rule).
+
+    The eval side is the SMALL side by construction — benchmark suites
+    are bounded while the training corpus is the 100-TB stream — so its
+    DISTINCT shingle strings are reduced per-batch, unioned on the
+    driver, and broadcast ONCE via ``ray.put``; the guard raises above
+    ``DECONTAM_MAX_EVAL_SHINGLES`` rather than silently shipping a
+    multi-GB set.  The training corpus then streams through one
+    task-based ``map_batches`` doing set-membership counting per doc —
+    the big side is never shuffled, never re-read, never materialized.
+
+    Returns ``(doc_id, n_hits)`` for train docs with ≥ 1 shared
+    shingle, where ``n_hits`` is the number of DISTINCT shared shingles
+    — exact string shingles (same tokenization as ``word_shingle_set``),
+    so the DuckDB oracle replays it with list_transform/unnest."""
+    import ray
+
+    from ..functions.hashing import word_shingle_set
+
+    def batch_shingles(t: pa.Table) -> pa.Table:
+        out = set()
+        for txt in t["text"].to_pylist():
+            out |= word_shingle_set(txt, k_shingle)
+        return pa.table({"g": pa.array(sorted(out), pa.string())})
+
+    parts = ray.get(
+        eval_ds.map_batches(batch_shingles, batch_format="pyarrow")
+        .materialize()
+        .to_arrow_refs()
+    )
+    ev: set = set()
+    for p in parts:
+        if p.num_rows:
+            ev.update(p["g"].to_pylist())
+        if len(ev) > DECONTAM_MAX_EVAL_SHINGLES:
+            raise ValueError(
+                f"decontaminate: eval corpus has > {DECONTAM_MAX_EVAL_SHINGLES} "
+                f"distinct shingles; too large to broadcast — shard the eval "
+                f"set or raise the guard deliberately."
+            )
+    ev_ref = ray.put(frozenset(ev))
+
+    def flag(t: pa.Table) -> pa.Table:
+        evs = ray.get(ev_ref)
+        ids, hits = [], []
+        for did, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            n = len(word_shingle_set(txt, k_shingle) & evs)
+            if n:
+                ids.append(did)
+                hits.append(n)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_hits": pa.array(hits, pa.int64()),
+            }
+        )
+
+    return train_ds.map_batches(flag, batch_format="pyarrow")
+
+
 # --- SimHash ---------------------------------------------------------------
 
 def _simhash_batch(batch: pa.Table) -> pa.Table:

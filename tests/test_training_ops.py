@@ -378,3 +378,61 @@ def test_kmeans_sample_fit_assigns_everything(ray_session):
     assert len(df) == emb.count()  # sketch fit, full one-pass assignment
     assert df["cell"].between(0, 7).all()
     assert df["vec_id"].is_unique
+
+
+def test_decontaminate_flags_overlapping_train_docs(ray_session):
+    import ray.data as rd
+    from email_address_parser_ray.stages.dedup import decontaminate
+
+    # eval doc shares the trigram "alpha beta gamma" with train doc 0 and
+    # shares nothing with the others; train doc 1 is byte-disjoint
+    ev = pa.table({
+        "doc_id": pa.array([100], pa.int64()),
+        "text": pa.array(["benchmark question alpha beta gamma answer"], pa.string()),
+    })
+    train = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array([
+            "prefix words alpha beta gamma suffix tail here",
+            "completely disjoint vocabulary nothing shared at all",
+        ], pa.string()),
+    })
+    out = decontaminate(rd.from_arrow(train), rd.from_arrow(ev)).to_pandas()
+    assert out["doc_id"].tolist() == [0]
+    assert out["n_hits"].iat[0] == 1  # exactly the one shared shingle
+
+
+def test_decontaminate_counts_distinct_shared_shingles(ray_session):
+    import ray.data as rd
+    from email_address_parser_ray.stages.dedup import decontaminate
+
+    # train doc repeats the contaminated span twice: n_hits counts
+    # DISTINCT shingles, so the duplicate span adds nothing
+    ev = pa.table({
+        "doc_id": pa.array([7], pa.int64()),
+        "text": pa.array(["one two three four"], pa.string()),
+    })
+    train = pa.table({
+        "doc_id": pa.array([1], pa.int64()),
+        "text": pa.array(["one two three four filler one two three four"], pa.string()),
+    })
+    out = decontaminate(rd.from_arrow(train), rd.from_arrow(ev)).to_pandas()
+    # eval shingles: {"one two three", "two three four"}; both appear in train
+    assert out["n_hits"].iat[0] == 2
+
+
+def test_decontaminate_eval_guard(ray_session):
+    import ray.data as rd
+    import email_address_parser_ray.stages.dedup as dedup
+
+    ev = pa.table({
+        "doc_id": pa.array([0], pa.int64()),
+        "text": pa.array(["a b c d e f g h"], pa.string()),
+    })
+    old = dedup.DECONTAM_MAX_EVAL_SHINGLES
+    dedup.DECONTAM_MAX_EVAL_SHINGLES = 2
+    try:
+        with pytest.raises(ValueError, match="distinct shingles"):
+            decon = dedup.decontaminate(rd.from_arrow(ev), rd.from_arrow(ev))
+    finally:
+        dedup.DECONTAM_MAX_EVAL_SHINGLES = old
