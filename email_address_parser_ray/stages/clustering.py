@@ -49,10 +49,12 @@ N_CC_BUCKETS = 64
 # Below this edge/node count the distributed label-propagation machinery
 # (two shuffles + a checksum pass PER ROUND) costs far more in fixed
 # executor overhead than the graph itself; a driver-side union-find is
-# exact, deterministic and ~instant.  Above it, the hash-partitioned
-# rounds take over (the 100-TB path).  ~1M string edges is tens of MB on
-# the driver — comfortably within one heap.
-SMALL_CC_LIMIT = 1_000_000
+# exact, deterministic and ~instant (measured: 1.05M 12-char edges in
+# ~3 s driver-side vs 15.7 s distributed at the 100k-doc dedup stress).
+# Above it, the hash-partitioned rounds take over (the 100-TB path).
+# The BYTE budget below is the real memory guard; this row gate only
+# bounds the O(n log n) driver sort/union-find time.
+SMALL_CC_LIMIT = 4_000_000
 # ... but long addresses can blow the row-count gate (1M edges of 100-B
 # surfaces ≈ 200 MB of driver heap), so the short-circuit ALSO requires
 # the materialized blocks to fit a byte budget (round-2 verdict): above

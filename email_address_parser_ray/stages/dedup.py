@@ -56,31 +56,147 @@ def _segment_pairs(keys: np.ndarray, max_seg: int = MAX_BUCKET):
     huge group.  Trimming CAN drop true near-dup pairs whose only shared
     band lands in the trimmed tail (recall below the banding math's
     per-pair bound), so each trim is logged with the dropped size; on
-    the oracle fixtures no trim ever fires (band groups ≪ max_seg)."""
+    the oracle fixtures no trim ever fires (band groups ≪ max_seg).
+
+    Fully vectorized (no per-segment Python loop): a dense-near-dup
+    corpus produces hundreds of thousands of tiny segments per bucket,
+    and a per-segment ``np.triu_indices`` call was ~1 ms of pure
+    overhead each — 250 s of the 100k-doc stress (scripts/
+    stress_dedup.py) against ~10 s for this closed form."""
     import logging
 
+    empty = np.array([], dtype=np.int64)
     n = len(keys)
+    if n == 0:
+        return empty, empty
     starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
     ends = np.r_[starts[1:], n]
-    ia_parts, ib_parts = [], []
-    for st, en in zip(starts, ends):
-        sz = en - st
-        if sz < 2:
-            continue
-        if sz > max_seg:
+    sizes = ends - starts
+    over = sizes > max_seg
+    if over.any():
+        for st, sz in zip(starts[over], sizes[over]):
             logging.getLogger(__name__).warning(
                 "dedup band segment of %d rows trimmed to %d (key=%s): "
                 "pairs beyond the cap are not emitted this band",
                 sz, max_seg, keys[st],
             )
-            en = st + max_seg
-            sz = max_seg
-        ia, ib = np.triu_indices(sz, k=1)
-        ia_parts.append(ia + st)
-        ib_parts.append(ib + st)
-    if not ia_parts:
-        return np.array([], dtype=np.int64), np.array([], dtype=np.int64)
-    return np.concatenate(ia_parts), np.concatenate(ib_parts)
+        sizes = np.minimum(sizes, max_seg)
+        ends = starts + sizes
+    keep = sizes >= 2
+    starts, ends, sizes = starts[keep], ends[keep], sizes[keep]
+    if len(starts) == 0:
+        return empty, empty
+    # global index of every element of every kept (possibly trimmed)
+    # segment, then per-element pair counts c = (seg_end - idx - 1):
+    # ia repeats each element c times, ib counts up from ia+1 to seg_end
+    tot = int(sizes.sum())
+    offs = np.cumsum(sizes) - sizes
+    gidx = np.repeat(starts, sizes) + (np.arange(tot) - np.repeat(offs, sizes))
+    c = np.repeat(ends, sizes) - gidx - 1
+    tp = int(c.sum())
+    if tp == 0:
+        return empty, empty
+    ia = np.repeat(gidx, c)
+    poffs = np.cumsum(c) - c
+    ib = ia + 1 + (np.arange(tp) - np.repeat(poffs, c))
+    return ia.astype(np.int64), ib.astype(np.int64)
+
+
+def sorted_pair_dedup(pairs_ds, keys: List[str], aggs: List[tuple] = ()):
+    """Exact distributed dedup of a pair table by ``keys``, keeping one
+    row per key (with optional per-key Arrow aggregates for value
+    columns whose duplicates agree, e.g. ``[("hamming", "min")]``).
+
+    Ray's native ``groupby(keys).aggregate(...)`` collapses when the
+    number of GROUPS reaches millions — measured 202-230 s to reduce
+    41M candidate rows to 2.6M distinct pairs at the 100k-doc stress
+    (scripts/stress_dedup.py), vs **3.6 s** for this shape:
+
+      per-block Arrow partial dedup  →  range-partition ``sort(keys)``
+      →  per-block Arrow dedup  →  boundary stitch
+
+    After the sort every copy of a key is contiguous, so per-block
+    dedup leaves at most one surviving duplicate per block boundary.
+    The stitch closes those exactly: tiny remote tasks fetch each
+    block's (min, max) key tuple (16-ish bytes to the driver, never
+    the data), the driver walks blocks in order — asserting the
+    range-partition contract the same way ``pack_bins`` does — and a
+    remote drop-first-row task rewrites just the affected blocks.
+    Driver state is O(blocks); block payloads never leave the object
+    store."""
+    import ray
+    import ray.data as rd
+
+    aggs = list(aggs)
+    agg_cols = [c for c, _ in aggs]
+    out_cols = keys + agg_cols
+
+    def block_dedup(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.select(out_cols)
+        g = t.group_by(keys).aggregate([(c, f) for c, f in aggs])
+        return g.rename_columns(out_cols)
+
+    ds = (
+        pairs_ds.map_batches(block_dedup, batch_format="pyarrow")
+        .sort(keys)
+        .map_batches(block_dedup, batch_format="pyarrow")
+        .materialize()
+    )
+    refs = [r for r in ds.to_arrow_refs()]
+
+    @ray.remote
+    def key_range(t: pa.Table):
+        """Lexicographic (min, max) key tuple of one block — the block may
+        be internally unsorted after its group_by, so use sort_indices."""
+        if t.num_rows == 0:
+            return None
+        import pyarrow.compute as pc
+
+        kt = t.select(keys)
+        idx = pc.sort_indices(
+            kt, sort_keys=[(k, "ascending") for k in keys]
+        )
+        lo_i, hi_i = idx[0].as_py(), idx[len(idx) - 1].as_py()
+        lo = tuple(kt[k][lo_i].as_py() for k in keys)
+        hi = tuple(kt[k][hi_i].as_py() for k in keys)
+        return lo, hi
+
+    @ray.remote
+    def drop_key(t: pa.Table, key_tuple):
+        import numpy as np
+
+        m = np.ones(t.num_rows, dtype=bool)
+        for k, v in zip(keys, key_tuple):
+            m &= t[k].to_numpy(zero_copy_only=False) == v
+        return t.filter(pa.array(~m))
+
+    ranges = ray.get([key_range.remote(r) for r in refs])
+    prev_max = None
+    prev_lo = None
+    new_refs = []
+    for ref, rng in zip(refs, ranges):
+        if rng is None:
+            continue
+        lo, hi = rng
+        if prev_lo is not None and lo < prev_lo:
+            raise RuntimeError(
+                "sorted_pair_dedup: sorted blocks are not in global order "
+                "(Ray to_arrow_refs contract changed) — cannot stitch"
+            )
+        prev_lo = lo
+        if prev_max is not None and lo == prev_max:
+            ref = drop_key.remote(ref, lo)
+            if hi == lo:
+                # block held only the duplicated key; it may now be empty
+                # and contributes no new max
+                new_refs.append(ref)
+                continue
+        prev_max = hi
+        new_refs.append(ref)
+    if not new_refs:
+        return ds  # every block empty — already the right (empty) schema
+    return rd.from_arrow_refs(new_refs)
 
 
 # --- exact dedup -----------------------------------------------------------
@@ -180,12 +296,11 @@ def minhash_candidate_pairs(docs_ds, bands: int = 64, shingle_k: int = 3):
     dedup: per-bucket pairs are already deduped, so the cross-band
     residue is tiny — fold it on the driver below ``SMALL_CAND_LIMIT``
     (saves a whole sort-shuffle barrier, the dominant cost at bench
-    scale) and fall back to the distributed pair groupby above it.
-    Candidates are UNVERIFIED — pipe them through
+    scale) and fall back to the distributed ``sorted_pair_dedup`` above
+    it.  Candidates are UNVERIFIED — pipe them through
     ``minhash_verified_pairs`` for the exact-Jaccard filter."""
     import ray
     import ray.data as rd
-    from ray.data.aggregate import Count
 
     banded = docs_ds.map_batches(
         lambda t: minhash_sketch_batch(t, shingle_k, bands), batch_format="pyarrow"
@@ -199,13 +314,18 @@ def minhash_candidate_pairs(docs_ds, bands: int = 64, shingle_k: int = 3):
         return rd.from_arrow(
             tbl.group_by(["doc_a", "doc_b"]).aggregate([])
         )
-    dedup = cands.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="_nb"))
-    return dedup.map_batches(
-        lambda t: t.select(["doc_a", "doc_b"]), batch_format="pyarrow"
-    )
+    return sorted_pair_dedup(cands, ["doc_a", "doc_b"])
 
 
 SMALL_CAND_LIMIT = 500_000  # candidate pairs below which broadcast-verify wins
+# above SMALL_CAND_LIMIT the verify path is chosen by the BYTE size of
+# the unique texts the candidates actually touch: broadcasting a
+# few-hundred-MB text dict once beats hash-joining the (much larger)
+# pair table against the corpus twice — measured 59 s of twin joins vs
+# ~8 s broadcast at the 100k-doc stress (30 MB of texts, 2.6M pairs).
+# The id-pull cap bounds the driver-side unique() over candidate ids.
+VERIFY_BROADCAST_BYTE_LIMIT = 256 * 1024 * 1024
+VERIFY_BROADCAST_MAX_PAIRS = 50_000_000
 
 
 def minhash_verified_pairs(
@@ -214,11 +334,16 @@ def minhash_verified_pairs(
     """Banding candidates → EXACT string-shingle Jaccard verify.
 
     The standard sketch→join→verify shape, size-gated like the CC
-    short-circuit: below ``SMALL_CAND_LIMIT`` candidate pairs the
-    needed texts are fetched with ONE streaming filter pass over the
-    corpus and broadcast once via ``ray.put`` (two tiny-table shuffle
-    joins at that scale are pure fixed overhead); above it the
-    candidate table is hash-joined back onto the documents twice.
+    short-circuit: when the candidate ids fit a driver unique() pass
+    (``VERIFY_BROADCAST_MAX_PAIRS``) AND the texts those candidates
+    actually touch fit ``VERIFY_BROADCAST_BYTE_LIMIT``, the needed
+    texts are fetched with ONE streaming filter pass over the corpus
+    and broadcast once via ``ray.put`` — hash-joining the (much
+    larger) pair table against the corpus twice ships every text once
+    per PAIR side, measured 59 s of joins vs ~8 s broadcast at the
+    100k-doc stress.  Above either gate the candidate table is
+    hash-joined back onto the documents twice (the true 100-TB path,
+    where neither the ids nor the texts fit one heap).
     Either way ``JaccardVerifier`` computes the exact integer-e6
     k-word-shingle Jaccard — precision is exact; recall is the banding
     bound (1-(1-s^r)^b per pair, ~1-5e-19 at the 0.7 threshold) MINUS
@@ -235,21 +360,22 @@ def minhash_verified_pairs(
 
     thr = int(round(threshold * 1_000_000))
     cand_mat = minhash_candidate_pairs(docs_ds, bands, shingle_k).materialize()
-    if cand_mat.count() <= SMALL_CAND_LIMIT:
+    n_cand = cand_mat.count()
+    if n_cand == 0:
+        return rd.from_arrow(
+            pa.schema(
+                [
+                    ("doc_a", pa.int64()),
+                    ("doc_b", pa.int64()),
+                    ("jaccard_e6", pa.int64()),
+                ]
+            ).empty_table()
+        )
+    if n_cand <= VERIFY_BROADCAST_MAX_PAIRS:
         cand_tbl = concat_nonempty(
             ray.get(cand_mat.to_arrow_refs()),
             pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())]),
         )
-        if cand_tbl.num_rows == 0:
-            return rd.from_arrow(
-                pa.schema(
-                    [
-                        ("doc_a", pa.int64()),
-                        ("doc_b", pa.int64()),
-                        ("jaccard_e6", pa.int64()),
-                    ]
-                ).empty_table()
-            )
         ids = np.unique(
             np.concatenate(
                 [
@@ -265,30 +391,35 @@ def minhash_verified_pairs(
 
             return t.filter(pc.is_in(t["doc_id"], value_set=ray.get(ids_ref)))
 
-        needed = concat_nonempty(
-            ray.get(
-                docs_ds.map_batches(fetch_needed, batch_format="pyarrow")
-                .materialize()
-                .to_arrow_refs()
-            ),
-            pa.schema([("doc_id", pa.int64()), ("text", pa.string())]),
-        )
-        texts_ref = ray.put(
-            dict(zip(needed["doc_id"].to_pylist(), needed["text"].to_pylist()))
-        )
-        verifier = JaccardVerifier(shingle_k)
-
-        def attach_and_verify(t: pa.Table) -> pa.Table:
-            texts = ray.get(texts_ref)
-            t = t.append_column(
-                "text_a", pa.array([texts[i] for i in t["doc_a"].to_pylist()])
-            ).append_column(
-                "text_b", pa.array([texts[i] for i in t["doc_b"].to_pylist()])
+        needed_mat = docs_ds.map_batches(
+            fetch_needed, batch_format="pyarrow"
+        ).materialize()
+        if (needed_mat.size_bytes() or 0) <= VERIFY_BROADCAST_BYTE_LIMIT:
+            needed = concat_nonempty(
+                ray.get(needed_mat.to_arrow_refs()),
+                pa.schema([("doc_id", pa.int64()), ("text", pa.string())]),
             )
-            return verifier(t)
+            # broadcast as Arrow arrays (zero-copy from the object store,
+            # unlike a Python dict which re-deserializes per task) and
+            # attach with C-speed index_in/take instead of per-row lookups
+            texts_ref = ray.put(
+                (needed["doc_id"].combine_chunks(), needed["text"].combine_chunks())
+            )
+            verifier = JaccardVerifier(shingle_k)
 
-        verified = cand_mat.map_batches(attach_and_verify, batch_format="pyarrow")
-        return verified.filter(expr=f"jaccard_e6 >= {thr}")
+            def attach_and_verify(t: pa.Table) -> pa.Table:
+                import pyarrow.compute as pc
+
+                id_arr, text_arr = ray.get(texts_ref)
+                pos_a = pc.index_in(t["doc_a"], value_set=id_arr)
+                pos_b = pc.index_in(t["doc_b"], value_set=id_arr)
+                t = t.append_column(
+                    "text_a", pc.take(text_arr, pos_a)
+                ).append_column("text_b", pc.take(text_arr, pos_b))
+                return verifier(t)
+
+            verified = cand_mat.map_batches(attach_and_verify, batch_format="pyarrow")
+            return verified.filter(expr=f"jaccard_e6 >= {thr}")
 
     ta = docs_ds.map_batches(
         lambda t: pa.table({"doc_a": t["doc_id"], "text_a": t["text"]}),
@@ -424,10 +555,23 @@ class JaccardVerifier:
 
         ta = batch["text_a"].to_pylist()
         tb = batch["text_b"].to_pylist()
+        # a doc in a dense near-dup cluster appears in O(cluster) pairs,
+        # so memoize shingle sets per doc id within the batch (measured
+        # ~40 pairs/doc at the 100k stress — shingling was ~40x redone)
+        da = batch["doc_a"].to_pylist()
+        db = batch["doc_b"].to_pylist()
+        cache: dict = {}
+
+        def sh(doc_id, text):
+            s = cache.get(doc_id)
+            if s is None:
+                s = cache[doc_id] = word_shingle_set(text, self.k)
+            return s
+
         vals = np.empty(len(ta), dtype=np.int64)
-        for i, (x, y) in enumerate(zip(ta, tb)):
-            sa = word_shingle_set(x, self.k)
-            sb = word_shingle_set(y, self.k)
+        for i in range(len(ta)):
+            sa = sh(da[i], ta[i])
+            sb = sh(db[i], tb[i])
             inter = len(sa & sb)
             union = len(sa) + len(sb) - inter
             vals[i] = inter * 1_000_000 // union if union else 1_000_000
@@ -562,15 +706,16 @@ def _simhash_pairs(g: pd.DataFrame, max_hamming: int = 3) -> pd.DataFrame:
 
 def simhash_near_dups(docs_ds, max_hamming: int = 3):
     """SimHash near-dup pairs: 16-bit band bucketing (pigeonhole-complete
-    for hamming<4) → per-bucket hamming verify → cross-band dedup."""
-    from ray.data.aggregate import Min
+    for hamming<4) → per-bucket hamming verify → cross-band dedup.
 
+    The cross-band dedup runs through ``sorted_pair_dedup`` (Ray's
+    native million-group groupby collapses — see that docstring); all
+    copies of a pair carry the identical hamming (same two sketches),
+    so the per-block min aggregate is a tiebreak no-op."""
     banded = docs_ds.map_batches(_simhash_batch, batch_format="pyarrow").map_batches(
         _add_key_bucket, batch_format="pyarrow"
     )
     pairs = banded.groupby("bucket").map_groups(
         lambda g: _simhash_pairs(g, max_hamming), batch_format="pandas"
     )
-    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
-        Min("hamming", alias_name="hamming")
-    )
+    return sorted_pair_dedup(pairs, ["doc_a", "doc_b"], [("hamming", "min")])
