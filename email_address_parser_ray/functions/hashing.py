@@ -48,6 +48,79 @@ def word_shingles(text: str, k: int = 3) -> np.ndarray:
     return mix64(np.fromiter(out, dtype=np.uint64, count=len(out)))
 
 
+_SHINGLE_SEED = np.uint64(0x9E3779B97F4A7C15)
+
+
+def word_shingles_flat(texts: Sequence[str], k: int = 3):
+    """Vectorized k-word shingle hashing for a WHOLE batch: returns
+    ``(flat, lens)`` — one uint64 hash per shingle occurrence,
+    concatenated in doc order, plus per-doc shingle counts.
+
+    Token hashes are computed once per UNIQUE token (crc32 → mix64; the
+    vocab repeats heavily, same trick as ``simhash64_batch``), then
+    each k-window's hash is a mix64 chain fold over its token hashes,
+    computed for every window position in ONE shifted-numpy pass.
+    Docs with < k tokens get a single fold over all their tokens
+    (empty docs fold the bare seed) — the same short-doc RULE as
+    ``word_shingles``.
+
+    The hash IDENTITY deliberately differs from per-doc
+    ``word_shingles`` (which crc32s each joined shingle string):
+    MinHash only needs a deterministic uniform hash of shingle
+    identity — candidate recall is governed by the banding math either
+    way and membership is decided by the exact string-set verify.
+    Unlike ``word_shingles`` the flat rows are NOT per-doc deduped;
+    duplicate shingles cannot change a min, so signatures are
+    unaffected."""
+    tok_rows = [t.split() for t in texts]
+    tlens = np.fromiter((len(r) for r in tok_rows), np.int64, len(tok_rows))
+    n_tok = int(tlens.sum())
+    slens = np.where(tlens >= k, tlens - k + 1, 1).astype(np.int64)
+    total = int(slens.sum())
+    out = np.empty(total, np.uint64)
+    if n_tok:
+        flat_toks = np.array([w for r in tok_rows for w in r], dtype=object)
+        uniq, inv = np.unique(flat_toks, return_inverse=True)
+        uh = mix64(
+            np.fromiter(
+                (zlib.crc32(u.encode("utf-8")) for u in uniq),
+                np.uint64,
+                len(uniq),
+            )
+        )
+        th = uh[inv]
+    else:
+        th = np.empty(0, np.uint64)
+    # chain_j[i] = fold of tokens [i, i+j) — chain_k's rows at positions
+    # that do not cross a doc boundary ARE the full-width shingles, and
+    # chain_1/chain_2 rows at doc starts are the short-doc folds
+    chains = []
+    c = mix64(_SHINGLE_SEED ^ th)
+    chains.append(c)
+    for j in range(1, k):
+        c = mix64(c[: len(th) - j] ^ th[j:])
+        chains.append(c)
+    soffs = np.cumsum(slens) - slens
+    toffs = np.cumsum(tlens) - tlens
+    # long docs: vectorized segment copy chain_k[toffs+i] -> out[soffs+i]
+    longm = tlens >= k
+    if longm.any():
+        ls, lt, lo = slens[longm], toffs[longm], soffs[longm]
+        tot = int(ls.sum())
+        offs = np.cumsum(ls) - ls
+        within = np.arange(tot) - np.repeat(offs, ls)
+        out[np.repeat(lo, ls) + within] = chains[k - 1][np.repeat(lt, ls) + within]
+    # short docs: one fold of width tlen (empty docs fold the bare seed)
+    for w in range(k):
+        m = tlens == w
+        if m.any():
+            if w == 0:
+                out[soffs[m]] = mix64(_SHINGLE_SEED)
+            else:
+                out[soffs[m]] = chains[w - 1][toffs[m]]
+    return out, slens
+
+
 def word_shingle_set(text: str, k: int = 3) -> set:
     """Exact k-word shingle STRING set (no hashing — collision-free, and
     reproducible in SQL via list_transform/array_to_string).  Same
@@ -78,11 +151,22 @@ def minhash_signature_batch(
     mod arithmetic, element-wise); the batch layout removes the per-doc
     Python/numpy call overhead that dominated the sketch stage."""
     lens = np.fromiter((len(a) for a in shingle_rows), np.int64, len(shingle_rows))
+    if len(lens) == 0:
+        return np.empty((0, N_PERM), np.uint64)
+    return minhash_signature_flat(np.concatenate(shingle_rows).astype(np.uint64), lens, chunk)
+
+
+def minhash_signature_flat(
+    flat: np.ndarray, lens: np.ndarray, chunk: int = 65536
+) -> np.ndarray:
+    """Core of ``minhash_signature_batch`` over an already-flat shingle
+    hash array + per-doc counts (every count ≥ 1 — the short-doc rule
+    guarantees one shingle per doc), e.g. straight from
+    ``word_shingles_flat``."""
     n_docs = len(lens)
     out = np.empty((n_docs, N_PERM), np.uint64)
     if n_docs == 0:
         return out
-    flat = np.concatenate(shingle_rows).astype(np.uint64)
     offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
     ends = offsets + lens
     # chunk along doc boundaries: each chunk's docs fit whole

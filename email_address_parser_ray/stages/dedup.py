@@ -26,9 +26,9 @@ import pyarrow as pa
 from ..functions.arrowutil import concat_nonempty, from_pandas_clean
 from ..functions.hashing import (
     band_keys_batch,
-    minhash_signature_batch,
+    minhash_signature_flat,
     simhash64_batch,
-    word_shingles,
+    word_shingles_flat,
 )
 
 MAX_BUCKET = 64
@@ -249,13 +249,15 @@ def minhash_sketch_batch(batch: pa.Table, shingle_k: int = 3, bands: int = 64) -
     Plain task-based ``map_batches`` body: the sketch has no expensive
     per-worker state (the permutation constants are module-level numpy
     arrays shipped once with the function), so an actor pool would only
-    add pool spin-up latency.  The signature + banding run batch-wide
-    (flat shingle array + ``np.minimum.reduceat``, vectorized band-key
-    mix) — the only remaining per-doc work is the crc32 shingle set."""
+    add pool spin-up latency.  The whole sketch runs batch-wide —
+    ``word_shingles_flat`` (unique-token crc32 + shifted-window mix64
+    folds), ``minhash_signature_flat`` (affine perms +
+    ``np.minimum.reduceat``), vectorized band-key mix — with no
+    per-doc Python beyond ``str.split``."""
     doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     texts = batch["text"].to_pylist()
-    sh_rows = [word_shingles(t, shingle_k) for t in texts]
-    sigs = minhash_signature_batch(sh_rows)
+    flat, slens = word_shingles_flat(texts, shingle_k)
+    sigs = minhash_signature_flat(flat, slens)
     keys = band_keys_batch(sigs, bands)  # (n_docs, bands) int64
     return pa.table(
         {
