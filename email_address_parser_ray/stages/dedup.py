@@ -217,17 +217,18 @@ def _exact_partial(batch: pa.Table) -> pa.Table:
 
 
 def exact_dedup(docs_ds):
-    """Hash-partition on content hash, keep first doc per group.
+    """Hash-partition on content hash, keep first doc per group
+    (SURVEY §2.d, A9 Eq/Hash semantics generalized to documents).
 
-    Per-batch partial aggregate → one NATIVE groupby(fp) aggregate
-    (SURVEY §2.d, A9 Eq/Hash semantics generalized to documents)."""
-    from ray.data.aggregate import Min, Sum
-
-    agg = (
+    Per-batch partial aggregate, then the global fold via
+    ``sorted_pair_dedup``: the fp key is nearly all-unique (group count
+    ≈ doc count), exactly the group cardinality where Ray's native
+    groupby-aggregate collapses (measured in that docstring)."""
+    agg = sorted_pair_dedup(
         docs_ds.map_batches(_content_hash_batch, batch_format="pyarrow")
-        .map_batches(_exact_partial, batch_format="pyarrow")
-        .groupby("fp")
-        .aggregate(Min("doc_id", alias_name="doc_id"), Sum("n_copies", alias_name="n_copies"))
+        .map_batches(_exact_partial, batch_format="pyarrow"),
+        ["fp"],
+        [("doc_id", "min"), ("n_copies", "sum")],
     )
     return agg.map_batches(
         lambda t: t.select(["doc_id", "n_copies"]), batch_format="pyarrow"

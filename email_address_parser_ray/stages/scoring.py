@@ -163,7 +163,10 @@ def dedupe_edges(edges_ds):
     size-gated global dedup — driver-side Arrow group_by under
     ``SMALL_EDGE_LIMIT`` (edges are a tiny fraction of input at the
     100-TB design point, but the gate keeps the distributed path for
-    adversarial edge densities), hash groupby above.
+    adversarial edge densities), ``sorted_pair_dedup`` above — Ray's
+    native groupby collapses at millions of GROUPS, and the edge table
+    is nearly all unique keys (see stages/dedup.py for the measured
+    230 s → 3.6 s comparison at the 100k-doc stress).
 
     The scorer is deterministic per pair, so duplicates agree on rule
     and score (Min/Max are tiebreak no-ops).  Running this inside
@@ -173,7 +176,6 @@ def dedupe_edges(edges_ds):
     import pyarrow.compute as pc
     import ray
     import ray.data as rd
-    from ray.data.aggregate import Max, Min
 
     def norm(t: pa.Table) -> pa.Table:
         lt = pc.less(t["addr_a"], t["addr_b"])
@@ -200,9 +202,10 @@ def dedupe_edges(edges_ds):
             .rename_columns(["addr_a", "addr_b", "rule", "score"])
         )
         return rd.from_arrow(folded)
-    return (
-        partial.groupby(["addr_a", "addr_b"])
-        .aggregate(Min("rule", alias_name="rule"), Max("score", alias_name="score"))
+    from .dedup import sorted_pair_dedup
+
+    return sorted_pair_dedup(
+        partial, ["addr_a", "addr_b"], [("rule", "min"), ("score", "max")]
     )
 
 

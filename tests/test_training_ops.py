@@ -436,3 +436,54 @@ def test_decontaminate_eval_guard(ray_session):
             decon = dedup.decontaminate(rd.from_arrow(ev), rd.from_arrow(ev))
     finally:
         dedup.DECONTAM_MAX_EVAL_SHINGLES = old
+
+
+def test_sorted_pair_dedup_matches_pandas(ray_session):
+    import pandas as pd
+    import ray.data as rd
+    from email_address_parser_ray.stages.dedup import sorted_pair_dedup
+
+    rng = np.random.RandomState(11)
+    for seed in range(3):
+        rng = np.random.RandomState(seed)
+        n = 50_000
+        a = rng.randint(0, 2000, n)
+        b = rng.randint(0, 25, n)
+        v = rng.randint(0, 1000, n)
+        tbl = pa.table({
+            "doc_a": pa.array(a, pa.int64()),
+            "doc_b": pa.array(b, pa.int64()),
+            "val": pa.array(v, pa.int64()),
+        })
+        out = sorted_pair_dedup(
+            rd.from_arrow(tbl).repartition(16), ["doc_a", "doc_b"], [("val", "min")]
+        ).to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+        exp = (
+            pd.DataFrame({"doc_a": a, "doc_b": b, "val": v})
+            .groupby(["doc_a", "doc_b"], as_index=False)["val"].min()
+            .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+        )
+        assert out.equals(exp.astype({"doc_a": "int64", "doc_b": "int64", "val": "int64"}))
+
+
+def test_dedupe_edges_sorted_path_matches_driver_fold(ray_session, monkeypatch):
+    import ray.data as rd
+    import email_address_parser_ray.stages.scoring as scoring
+
+    tbl = pa.table({
+        "addr_a": pa.array(["b@x", "a@x", "a@x", "c@x"], pa.string()),
+        "addr_b": pa.array(["a@x", "b@x", "c@x", "a@x"], pa.string()),
+        "score": pa.array([900, 900, 800, 700], pa.int64()),
+        "rule": pa.array([2, 1, 1, 3], pa.int64()),
+    })
+    ds = rd.from_arrow(tbl).repartition(3)
+    small = scoring.dedupe_edges(ds).to_pandas().sort_values(
+        ["addr_a", "addr_b"]).reset_index(drop=True)
+    monkeypatch.setattr(scoring, "SMALL_EDGE_LIMIT", 0)
+    big = scoring.dedupe_edges(ds).to_pandas().sort_values(
+        ["addr_a", "addr_b"]).reset_index(drop=True)
+    assert list(small.columns) == ["addr_a", "addr_b", "rule", "score"]
+    assert big[list(small.columns)].equals(small)
+    # (a@x, b@x) emitted both ways: min rule 1, max score 900
+    row = small[(small.addr_a == "a@x") & (small.addr_b == "b@x")]
+    assert row["rule"].iat[0] == 1 and row["score"].iat[0] == 900
