@@ -116,14 +116,18 @@ def sorted_pair_dedup(pairs_ds, keys: List[str], aggs: List[tuple] = ()):
       →  per-block Arrow dedup  →  boundary stitch
 
     After the sort every copy of a key is contiguous, so per-block
-    dedup leaves at most one surviving duplicate per block boundary.
-    The stitch closes those exactly: tiny remote tasks fetch each
-    block's (min, max) key tuple (16-ish bytes to the driver, never
-    the data), the driver walks blocks in order — asserting the
-    range-partition contract the same way ``pack_bins`` does — and a
-    remote drop-first-row task rewrites just the affected blocks.
-    Driver state is O(blocks); block payloads never leave the object
-    store."""
+    dedup leaves at most one surviving PARTIAL row per block boundary
+    key.  The stitch MERGES those exactly (it must not just drop one:
+    each survivor holds the aggregate over only its own block's copies
+    — for a ``sum`` both halves count, and even a ``min`` can live in
+    either half): tiny remote tasks fetch each block's (min, max) key
+    tuple (bytes to the driver, never the data); the driver walks
+    blocks in order — asserting the range-partition contract the same
+    way ``pack_bins`` does — and for each boundary-spanning key pulls
+    just that key's rows from the affected blocks, drops them there
+    remotely, folds the partials with the same Arrow aggregate, and
+    appends the merged rows as one extra block.  Driver state is
+    O(blocks); full block payloads never leave the object store."""
     import ray
     import ray.data as rd
 
@@ -162,20 +166,30 @@ def sorted_pair_dedup(pairs_ds, keys: List[str], aggs: List[tuple] = ()):
         hi = tuple(kt[k][hi_i].as_py() for k in keys)
         return lo, hi
 
-    @ray.remote
-    def drop_key(t: pa.Table, key_tuple):
-        import numpy as np
+    def _key_mask(t: pa.Table, key_tuples) -> np.ndarray:
+        m = np.zeros(t.num_rows, dtype=bool)
+        for kt in key_tuples:
+            mm = np.ones(t.num_rows, dtype=bool)
+            for k, v in zip(keys, kt):
+                mm &= t[k].to_numpy(zero_copy_only=False) == v
+            m |= mm
+        return m
 
-        m = np.ones(t.num_rows, dtype=bool)
-        for k, v in zip(keys, key_tuple):
-            m &= t[k].to_numpy(zero_copy_only=False) == v
-        return t.filter(pa.array(~m))
+    @ray.remote
+    def drop_keys(t: pa.Table, key_tuples):
+        return t.filter(pa.array(~_key_mask(t, key_tuples)))
+
+    @ray.remote
+    def extract_keys(t: pa.Table, key_tuples):
+        return t.filter(pa.array(_key_mask(t, key_tuples)))
 
     ranges = ray.get([key_range.remote(r) for r in refs])
     prev_max = None
     prev_lo = None
-    new_refs = []
-    for ref, rng in zip(refs, ranges):
+    prev_i = None
+    live = []  # (block index, ref) with at least one row
+    affected: dict = {}  # key tuple -> set of block indices holding a partial
+    for i, (ref, rng) in enumerate(zip(refs, ranges)):
         if rng is None:
             continue
         lo, hi = rng
@@ -186,17 +200,30 @@ def sorted_pair_dedup(pairs_ds, keys: List[str], aggs: List[tuple] = ()):
             )
         prev_lo = lo
         if prev_max is not None and lo == prev_max:
-            ref = drop_key.remote(ref, lo)
-            if hi == lo:
-                # block held only the duplicated key; it may now be empty
-                # and contributes no new max
-                new_refs.append(ref)
-                continue
-        prev_max = hi
-        new_refs.append(ref)
-    if not new_refs:
+            affected.setdefault(lo, set()).update((prev_i, i))
+        if prev_max is None or hi > prev_max:
+            prev_max = hi
+            prev_i = i
+        live.append((i, ref))
+    if not live:
         return ds  # every block empty — already the right (empty) schema
-    return rd.from_arrow_refs(new_refs)
+    if affected:
+        by_block: dict = {}
+        for kt, blocks in affected.items():
+            for bi in blocks:
+                by_block.setdefault(bi, []).append(kt)
+        pulls = {
+            bi: extract_keys.remote(refs[bi], kts) for bi, kts in by_block.items()
+        }
+        new_refs = [
+            drop_keys.remote(ref, by_block[i]) if i in by_block else ref
+            for i, ref in live
+        ]
+        partials = [t for t in ray.get(list(pulls.values())) if t.num_rows]
+        merged = block_dedup(pa.concat_tables(partials).combine_chunks())
+        new_refs.append(ray.put(merged))
+        return rd.from_arrow_refs(new_refs)
+    return rd.from_arrow_refs([ref for _, ref in live])
 
 
 # --- exact dedup -----------------------------------------------------------

@@ -487,3 +487,30 @@ def test_dedupe_edges_sorted_path_matches_driver_fold(ray_session, monkeypatch):
     # (a@x, b@x) emitted both ways: min rule 1, max score 900
     row = small[(small.addr_a == "a@x") & (small.addr_b == "b@x")]
     assert row["rule"].iat[0] == 1 and row["score"].iat[0] == 900
+
+
+def test_sorted_pair_dedup_merges_boundary_partials(ray_session):
+    import pandas as pd
+    import ray.data as rd
+    from email_address_parser_ray.stages.dedup import sorted_pair_dedup
+
+    # every key appears once per input block, so after the per-block
+    # partial pass each key has 16 partial rows; if Ray's sort ever
+    # slices an equal-key run across output blocks (probed: it does not
+    # today, even at 944 forced blocks — but it is undocumented), the
+    # boundary stitch must MERGE the straddling partials, not drop one.
+    # This pins the end-to-end invariant under aggressive block counts.
+    n_keys, n_blocks = 1000, 16
+    k = np.tile(np.arange(n_keys), n_blocks)
+    v = np.concatenate([np.full(n_keys, b + 1) for b in range(n_blocks)])
+    tbl = pa.table({
+        "doc_a": pa.array(k, pa.int64()),
+        "doc_b": pa.array(k % 7, pa.int64()),
+        "n": pa.array(v, pa.int64()),
+    })
+    out = sorted_pair_dedup(
+        rd.from_arrow(tbl).repartition(n_blocks), ["doc_a", "doc_b"], [("n", "sum")]
+    ).to_pandas()
+    assert len(out) == n_keys
+    # every key's sum must include all 16 block contributions
+    assert (out["n"] == sum(range(1, n_blocks + 1))).all()
