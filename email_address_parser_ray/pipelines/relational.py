@@ -1078,13 +1078,18 @@ def docs_vocab(sf_dir: str, k: int = 100):
             .rename_columns(["token", "p_cnt"])
         )
 
-    agg = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("token")
-        .aggregate(Sum("p_cnt", alias_name="n"))
+    # token cardinality is unbounded (the vocab grows with the corpus),
+    # so this is sorted_group_agg territory — Ray's native groupby
+    # collapses at millions of groups (stages/dedup.py, measured)
+    from ..stages.dedup import sorted_group_agg
+
+    agg = sorted_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["token"],
+        [("p_cnt", "sum")],
     )
     counts = agg.map_batches(
-        lambda t: pa.table({"token": t["token"], "n": pc.cast(t["n"], pa.int64())}),
+        lambda t: pa.table({"token": t["token"], "n": pc.cast(t["p_cnt"], pa.int64())}),
         batch_format="pyarrow",
     )
     return counts.sort(["n", "token"], descending=[True, False]).limit(k)
@@ -1344,10 +1349,20 @@ def docs_tfidf_top_terms(sf_dir: str, k: int = 5):
             .rename_columns(["doc_id", "token", "p_tf"])
         )
 
-    tf = (
-        docs.map_batches(doc_token_partial, batch_format="pyarrow")
-        .groupby(["doc_id", "token"])
-        .aggregate(Sum("p_tf", alias_name="tf"))
+    # (doc_id, token) group count ≈ the corpus's total distinct
+    # doc-term pairs — the highest-cardinality key in the engine, so
+    # the sorted shape is mandatory (stages/dedup.py policy note)
+    from ..stages.dedup import sorted_group_agg
+
+    tf = sorted_group_agg(
+        docs.map_batches(doc_token_partial, batch_format="pyarrow"),
+        ["doc_id", "token"],
+        [("p_tf", "sum")],
+    ).map_batches(
+        lambda t: pa.table(
+            {"doc_id": t["doc_id"], "token": t["token"], "tf": t["p_tf"]}
+        ),
+        batch_format="pyarrow",
     )
 
     def add_token_bucket(t: pa.Table) -> pa.Table:

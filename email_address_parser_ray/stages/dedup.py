@@ -103,9 +103,15 @@ def _segment_pairs(keys: np.ndarray, max_seg: int = MAX_BUCKET):
 
 
 def sorted_pair_dedup(pairs_ds, keys: List[str], aggs: List[tuple] = ()):
-    """Exact distributed dedup of a pair table by ``keys``, keeping one
-    row per key (with optional per-key Arrow aggregates for value
-    columns whose duplicates agree, e.g. ``[("hamming", "min")]``).
+    """Exact distributed groupby-aggregate for HIGH-CARDINALITY keys
+    (group count ~ row count): one row per key, with optional per-key
+    Arrow aggregates for value columns (any associative kernel Arrow
+    exposes — ``min``/``max``/``sum``; partials are folded per block
+    and re-folded across blocks/boundaries).  Exposed under two names:
+    ``sorted_pair_dedup`` (dedup flavor) and ``sorted_group_agg`` (the
+    engine's aggregation policy: native Ray groupby for LOW-cardinality
+    keys where partial pre-agg collapses each block to a handful of
+    rows; this sorted shape when groups number in the millions).
 
     Ray's native ``groupby(keys).aggregate(...)`` collapses when the
     number of GROUPS reaches millions — measured 202-230 s to reduce
@@ -224,6 +230,9 @@ def sorted_pair_dedup(pairs_ds, keys: List[str], aggs: List[tuple] = ()):
         new_refs.append(ray.put(merged))
         return rd.from_arrow_refs(new_refs)
     return rd.from_arrow_refs([ref for _, ref in live])
+
+
+sorted_group_agg = sorted_pair_dedup
 
 
 # --- exact dedup -----------------------------------------------------------

@@ -22,8 +22,7 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ray.data.aggregate import Sum
-
+from .dedup import sorted_group_agg
 from .joins import hash_join
 
 SCALE = 1_000_000
@@ -59,21 +58,22 @@ def pagerank_integer(edges_ds, iters: int = 2):
 
     e = edges_ds.map_batches(symmetrize, batch_format="pyarrow").materialize()
 
-    deg = (
+    # node cardinality grows with the graph: sorted_group_agg, not the
+    # native groupby (stages/dedup.py policy note)
+    deg = sorted_group_agg(
         e.map_batches(
             lambda t: t.group_by("src")
             .aggregate([("src", "count")])
             .rename_columns(["src", "p_d"]),
             batch_format="pyarrow",
-        )
-        .groupby("src")
-        .aggregate(Sum("p_d", alias_name="d"))
-        .map_batches(
-            lambda t: pa.table(
-                {"node": t["src"], "d": pc.cast(t["d"], pa.int64())}
-            ),
-            batch_format="pyarrow",
-        )
+        ),
+        ["src"],
+        [("p_d", "sum")],
+    ).map_batches(
+        lambda t: pa.table(
+            {"node": t["src"], "d": pc.cast(t["p_d"], pa.int64())}
+        ),
+        batch_format="pyarrow",
     ).materialize()
 
     # r0: uniform integer rank over the node set (= deg's key set)
@@ -99,12 +99,15 @@ def pagerank_integer(edges_ds, iters: int = 2):
             ),
             batch_format="pyarrow",
         )
-        sums = (
+        sums = sorted_group_agg(
             sends.map_batches(
                 _partial_sum("contrib", "p_s", "dst"), batch_format="pyarrow"
-            )
-            .groupby("dst")
-            .aggregate(Sum("p_s", alias_name="s"))
+            ),
+            ["dst"],
+            [("p_s", "sum")],
+        ).map_batches(
+            lambda t: pa.table({"dst": t["dst"], "s": t["p_s"]}),
+            batch_format="pyarrow",
         )
         r = (
             hash_join(sums, deg, on="dst", right_on="node")
