@@ -127,17 +127,20 @@ def q3_top_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10):
         li_part, orders_f, on="l_orderkey", right_on="o_orderkey",
         join_type="left_semi",
     )
-    agg = (
+    # order-key cardinality is fact-sized: sorted_group_agg policy
+    from ..stages.dedup import sorted_group_agg
+
+    agg = sorted_group_agg(
         joined.map_batches(
             lambda t: pa.table({"o_orderkey": t["l_orderkey"], "p_rev": t["p_rev"]}),
             batch_format="pyarrow",
-        )
-        .groupby("o_orderkey")
-        .aggregate(Sum("p_rev", alias_name="revenue"))
+        ),
+        ["o_orderkey"],
+        [("p_rev", "sum")],
     )
     rounded = agg.map_batches(
         lambda t: pa.table(
-            {"o_orderkey": t["o_orderkey"], "revenue_cents": _cents(t["revenue"])}
+            {"o_orderkey": t["o_orderkey"], "revenue_cents": _cents(t["p_rev"])}
         ),
         batch_format="pyarrow",
     )
@@ -376,10 +379,22 @@ def top_customers(sf_dir: str, k: int = 20):
             [("o_totalprice", "sum"), ("o_totalprice", "count")]
         ).rename_columns(["o_custkey", "p_sum", "p_cnt"])
 
-    agg = (
-        orders.map_batches(partial, batch_format="pyarrow")
-        .groupby("o_custkey")
-        .aggregate(Sum("p_sum", alias_name="total_spent"), Sum("p_cnt", alias_name="n_orders"))
+    # customer-key cardinality is fact-sized: sorted_group_agg policy
+    from ..stages.dedup import sorted_group_agg
+
+    agg = sorted_group_agg(
+        orders.map_batches(partial, batch_format="pyarrow"),
+        ["o_custkey"],
+        [("p_sum", "sum"), ("p_cnt", "sum")],
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "o_custkey": t["o_custkey"],
+                "total_spent": t["p_sum"],
+                "n_orders": t["p_cnt"],
+            }
+        ),
+        batch_format="pyarrow",
     )
     cust = read_parquet_clean(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
     joined = hash_join(agg, cust, on="o_custkey", right_on="c_custkey")
@@ -1105,13 +1120,15 @@ def events_distinct_users(sf_dir: str):
         f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
     )
 
-    pairs = (
+    # the distinct-pair key is user-cardinality (sorted_group_agg policy)
+    from ..stages.dedup import sorted_group_agg
+
+    pairs = sorted_group_agg(
         ds.map_batches(
             lambda t: t.group_by(["event_type", "user_id"]).aggregate([]),
             batch_format="pyarrow",
-        )
-        .groupby(["event_type", "user_id"])
-        .aggregate(Count(alias_name="_n"))
+        ),
+        ["event_type", "user_id"],
     )
     agg = (
         pairs.map_batches(
