@@ -514,3 +514,31 @@ def test_sorted_pair_dedup_merges_boundary_partials(ray_session):
     assert len(out) == n_keys
     # every key's sum must include all 16 block contributions
     assert (out["n"] == sum(range(1, n_blocks + 1))).all()
+
+
+def test_word_shingles_flat_rules():
+    from email_address_parser_ray.functions.hashing import (
+        minhash_signature_batch, minhash_signature_flat, word_shingles_flat,
+    )
+
+    texts = ["a b c d e", "x y", "", "one", "a b c", "c b a", "a a a a"]
+    flat, lens = word_shingles_flat(texts, 3)
+    # window counts: max(n_tokens - k + 1, 1) with the short-doc rule
+    assert lens.tolist() == [3, 1, 1, 1, 1, 1, 2]
+    offs = np.cumsum(lens) - lens
+    # identical window text -> identical hash ("a b c" == doc0's first window)
+    assert flat[offs[0]] == flat[offs[4]]
+    # token order matters
+    assert flat[offs[4]] != flat[offs[5]]
+    # deterministic across calls; empty docs agree
+    f2, _ = word_shingles_flat(["", ""], 3)
+    assert f2[0] == f2[1]
+    fa, _ = word_shingles_flat(texts, 3)
+    assert (fa == flat).all()
+    # flat signature core == list-of-rows wrapper
+    rows = [np.array([1, 2, 3], dtype=np.uint64), np.array([7], dtype=np.uint64)]
+    s1 = minhash_signature_batch(rows)
+    s2 = minhash_signature_flat(
+        np.array([1, 2, 3, 7], dtype=np.uint64), np.array([3, 1])
+    )
+    assert (s1 == s2).all()
