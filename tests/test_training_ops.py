@@ -542,3 +542,21 @@ def test_word_shingles_flat_rules():
         np.array([1, 2, 3, 7], dtype=np.uint64), np.array([3, 1])
     )
     assert (s1 == s2).all()
+
+
+def test_hash_join_full_outer(ray_session):
+    import ray.data as rd
+    from email_address_parser_ray.stages.joins import hash_join
+
+    l = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3], pa.int64()),
+        "a": pa.array([10, 20, 30], pa.int64()),
+    }))
+    r = rd.from_arrow(pa.table({
+        "j": pa.array([2, 3, 4], pa.int64()),
+        "b": pa.array([200, 300, 400], pa.int64()),
+    }))
+    out = hash_join(l, r, on="k", right_on="j", join_type="full_outer").to_pandas()
+    rows = {int(k): (a, b) for k, a, b in
+            zip(out["k"], out["a"].fillna(-1), out["b"].fillna(-1))}
+    assert rows == {1: (10, -1), 2: (20, 200), 3: (30, 300), 4: (-1, 400)}
