@@ -49,14 +49,25 @@ def _add_key_bucket(batch: pa.Table, key: str = "band_key") -> pa.Table:
 
 
 def _segment_pairs(keys: np.ndarray, max_seg: int = MAX_BUCKET):
-    """Concatenated within-segment triu index pairs over a SORTED key array.
+    """Concatenated within-segment candidate index pairs over a SORTED
+    key array: the full triu for segments up to ``max_seg``, and for
+    larger (degenerate) segments the triu of the first ``max_seg``
+    members PLUS a linear CHAIN over the tail (each tail member paired
+    with its predecessor).
 
-    Segments larger than ``max_seg`` are deterministically trimmed — the
-    quadratic cap for degenerate corpora where one band key collects a
-    huge group.  Trimming CAN drop true near-dup pairs whose only shared
-    band lands in the trimmed tail (recall below the banding math's
-    per-pair bound), so each trim is logged with the dropped size; on
-    the oracle fixtures no trim ever fires (band groups ≪ max_seg).
+    The chain keeps the quadratic cap (pairs per segment is
+    O(max_seg² + n), never O(n²)) while preserving CONNECTIVITY: under
+    the old drop-the-tail trim, members beyond the cap lost every
+    candidate in every band (the per-band segment is sorted by doc id,
+    so all bands kept the same head) and near-dup clusters larger than
+    the cap silently shattered — measured at the dense ×80 stress:
+    29,682 clusters instead of the all-pairs ideal.  With the chain,
+    the exact verify still decides every emitted pair, and transitive
+    closure reconnects big cliques through verified adjacent pairs.
+    Recall in the over-cap regime is no longer all-pairs-exact (a
+    chain pair can fail verify where some distant pair would have
+    passed) — each capped segment is logged; on the oracle fixtures no
+    cap ever fires (band groups ≪ max_seg).
 
     Fully vectorized (no per-segment Python loop): a dense-near-dup
     corpus produces hundreds of thousands of tiny segments per bucket,
@@ -69,37 +80,61 @@ def _segment_pairs(keys: np.ndarray, max_seg: int = MAX_BUCKET):
     n = len(keys)
     if n == 0:
         return empty, empty
-    starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
-    ends = np.r_[starts[1:], n]
-    sizes = ends - starts
-    over = sizes > max_seg
+    starts0 = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+    ends0 = np.r_[starts0[1:], n]
+    sizes0 = ends0 - starts0
+    over = sizes0 > max_seg
     if over.any():
-        for st, sz in zip(starts[over], sizes[over]):
-            logging.getLogger(__name__).warning(
-                "dedup band segment of %d rows trimmed to %d (key=%s): "
-                "pairs beyond the cap are not emitted this band",
-                sz, max_seg, keys[st],
-            )
-        sizes = np.minimum(sizes, max_seg)
-        ends = starts + sizes
+        # one summary line per call — a degenerate corpus can cap
+        # hundreds of thousands of segments per bucket, and a per-
+        # segment log line becomes its own bottleneck
+        logging.getLogger(__name__).warning(
+            "dedup: %d band segments over the %d cap (largest %d rows): "
+            "full triu over the first %d members + predecessor chain over "
+            "each tail",
+            int(over.sum()), max_seg, int(sizes0[over].max()), max_seg,
+        )
+    sizes = np.minimum(sizes0, max_seg)
+    ends = starts0 + sizes
     keep = sizes >= 2
-    starts, ends, sizes = starts[keep], ends[keep], sizes[keep]
-    if len(starts) == 0:
+    starts_k, ends_k, sizes_k = starts0[keep], ends[keep], sizes[keep]
+    parts_ia, parts_ib = [], []
+    if len(starts_k):
+        # triu over the (possibly capped) head of each segment:
+        # per-element pair counts c = (seg_end - idx - 1); ia repeats
+        # each element c times, ib counts up from ia+1 to seg_end
+        tot = int(sizes_k.sum())
+        offs = np.cumsum(sizes_k) - sizes_k
+        gidx = np.repeat(starts_k, sizes_k) + (
+            np.arange(tot) - np.repeat(offs, sizes_k)
+        )
+        c = np.repeat(ends_k, sizes_k) - gidx - 1
+        tp = int(c.sum())
+        if tp:
+            ia = np.repeat(gidx, c)
+            poffs = np.cumsum(c) - c
+            ib = ia + 1 + (np.arange(tp) - np.repeat(poffs, c))
+            parts_ia.append(ia)
+            parts_ib.append(ib)
+    if over.any():
+        # predecessor chain over each capped tail: (i, i+1) for
+        # i in [start + max_seg - 1, end0 - 1)
+        t_start = starts0[over] + max_seg - 1
+        t_cnt = ends0[over] - t_start - 1
+        tot = int(t_cnt.sum())
+        if tot:
+            toffs = np.cumsum(t_cnt) - t_cnt
+            ia = np.repeat(t_start, t_cnt) + (
+                np.arange(tot) - np.repeat(toffs, t_cnt)
+            )
+            parts_ia.append(ia)
+            parts_ib.append(ia + 1)
+    if not parts_ia:
         return empty, empty
-    # global index of every element of every kept (possibly trimmed)
-    # segment, then per-element pair counts c = (seg_end - idx - 1):
-    # ia repeats each element c times, ib counts up from ia+1 to seg_end
-    tot = int(sizes.sum())
-    offs = np.cumsum(sizes) - sizes
-    gidx = np.repeat(starts, sizes) + (np.arange(tot) - np.repeat(offs, sizes))
-    c = np.repeat(ends, sizes) - gidx - 1
-    tp = int(c.sum())
-    if tp == 0:
-        return empty, empty
-    ia = np.repeat(gidx, c)
-    poffs = np.cumsum(c) - c
-    ib = ia + 1 + (np.arange(tp) - np.repeat(poffs, c))
-    return ia.astype(np.int64), ib.astype(np.int64)
+    return (
+        np.concatenate(parts_ia).astype(np.int64),
+        np.concatenate(parts_ib).astype(np.int64),
+    )
 
 
 def sorted_pair_dedup(pairs_ds, keys: List[str], aggs: List[tuple] = ()):
@@ -385,12 +420,14 @@ def minhash_verified_pairs(
     where neither the ids nor the texts fit one heap).
     Either way ``JaccardVerifier`` computes the exact integer-e6
     k-word-shingle Jaccard — precision is exact; recall is the banding
-    bound (1-(1-s^r)^b per pair, ~1-5e-19 at the 0.7 threshold) MINUS
-    the ``MAX_BUCKET`` segment trim in ``_segment_pairs``: a degenerate
-    corpus whose band group exceeds the cap can drop true pairs, and
-    every such trim is logged.  On the oracle fixtures no trim fires,
-    so the output equals the all-pairs exact-Jaccard ideal the DuckDB
-    oracle computes.  Only candidate pairs ever touch the texts again;
+    bound (1-(1-s^r)^b per pair, ~1-5e-19 at the 0.7 threshold), with
+    over-cap band groups handled by ``_segment_pairs``' triu+chain cap
+    (candidate pairs beyond the quadratic budget are replaced by a
+    predecessor chain, so big near-dup cliques stay CONNECTED for the
+    downstream transitive closure instead of shattering; each capped
+    segment is logged).  On the oracle fixtures no cap fires, so the
+    output equals the all-pairs exact-Jaccard ideal the DuckDB oracle
+    computes.  Only candidate pairs ever touch the texts again;
     the corpus is never re-shuffled."""
     import ray
     import ray.data as rd
