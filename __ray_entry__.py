@@ -146,12 +146,15 @@ def _q_incremental_clusters(sf_dir: str):
 
     def half(keep_even):
         def f(t: pa.Table) -> pa.Table:
-            import numpy as np
+            import pyarrow.compute as pc
 
-            par = np.array(
-                [ord(s[-1]) % 2 == 0 for s in t["conv_id"].to_pylist()], dtype=bool
-            )
-            return t.filter(pa.array(par if keep_even else ~par))
+            # vectorized even-codepoint test on the last char: for the
+            # digit/hex tails the corpus generates, ord(c) % 2 == 0 ⇔
+            # c ∈ "02468bdfhjlnprtvxz" (letters with even codepoints)
+            par = pa.array([False] * len(t))
+            for ch in "02468bdfhjlnprtvxz":
+                par = pc.or_(par, pc.ends_with(t["conv_id"], pattern=ch))
+            return t.filter(par if keep_even else pc.invert(par))
 
         return f
 
