@@ -92,6 +92,38 @@ def _bench_queries(sf_dir: str) -> dict:
             f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
         )).count(),
     )
+
+    def run_decontaminate():
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data as rd
+
+        from email_address_parser_ray.stages.dedup import decontaminate
+
+        docs = rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+
+        def part(keep_eval):
+            def f(t):
+                m = pc.equal(
+                    pc.subtract(
+                        t["doc_id"],
+                        pc.multiply(
+                            pc.divide(t["doc_id"], 97), pa.scalar(97, pa.int64())
+                        ),
+                    ),
+                    pa.scalar(0, pa.int64()),
+                )
+                return t.filter(m if keep_eval else pc.invert(m))
+
+            return f
+
+        train = docs.map_batches(part(False), batch_format="pyarrow")
+        ev = docs.map_batches(part(True), batch_format="pyarrow")
+        return decontaminate(train, ev).count()
+
+    timed("decontaminate", run_decontaminate)
     return timings
 
 
