@@ -1014,8 +1014,22 @@ def grouped_topk(ds, group_col: str, order_col: str, k: int, tiebreak_col: str):
     """Per-group top-k (window-rank semantics: ORDER BY order_col DESC,
     tiebreak_col ASC).  Each batch is pruned to its own per-group top-k
     first, so the shuffle moves at most k rows per group per block —
-    never the fact table — and the final per-group rank runs on ≤
-    k x blocks rows per group."""
+    never the fact table.
+
+    The global step is the sorted shape, not ``groupby().map_groups``:
+    group cardinality is unbounded for callers like per-doc TF-IDF
+    top-k (one group per document), where a per-group Python callback
+    and Ray's million-group shuffle both collapse (stages/dedup.py
+    policy note).  After ``sort(group, order DESC, tiebreak)`` each
+    block ranks its contiguous group segments with pure numpy; groups
+    straddling a block boundary (if Ray's sort ever splits a run —
+    probed: it does not today) are re-ranked exactly on the driver
+    from the ≤ k surviving rows per side and appended as one extra
+    block."""
+    import ray
+    import ray.data as rd
+
+    out_cols = [group_col, "rnk", tiebreak_col, order_col]
 
     def prune(df: pd.DataFrame) -> pa.Table:
         kept = (
@@ -1027,24 +1041,106 @@ def grouped_topk(ds, group_col: str, order_col: str, k: int, tiebreak_col: str):
             .groupby(group_col, sort=False)
             .head(k)
         )
-        return from_pandas_clean(kept)
+        return from_pandas_clean(kept[[group_col, tiebreak_col, order_col]])
 
-    def final(df: pd.DataFrame) -> pa.Table:
-        out = (
-            df.sort_values(
-                [order_col, tiebreak_col], ascending=[False, True], kind="mergesort"
+    def head_rank(t: pa.Table) -> pa.Table:
+        """One sorted block: rank each contiguous group segment, keep k."""
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    group_col: t[group_col],
+                    "rnk": pa.array([], pa.int64()),
+                    tiebreak_col: t[tiebreak_col],
+                    order_col: t[order_col],
+                }
             )
-            .head(k)
-            .reset_index(drop=True)
+        g = t[group_col].to_numpy(zero_copy_only=False)
+        new = np.r_[True, g[1:] != g[:-1]]
+        starts = np.flatnonzero(new)
+        seg = np.cumsum(new) - 1
+        cum = np.arange(len(g)) - starts[seg]
+        keep = cum < k
+        out = t.filter(pa.array(keep)).append_column(
+            "rnk", pa.array(cum[keep] + 1, pa.int64())
         )
-        out.insert(1, "rnk", np.arange(1, len(out) + 1, dtype=np.int64))
-        return from_pandas_clean(out[[group_col, "rnk", tiebreak_col, order_col]])
+        return out.select(out_cols)
 
-    return (
+    sorted_ds = (
         ds.map_batches(prune, batch_format="pandas")
-        .groupby(group_col)
-        .map_groups(final, batch_format="pandas")
+        .sort(
+            [group_col, order_col, tiebreak_col],
+            descending=[False, True, False],
+        )
+        .map_batches(head_rank, batch_format="pyarrow")
+        .materialize()
     )
+    refs = list(sorted_ds.to_arrow_refs())
+
+    @ray.remote
+    def group_range(t: pa.Table):
+        if t.num_rows == 0:
+            return None
+        import pyarrow.compute as pc
+
+        mm = pc.min_max(t[group_col])
+        return mm["min"].as_py(), mm["max"].as_py()
+
+    @ray.remote
+    def drop_groups(t: pa.Table, gvals):
+        m = np.zeros(t.num_rows, dtype=bool)
+        col = t[group_col].to_numpy(zero_copy_only=False)
+        for gv in gvals:
+            m |= col == gv
+        return t.filter(pa.array(~m))
+
+    @ray.remote
+    def extract_groups(t: pa.Table, gvals):
+        m = np.zeros(t.num_rows, dtype=bool)
+        col = t[group_col].to_numpy(zero_copy_only=False)
+        for gv in gvals:
+            m |= col == gv
+        return t.filter(pa.array(m))
+
+    ranges = ray.get([group_range.remote(r) for r in refs])
+    prev_max = None
+    prev_i = None
+    live = []
+    affected: dict = {}
+    for i, (ref, rng) in enumerate(zip(refs, ranges)):
+        if rng is None:
+            continue
+        lo, hi = rng
+        if prev_max is not None and lo == prev_max:
+            affected.setdefault(lo, set()).update((prev_i, i))
+        if prev_max is None or hi > prev_max:
+            prev_max = hi
+            prev_i = i
+        live.append((i, ref))
+    if not live:
+        return sorted_ds
+    if not affected:
+        return rd.from_arrow_refs([ref for _, ref in live])
+    by_block: dict = {}
+    for gv, blocks in affected.items():
+        for bi in blocks:
+            by_block.setdefault(bi, []).append(gv)
+    pulls = {bi: extract_groups.remote(refs[bi], gs) for bi, gs in by_block.items()}
+    new_refs = [
+        drop_groups.remote(ref, by_block[i]) if i in by_block else ref
+        for i, ref in live
+    ]
+    merged = pa.concat_tables(
+        [t for t in ray.get(list(pulls.values())) if t.num_rows]
+    ).combine_chunks()
+    df = merged.to_pandas().sort_values(
+        [group_col, order_col, tiebreak_col],
+        ascending=[True, False, True],
+        kind="mergesort",
+    )
+    df = df.groupby(group_col, sort=False).head(k).reset_index(drop=True)
+    df["rnk"] = df.groupby(group_col, sort=False).cumcount() + 1
+    new_refs.append(ray.put(from_pandas_clean(df[out_cols])))
+    return rd.from_arrow_refs(new_refs)
 
 
 def top_orders_per_priority(sf_dir: str, k: int = 3):
