@@ -92,11 +92,12 @@ def _q_turn_roundtrip(sf_dir: str):
 
 
 def _q_exact_entities(sf_dir: str):
-    """A9 exact-equality semantics: distinct verbatim addresses + counts."""
-    from ray.data.aggregate import Sum
+    """A9 exact-equality semantics: distinct verbatim addresses + counts.
+    Address cardinality is unbounded → sorted_group_agg policy."""
     from email_address_parser_ray.pipelines.resolve import (
         extract_mentions, read_transcripts,
     )
+    from email_address_parser_ray.stages.dedup import sorted_group_agg
 
     root = _tcache(sf_dir)
     ds = extract_mentions(read_transcripts(f"{root}/transcripts"))
@@ -106,14 +107,14 @@ def _q_exact_entities(sf_dir: str):
             ["address", "p_cnt"]
         )
 
-    agg = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("address")
-        .aggregate(Sum("p_cnt", alias_name="n_mentions"))
+    agg = sorted_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["address"],
+        [("p_cnt", "sum")],
     )
     return agg.map_batches(
         lambda t: pa.table(
-            {"address": t["address"], "n_mentions": pc.cast(t["n_mentions"], pa.int64())}
+            {"address": t["address"], "n_mentions": pc.cast(t["p_cnt"], pa.int64())}
         ),
         batch_format="pyarrow",
     )
@@ -270,16 +271,31 @@ def _q_f1_report(sf_dir: str):
 def _q_hot_blocks(sf_dir: str):
     """Top-20 largest blocking keys (skew detection feed — SURVEY §2.d
     sorts/top-k; drives the salting/sorted-neighborhood guard)."""
-    from ray.data.aggregate import Count
     from email_address_parser_ray.pipelines.resolve import (
         extract_mentions, read_transcripts,
     )
     from email_address_parser_ray.stages.blocking import build_nodes, explode_block_keys
+    from email_address_parser_ray.stages.dedup import sorted_group_agg
 
     root = _tcache(sf_dir)
     nodes = build_nodes(extract_mentions(read_transcripts(f"{root}/transcripts")))
     keys = nodes.map_batches(explode_block_keys, batch_format="pyarrow")
-    sizes = keys.groupby("block_key").aggregate(Count(alias_name="n_nodes"))
+    # block-key cardinality grows with unique addresses: sorted shape
+    sizes = sorted_group_agg(
+        keys.map_batches(
+            lambda t: t.group_by("block_key")
+            .aggregate([("block_key", "count")])
+            .rename_columns(["block_key", "p_cnt"]),
+            batch_format="pyarrow",
+        ),
+        ["block_key"],
+        [("p_cnt", "sum")],
+    ).map_batches(
+        lambda t: pa.table(
+            {"block_key": t["block_key"], "n_nodes": pc.cast(t["p_cnt"], pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
     return sizes.sort(["n_nodes", "block_key"], descending=[True, False]).limit(20)
 
 

@@ -128,18 +128,26 @@ def cluster_sizes(clusters_ds):
     with a hash-partitioned join on ``cluster_id`` (round-1 verdict
     fix), not a driver broadcast."""
     import pyarrow.compute as pc
-    from ray.data.aggregate import Sum
 
+    from ..stages.dedup import sorted_group_agg
     from ..stages.joins import hash_join
 
-    partial = clusters_ds.map_batches(
-        lambda t: t.group_by("cluster_id")
-        .aggregate([("cluster_id", "count")])
-        .rename_columns(["cluster_id", "p_cnt"]),
+    # cluster-id cardinality grows with unique addresses: sorted shape,
+    # not the native groupby (stages/dedup.py policy note)
+    sizes = sorted_group_agg(
+        clusters_ds.map_batches(
+            lambda t: t.group_by("cluster_id")
+            .aggregate([("cluster_id", "count")])
+            .rename_columns(["cluster_id", "p_cnt"]),
+            batch_format="pyarrow",
+        ),
+        ["cluster_id"],
+        [("p_cnt", "sum")],
+    ).map_batches(
+        lambda t: pa.table(
+            {"cluster_id": t["cluster_id"], "cluster_size": t["p_cnt"]}
+        ),
         batch_format="pyarrow",
-    )
-    sizes = partial.groupby("cluster_id").aggregate(
-        Sum("p_cnt", alias_name="cluster_size")
     )
     joined = hash_join(clusters_ds, sizes, on="cluster_id")
     return joined.map_batches(
