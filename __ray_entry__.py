@@ -344,8 +344,8 @@ def _q_events_pagerank(sf_dir: str):
     """Integer-exact PageRank (2 damped iterations) over the bipartite
     user ↔ event-type graph; the DuckDB oracle replays the iterations
     as chained CTEs with the same int64 arithmetic."""
-    from ray.data.aggregate import Count
     from email_address_parser_ray.sources.io import read_parquet_clean
+    from email_address_parser_ray.stages.dedup import sorted_group_agg
     from email_address_parser_ray.stages.graph import pagerank_integer
 
     ev = read_parquet_clean(
@@ -355,10 +355,12 @@ def _q_events_pagerank(sf_dir: str):
     def pair_partial(t: pa.Table) -> pa.Table:
         return t.group_by(["user_id", "event_type"]).aggregate([])
 
+    # distinct-edge key is user-cardinality → sorted_group_agg policy
     edges = (
-        ev.map_batches(pair_partial, batch_format="pyarrow")
-        .groupby(["user_id", "event_type"])
-        .aggregate(Count(alias_name="_n"))
+        sorted_group_agg(
+            ev.map_batches(pair_partial, batch_format="pyarrow"),
+            ["user_id", "event_type"],
+        )
         .map_batches(
             lambda t: pa.table(
                 {
