@@ -1065,13 +1065,15 @@ def grouped_topk(ds, group_col: str, order_col: str, k: int, tiebreak_col: str):
         )
         return out.select(out_cols)
 
+    # batch_size=None is LOAD-BEARING on the post-sort pass: head_rank
+    # must see each block whole so every group segment is contiguous
     sorted_ds = (
         ds.map_batches(prune, batch_format="pandas")
         .sort(
             [group_col, order_col, tiebreak_col],
             descending=[False, True, False],
         )
-        .map_batches(head_rank, batch_format="pyarrow")
+        .map_batches(head_rank, batch_format="pyarrow", batch_size=None)
         .materialize()
     )
     refs = list(sorted_ds.to_arrow_refs())

@@ -182,10 +182,13 @@ def sorted_pair_dedup(pairs_ds, keys: List[str], aggs: List[tuple] = ()):
         g = t.group_by(keys).aggregate([(c, f) for c, f in aggs])
         return g.rename_columns(out_cols)
 
+    # batch_size=None is LOAD-BEARING on the post-sort pass: the fn must
+    # see each block whole (probed: None = entire block), else a key run
+    # split across sub-block batches would leave un-stitched partials
     ds = (
-        pairs_ds.map_batches(block_dedup, batch_format="pyarrow")
+        pairs_ds.map_batches(block_dedup, batch_format="pyarrow", batch_size=None)
         .sort(keys)
-        .map_batches(block_dedup, batch_format="pyarrow")
+        .map_batches(block_dedup, batch_format="pyarrow", batch_size=None)
         .materialize()
     )
     refs = [r for r in ds.to_arrow_refs()]
