@@ -48,6 +48,37 @@ def _add_key_bucket(batch: pa.Table, key: str = "band_key") -> pa.Table:
     )
 
 
+def _triu_pairs(starts: np.ndarray, ends: np.ndarray):
+    """Concatenated ``triu(k=1)`` index pairs for the segments
+    ``[starts[i], ends[i])`` of a parent array — the closed form shared by
+    ``_segment_pairs`` (dedup band buckets) and the resolve pipeline's
+    ``emit_pairs_bucket`` (stages/blocking.py).  Fully vectorized: a
+    per-segment ``np.triu_indices`` call costs ~1 ms of pure overhead
+    each, which at hundreds of thousands of tiny segments per bucket was
+    250 s of the 100k-doc dedup stress; this form is ~10 s there.
+
+    Per element at global index i within segment [s, e): pair count
+    c = e - i - 1; ``ia`` repeats each element c times, ``ib`` counts up
+    from ia+1."""
+    empty = np.array([], dtype=np.int64)
+    sizes = ends - starts
+    keep = sizes >= 2
+    starts_k, ends_k, sizes_k = starts[keep], ends[keep], sizes[keep]
+    if not len(starts_k):
+        return empty, empty
+    tot = int(sizes_k.sum())
+    offs = np.cumsum(sizes_k) - sizes_k
+    gidx = np.repeat(starts_k, sizes_k) + (np.arange(tot) - np.repeat(offs, sizes_k))
+    c = np.repeat(ends_k, sizes_k) - gidx - 1
+    tp = int(c.sum())
+    if not tp:
+        return empty, empty
+    ia = np.repeat(gidx, c)
+    poffs = np.cumsum(c) - c
+    ib = ia + 1 + (np.arange(tp) - np.repeat(poffs, c))
+    return ia.astype(np.int64), ib.astype(np.int64)
+
+
 def _segment_pairs(keys: np.ndarray, max_seg: int = MAX_BUCKET):
     """Concatenated within-segment candidate index pairs over a SORTED
     key array: the full triu for segments up to ``max_seg``, and for
@@ -94,28 +125,13 @@ def _segment_pairs(keys: np.ndarray, max_seg: int = MAX_BUCKET):
             "each tail",
             int(over.sum()), max_seg, int(sizes0[over].max()), max_seg,
         )
-    sizes = np.minimum(sizes0, max_seg)
-    ends = starts0 + sizes
-    keep = sizes >= 2
-    starts_k, ends_k, sizes_k = starts0[keep], ends[keep], sizes[keep]
+    # triu over the (possibly capped) head of each segment
+    ends = starts0 + np.minimum(sizes0, max_seg)
     parts_ia, parts_ib = [], []
-    if len(starts_k):
-        # triu over the (possibly capped) head of each segment:
-        # per-element pair counts c = (seg_end - idx - 1); ia repeats
-        # each element c times, ib counts up from ia+1 to seg_end
-        tot = int(sizes_k.sum())
-        offs = np.cumsum(sizes_k) - sizes_k
-        gidx = np.repeat(starts_k, sizes_k) + (
-            np.arange(tot) - np.repeat(offs, sizes_k)
-        )
-        c = np.repeat(ends_k, sizes_k) - gidx - 1
-        tp = int(c.sum())
-        if tp:
-            ia = np.repeat(gidx, c)
-            poffs = np.cumsum(c) - c
-            ib = ia + 1 + (np.arange(tp) - np.repeat(poffs, c))
-            parts_ia.append(ia)
-            parts_ib.append(ib)
+    ia_h, ib_h = _triu_pairs(starts0, ends)
+    if len(ia_h):
+        parts_ia.append(ia_h)
+        parts_ib.append(ib_h)
     if over.any():
         # predecessor chain over each capped tail: (i, i+1) for
         # i in [start + max_seg - 1, end0 - 1)
