@@ -311,7 +311,9 @@ def lsh_topk(
     return brute_force_topk(probed, query, k)
 
 
-NEARDUP_MAX_SEGMENT = 4096  # per-band bucket cap (logged, not silently hit)
+NEARDUP_MAX_SEGMENT = 4096  # per-band bucket cap (triu head + logged chain tail)
+NEARDUP_SMALL_CAND_LIMIT = 500_000  # candidate pairs below which a driver fold wins
+NEARDUP_BROADCAST_BYTE_LIMIT = 256 * 1024 * 1024  # byte gate on the needed vectors
 
 
 def embedding_near_dup_pairs(
@@ -330,11 +332,38 @@ def embedding_near_dup_pairs(
     1 - (1 - p^b)^L with p = 1 - θ/π.  Tune (b, L) to the threshold:
     the defaults (b=2, L=24) give per-pair miss < 1e-5 down to
     cos ≥ 0.45 (θ ≈ 1.1 rad); for a true near-dup threshold (≥0.9) use
-    e.g. b=8, L=8, which keeps buckets tiny at scale.  The banded rows
-    carry the vector (fixed 8·d bytes) so the verify needs no second
-    join; returns (vec_a, vec_b, cos_e3) like ``cosine_pairs_exact``,
-    whose SQL self-join is also this operator's oracle.
+    e.g. b=8, L=8, which keeps buckets tiny at scale.
+
+    Scale shape mirrors the text near-dup family
+    (``minhash_verified_pairs``, stages/dedup.py):
+
+    * band rows are VECTOR-FREE — (band_key, vec_id) is 16 B/band
+      through the shuffle, vs the 8·d-byte vector × L bands the naive
+      shape ships (~1500× more at d=64, L=24);
+    * per-bucket pair emission is the closed-form ``_segment_pairs``
+      (full triu up to ``NEARDUP_MAX_SEGMENT`` + a logged predecessor
+      chain over over-cap tails — degenerate buckets stay connected,
+      never quadratic);
+    * cross-band dedup is a driver fold below
+      ``NEARDUP_SMALL_CAND_LIMIT`` else ``sorted_pair_dedup`` — the
+      engine's high-cardinality groupby policy (native Ray groupby on
+      an all-unique pair key measured 230 s vs 3.6 s at 2.6M groups);
+    * the exact-cosine verify fetches only the vectors candidates
+      actually touch: one streaming ``is_in`` pass over the table,
+      broadcast ONCE as (ids, matrix) when they fit
+      ``NEARDUP_BROADCAST_BYTE_LIMIT``, else twin hash joins (the true
+      100-TB path where no single heap holds the touched vectors).
+
+    Returns (vec_a, vec_b, cos_e3) like ``cosine_pairs_exact``, whose
+    SQL self-join is also this operator's oracle.
     """
+    import ray
+    import ray.data as rd
+
+    from ..functions.arrowutil import concat_nonempty
+    from .dedup import _add_key_bucket, _segment_pairs, sorted_pair_dedup
+    from .joins import hash_join
+
     rng = np.random.RandomState(_PROJ_RNG_SEED + 7)
     planes = rng.normal(size=(n_bands * planes_per_band, d))
     weights = 1 << np.arange(planes_per_band)
@@ -348,88 +377,161 @@ def embedding_near_dup_pairs(
             seg = bits[:, band * planes_per_band : (band + 1) * planes_per_band]
             keys[:, band] = (seg * weights).sum(axis=1) + (band << 32)
         vec_ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        flat = pa.table(
+        return pa.table(
             {
                 "band_key": pa.array(keys.reshape(-1), pa.int64()),
                 "vec_id": pa.array(np.repeat(vec_ids, n_bands), pa.int64()),
-                "emb": pa.array(list(np.repeat(m, n_bands, axis=0))),
             }
         )
-        return flat
 
     def bucket_pairs(g: pd.DataFrame) -> pa.Table:
         empty = pa.table(
-            {
-                "vec_a": pa.array([], pa.int64()),
-                "vec_b": pa.array([], pa.int64()),
-                "cos_e3": pa.array([], pa.int64()),
-            }
+            {"vec_a": pa.array([], pa.int64()), "vec_b": pa.array([], pa.int64())}
         )
         g = (
             g.drop_duplicates(["band_key", "vec_id"])
             .sort_values(["band_key", "vec_id"], kind="mergesort")
             .reset_index(drop=True)
         )
-        keys = g["band_key"].to_numpy()
-        n = len(g)
-        starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
-        ends = np.r_[starts[1:], n]
-        ia_parts, ib_parts = [], []
-        for st, en in zip(starts, ends):
-            sz = en - st
-            if sz < 2:
-                continue
-            if sz > NEARDUP_MAX_SEGMENT:
-                import logging
-
-                logging.getLogger(__name__).warning(
-                    "near-dup band bucket truncated: %d > %d", sz, NEARDUP_MAX_SEGMENT
-                )
-                en = st + NEARDUP_MAX_SEGMENT
-                sz = NEARDUP_MAX_SEGMENT
-            ia, ib = np.triu_indices(sz, k=1)
-            ia_parts.append(ia + st)
-            ib_parts.append(ib + st)
-        if not ia_parts:
-            return empty
-        ia = np.concatenate(ia_parts)
-        ib = np.concatenate(ib_parts)
-        mat = np.stack(g["emb"].to_numpy())  # already normalized
-        cos = np.einsum("ij,ij->i", mat[ia], mat[ib])
-        keep = cos >= threshold
-        if not keep.any():
+        ia, ib = _segment_pairs(g["band_key"].to_numpy(), NEARDUP_MAX_SEGMENT)
+        if len(ia) == 0:
             return empty
         ids = g["vec_id"].to_numpy()
-        va, vb = ids[ia[keep]], ids[ib[keep]]
-        lo, hi = np.minimum(va, vb), np.maximum(va, vb)
+        # sorted by vec_id within each band segment, so ids[ia] < ids[ib]
+        df = pd.DataFrame({"vec_a": ids[ia], "vec_b": ids[ib]}).drop_duplicates()
+        return from_pandas_clean(df)
+
+    pair_schema = pa.schema([("vec_a", pa.int64()), ("vec_b", pa.int64())])
+    out_schema = pa.schema(
+        [("vec_a", pa.int64()), ("vec_b", pa.int64()), ("cos_e3", pa.int64())]
+    )
+    cands = (
+        embeddings_ds.map_batches(add_bands, batch_format="pyarrow")
+        .map_batches(_add_key_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .materialize()
+    )
+    n_cand = cands.count()
+    if n_cand == 0:
+        return rd.from_arrow(out_schema.empty_table())
+    if n_cand <= NEARDUP_SMALL_CAND_LIMIT:
+        tbl = concat_nonempty(ray.get(cands.to_arrow_refs()), pair_schema)
+        cand_mat = rd.from_arrow(tbl.group_by(["vec_a", "vec_b"]).aggregate([]))
+    else:
+        cand_mat = sorted_pair_dedup(cands, ["vec_a", "vec_b"])
+    cand_mat = cand_mat.materialize()
+
+    # unique touched ids computed DISTRIBUTED (per-batch partial unique);
+    # only the id partials reach the driver, never the pair table
+    def batch_ids(t: pa.Table) -> pa.Table:
+        ids = np.unique(
+            np.concatenate(
+                [
+                    t["vec_a"].to_numpy(zero_copy_only=False),
+                    t["vec_b"].to_numpy(zero_copy_only=False),
+                ]
+            )
+        )
+        return pa.table({"vec_id": pa.array(ids, pa.int64())})
+
+    id_parts = ray.get(
+        cand_mat.map_batches(batch_ids, batch_format="pyarrow", batch_size=None).to_arrow_refs()
+    )
+    ids = np.unique(
+        np.concatenate(
+            [p["vec_id"].to_numpy(zero_copy_only=False) for p in id_parts if p.num_rows]
+        )
+    )
+    ids_ref = ray.put(pa.array(ids, pa.int64()))
+
+    def fetch_needed(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.is_in(t["vec_id"], value_set=ray.get(ids_ref)))
+
+    needed_mat = (
+        embeddings_ds.select_columns(["vec_id", "embedding"])
+        .map_batches(fetch_needed, batch_format="pyarrow")
+        .materialize()
+    )
+    if (needed_mat.size_bytes() or 0) <= NEARDUP_BROADCAST_BYTE_LIMIT:
+        needed = pa.concat_tables(
+            [t for t in ray.get(needed_mat.to_arrow_refs()) if t.num_rows]
+        ).combine_chunks()
+        ids_sorted = needed["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ids_sorted, kind="stable")
+        side_ref = ray.put(
+            (ids_sorted[order], _normalize(_batch_matrix(needed))[order])
+        )
+
+        def verify(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return out_schema.empty_table()
+            ids_b, m_b = ray.get(side_ref)
+            va = t["vec_a"].to_numpy(zero_copy_only=False)
+            vb = t["vec_b"].to_numpy(zero_copy_only=False)
+            cos = np.einsum(
+                "ij,ij->i",
+                m_b[np.searchsorted(ids_b, va)],
+                m_b[np.searchsorted(ids_b, vb)],
+            )
+            keep = cos >= threshold
+            return pa.table(
+                {
+                    "vec_a": pa.array(va[keep], pa.int64()),
+                    "vec_b": pa.array(vb[keep], pa.int64()),
+                    "cos_e3": pa.array(
+                        np.round(cos[keep] * 1_000).astype(np.int64), pa.int64()
+                    ),
+                }
+            )
+
+        return cand_mat.map_batches(verify, batch_format="pyarrow", batch_size=None)
+
+    # join path: attach each side's vector with a hash join (candidates
+    # only — the embeddings table is never re-shuffled per band).  The
+    # vector travels as d scalar float columns: Acero's hash join does
+    # not accept list<float> payload columns, and d fixed-width floats
+    # reassemble with one np.column_stack
+    def explode_side(side: str):
+        def f(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            m = _batch_matrix(t)
+            cols = {f"vec_{side}": pc.cast(t["vec_id"], pa.int64())}
+            for j in range(m.shape[1]):
+                cols[f"{side}{j}"] = pa.array(m[:, j], pa.float64())
+            return pa.table(cols)
+
+        return f
+
+    ea = embeddings_ds.map_batches(explode_side("a"), batch_format="pyarrow")
+    eb = embeddings_ds.map_batches(explode_side("b"), batch_format="pyarrow")
+    joined = hash_join(hash_join(cand_mat, ea, on="vec_a"), eb, on="vec_b")
+
+    def _side_matrix(t: pa.Table, side: str) -> np.ndarray:
+        return np.column_stack(
+            [t[f"{side}{j}"].to_numpy(zero_copy_only=False) for j in range(d)]
+        )
+
+    def verify_joined(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        ma = _normalize(_side_matrix(t, "a"))
+        mb = _normalize(_side_matrix(t, "b"))
+        cos = np.einsum("ij,ij->i", ma, mb)
+        keep = cos >= threshold
+        va = t["vec_a"].to_numpy(zero_copy_only=False)[keep]
+        vb = t["vec_b"].to_numpy(zero_copy_only=False)[keep]
         return pa.table(
             {
-                "vec_a": pa.array(lo, pa.int64()),
-                "vec_b": pa.array(hi, pa.int64()),
+                "vec_a": pa.array(va, pa.int64()),
+                "vec_b": pa.array(vb, pa.int64()),
                 "cos_e3": pa.array(
                     np.round(cos[keep] * 1_000).astype(np.int64), pa.int64()
                 ),
             }
         )
 
-    from ray.data.aggregate import Min
-
-    banded = embeddings_ds.map_batches(add_bands, batch_format="pyarrow")
-
-    def add_bucket(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        b = pc.bit_wise_and(batch["band_key"], pa.scalar(0x7FFFFFFF, pa.int64()))
-        n_sh = 64
-        return batch.append_column(
-            "bucket",
-            pc.subtract(b, pc.multiply(pc.divide(b, n_sh), n_sh)),
-        )
-
-    pairs = (
-        banded.map_batches(add_bucket, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(bucket_pairs, batch_format="pandas")
-    )
-    # cross-band dedup (identical cos values per pair)
-    return pairs.groupby(["vec_a", "vec_b"]).aggregate(Min("cos_e3", alias_name="cos_e3"))
+    return joined.map_batches(verify_joined, batch_format="pyarrow", batch_size=None)

@@ -467,15 +467,30 @@ def minhash_verified_pairs(
             ).empty_table()
         )
     if n_cand <= VERIFY_BROADCAST_MAX_PAIRS:
-        cand_tbl = concat_nonempty(
-            ray.get(cand_mat.to_arrow_refs()),
-            pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())]),
+        # unique touched ids computed DISTRIBUTED (per-batch partial
+        # unique); only the id partials reach the driver — never the
+        # pair table, whose pull would be wasted if the byte gate below
+        # routes to the join path anyway
+        def batch_ids(t: pa.Table) -> pa.Table:
+            u = np.unique(
+                np.concatenate(
+                    [
+                        t["doc_a"].to_numpy(zero_copy_only=False),
+                        t["doc_b"].to_numpy(zero_copy_only=False),
+                    ]
+                )
+            )
+            return pa.table({"doc_id": pa.array(u, pa.int64())})
+
+        id_parts = ray.get(
+            cand_mat.map_batches(batch_ids, batch_format="pyarrow", batch_size=None).to_arrow_refs()
         )
         ids = np.unique(
             np.concatenate(
                 [
-                    cand_tbl["doc_a"].to_numpy(zero_copy_only=False),
-                    cand_tbl["doc_b"].to_numpy(zero_copy_only=False),
+                    p["doc_id"].to_numpy(zero_copy_only=False)
+                    for p in id_parts
+                    if p.num_rows
                 ]
             )
         )

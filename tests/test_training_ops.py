@@ -276,6 +276,25 @@ def test_embedding_near_dup_matches_exact(ray_session):
     assert len(lsh) > 0
 
 
+def test_embedding_near_dup_join_path_matches_broadcast(ray_session, monkeypatch):
+    """Force the twin-hash-join verify path and the distributed
+    sorted_pair_dedup cross-band dedup (both gates to 0) — the true
+    100-TB shape must produce exactly the broadcast path's pairs."""
+    from email_address_parser_ray.sources.io import read_parquet_clean
+    from email_address_parser_ray.stages import ann
+
+    emb = read_parquet_clean(
+        "/root/testdata/sf0.001/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    fast = ann.embedding_near_dup_pairs(emb, d=64, threshold=0.45).to_pandas()
+    monkeypatch.setattr(ann, "NEARDUP_BROADCAST_BYTE_LIMIT", 0)
+    monkeypatch.setattr(ann, "NEARDUP_SMALL_CAND_LIMIT", 0)
+    joined = ann.embedding_near_dup_pairs(emb, d=64, threshold=0.45).to_pandas()
+    key = lambda df: sorted(map(tuple, df[["vec_a", "vec_b", "cos_e3"]].to_numpy()))
+    assert key(fast) == key(joined)
+    assert len(fast) > 0
+
+
 def test_ivf_topk_probe_behavior(ray_session):
     """Exhaustive probe equals brute force; restricted probe returns k
     results drawn only from the probed cells."""
