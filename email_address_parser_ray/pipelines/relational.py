@@ -1112,6 +1112,16 @@ def grouped_topk(ds, group_col: str, order_col: str, k: int, tiebreak_col: str):
         if rng is None:
             continue
         lo, hi = rng
+        # range-partition contract guard (same invariant as
+        # sorted_pair_dedup): each block must start at or above the
+        # previous max — equality is a group straddling the boundary,
+        # anything less means overlapping blocks whose duplicate ranks
+        # would silently survive
+        if prev_max is not None and lo < prev_max:
+            raise RuntimeError(
+                "grouped_topk: sorted block ranges overlap "
+                "(Ray to_arrow_refs contract changed) — cannot stitch"
+            )
         if prev_max is not None and lo == prev_max:
             affected.setdefault(lo, set()).update((prev_i, i))
         if prev_max is None or hi > prev_max:

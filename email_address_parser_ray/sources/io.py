@@ -56,6 +56,27 @@ def md5_partition(value, n_partitions: int) -> int:
     return int.from_bytes(digest[8:], "little") % n_partitions
 
 
+def fast_partition(col, n_partitions: int):
+    """Vectorized production partitioner: pandas' stable C-speed
+    string/int hash (siphash with a fixed key — no PYTHONHASHSEED, no
+    per-row Python) → splitmix64 finisher → mod n.  Deterministic
+    across processes, retries and cluster size, so a resumed export
+    routes every row to the same partition it had before the failure.
+    The md5 path stays the cross-engine SQL-replayable oracle —
+    same two-path precedent as ``fast_hash_sample`` vs ``hash_sample``
+    (stages/sampling.py)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.hashing import mix64
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    h = pd.util.hash_pandas_object(col.to_pandas(), index=False).to_numpy()
+    part = mix64(h.astype(np.uint64)) % np.uint64(n_partitions)
+    return pa.array(part.astype(np.int64), pa.int64())
+
+
 def _strip_meta(batch: pa.Table) -> pa.Table:
     return batch.replace_schema_metadata(None)
 
@@ -108,11 +129,19 @@ def read_transcripts_any(path: str, fmt: str = "parquet", columns=None):
     return ds
 
 
-def write_partitioned(ds, out_dir: str, key: str, n_partitions: int = 16) -> List[dict]:
+def write_partitioned(
+    ds, out_dir: str, key: str, n_partitions: int = 16, partitioner: str = "md5"
+) -> List[dict]:
     """Resumable partitioned Parquet sink — fully streaming.
 
     Rows are hash-partitioned on ``key`` into ``n_partitions``
-    directories (``part=K/``).  The write itself is Ray Data's native
+    directories (``part=K/``) by ``partitioner``: ``"md5"`` (default)
+    is the per-row SQL-replayable oracle hash (``md5_partition``);
+    ``"mix64"`` is the vectorized production path (``fast_partition``
+    — no per-row Python on the export stream).  Both are content-keyed
+    and deterministic across reruns, so resume semantics are identical;
+    a rerun must pass the SAME partitioner it started with (the layouts
+    differ).  The write itself is Ray Data's native
     hive-partitioned ``write_parquet`` (one fragment file per block per
     partition — no task ever holds a whole partition, so a partition can
     exceed worker memory).  Finalization then publishes each pending
@@ -136,11 +165,17 @@ def write_partitioned(ds, out_dir: str, key: str, n_partitions: int = 16) -> Lis
     if todo:
         todo_arr = pa.array(sorted(todo), pa.int64())
 
+        if partitioner not in ("md5", "mix64"):
+            raise ValueError(f"unknown partitioner: {partitioner!r}")
+
         def add_part(batch: pa.Table) -> pa.Table:
-            part = pa.array(
-                [md5_partition(v, n_partitions) for v in batch[key].to_pylist()],
-                pa.int64(),
-            )
+            if partitioner == "mix64":
+                part = fast_partition(batch[key], n_partitions)
+            else:
+                part = pa.array(
+                    [md5_partition(v, n_partitions) for v in batch[key].to_pylist()],
+                    pa.int64(),
+                )
             return batch.append_column("__part", part).filter(
                 pc.is_in(part, value_set=todo_arr)
             )

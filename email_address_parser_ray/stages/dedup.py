@@ -245,7 +245,6 @@ def sorted_pair_dedup(pairs_ds, keys: List[str], aggs: List[tuple] = ()):
 
     ranges = ray.get([key_range.remote(r) for r in refs])
     prev_max = None
-    prev_lo = None
     prev_i = None
     live = []  # (block index, ref) with at least one row
     affected: dict = {}  # key tuple -> set of block indices holding a partial
@@ -253,12 +252,15 @@ def sorted_pair_dedup(pairs_ds, keys: List[str], aggs: List[tuple] = ()):
         if rng is None:
             continue
         lo, hi = rng
-        if prev_lo is not None and lo < prev_lo:
+        # full range-partition contract: each block must start AT or
+        # ABOVE the previous max (equality = a key straddling the
+        # boundary, handled below; anything less means the blocks
+        # overlap and a partial would silently survive the stitch)
+        if prev_max is not None and lo < prev_max:
             raise RuntimeError(
-                "sorted_pair_dedup: sorted blocks are not in global order "
+                "sorted_pair_dedup: sorted block ranges overlap "
                 "(Ray to_arrow_refs contract changed) — cannot stitch"
             )
-        prev_lo = lo
         if prev_max is not None and lo == prev_max:
             affected.setdefault(lo, set()).update((prev_i, i))
         if prev_max is None or hi > prev_max:

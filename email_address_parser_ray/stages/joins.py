@@ -111,20 +111,28 @@ def bucket_join(
     )
 
     out_schema = pa.schema([(c, types[c]) for c in out_cols])
+    # integer columns cross into pandas as nullable Int64/Int32, never
+    # float64: the union-tag nulls (and any genuine nulls) would
+    # otherwise promote int64 payloads to float64, which is exact only
+    # up to 2^53 — a silent precision trap for a generic join utility
+    _int_map = {pa.int64(): pd.Int64Dtype(), pa.int32(): pd.Int32Dtype()}.get
 
-    def merge(df: pd.DataFrame) -> pa.Table:
-        l = df[df["__is_left"]]
-        r = df[~df["__is_left"]]
-        if len(l) == 0 or len(r) == 0:
+    def merge(t: pa.Table) -> pa.Table:
+        # split by side in ARROW (before any pandas conversion), so each
+        # side's frame carries only its own columns — no union-tag nulls
+        is_left = pc.fill_null(t["__is_left"], False)
+        lt = t.filter(is_left).select(["__key"] + [c for c in l_cols if c != on])
+        rt = t.filter(pc.invert(is_left)).select(
+            ["__key"] + [c for c in r_cols if c != rk]
+        )
+        if lt.num_rows == 0 or rt.num_rows == 0:
             return out_schema.empty_table()
-        lf = l[["__key"] + [c for c in l_cols if c != on]]
-        rf = r[["__key"] + [c for c in r_cols if c != rk]]
-        m = lf.merge(rf, on="__key", how="inner")
+        m = lt.to_pandas(types_mapper=_int_map).merge(
+            rt.to_pandas(types_mapper=_int_map), on="__key", how="inner"
+        )
         m = m.rename(columns={"__key": on})
-        # the union-tag nulls promote int columns to float64 in pandas;
-        # from_pandas with the declared schema restores the Arrow types
         return pa.Table.from_pandas(
             m[list(out_cols)], schema=out_schema, preserve_index=False
         )
 
-    return both.groupby("__bucket").map_groups(merge, batch_format="pandas")
+    return both.groupby("__bucket").map_groups(merge, batch_format="pyarrow")

@@ -118,12 +118,19 @@ def fast_mixture_sample(
     seed_h = mix64(np.uint64(seed))
 
     def keep(batch: pa.Table) -> pa.Table:
-        idx = pc.index_in(batch[source_col], value_set=names)
-        idx_np = (
-            pc.fill_null(idx, -1).to_numpy(zero_copy_only=False).astype(np.int64)
-        )
-        miss = idx_np < 0
-        row_rate = np.where(miss, np.uint64(default_ppm), rates[np.where(miss, 0, idx_np)])
+        if len(rates) == 0:
+            # empty rate table: every row is a miss and takes default_ppm
+            # (fancy-indexing the empty rates array would IndexError)
+            row_rate = np.full(batch.num_rows, default_ppm, dtype=np.uint64)
+        else:
+            idx = pc.index_in(batch[source_col], value_set=names)
+            idx_np = (
+                pc.fill_null(idx, -1).to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+            miss = idx_np < 0
+            row_rate = np.where(
+                miss, np.uint64(default_ppm), rates[np.where(miss, 0, idx_np)]
+            )
         k = (
             batch[key_col]
             .to_numpy(zero_copy_only=False)

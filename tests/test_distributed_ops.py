@@ -143,3 +143,33 @@ def test_grouped_topk_matches_pandas(ray_session):
     want["rnk"] = want.groupby("grp").cumcount() + 1
     want = want[["grp", "rnk", "id", "val"]].reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_bucket_join_preserves_int64_beyond_2p53(ray_session):
+    """Int64 payload columns survive bucket_join exactly above 2^53 —
+    the side split happens in Arrow and ints cross into pandas as
+    nullable Int64, never float64 (whose exactness ends at 2^53)."""
+    import ray.data as rd
+    from email_address_parser_ray.stages.joins import bucket_join
+
+    big = (1 << 60) + 1  # not representable in float64 (rounds to 2^60)
+    left = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([1, 2, 3], pa.int64()),
+                "payload": pa.array([big, big + 2, big + 4], pa.int64()),
+            }
+        )
+    )
+    right = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([2, 3, 4], pa.int64()),
+                "other": pa.array([big + 1, big + 3, big + 5], pa.int64()),
+            }
+        )
+    )
+    out = bucket_join(left, right, on="k").to_pandas().sort_values("k")
+    assert list(out["k"]) == [2, 3]
+    assert list(out["payload"]) == [big + 2, big + 4]
+    assert list(out["other"]) == [big + 1, big + 3]

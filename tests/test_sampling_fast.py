@@ -59,6 +59,26 @@ def test_fast_mixture_sample_rates_per_source(ray_session):
     assert sorted(out["doc_id"]) == sorted(out2["doc_id"])
 
 
+def test_fast_mixture_sample_empty_rates(ray_session):
+    """Empty rate table: every row takes default_ppm (regression for the
+    IndexError from fancy-indexing the empty rates array)."""
+    n = 10_000
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n), pa.int64()),
+            "source": pa.array(["x"] * n, pa.string()),
+        }
+    )
+    ds = rd.from_arrow(tbl)
+    assert fast_mixture_sample(ds, "source", {}, "doc_id", default_ppm=0).count() == 0
+    kept = fast_mixture_sample(ds, "source", {}, "doc_id", default_ppm=500_000).count()
+    assert abs(kept / n - 0.5) < 0.03
+    assert (
+        fast_mixture_sample(ds, "source", {}, "doc_id", default_ppm=1_000_000).count()
+        == n
+    )
+
+
 def test_fast_sampler_rejects_bad_rate(ray_session):
     ds = rd.from_arrow(pa.table({"doc_id": pa.array([1], pa.int64())}))
     with pytest.raises(ValueError):

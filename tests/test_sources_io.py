@@ -76,3 +76,61 @@ def test_write_partitioned_resumes(ray_session, tmp_path):
     ]
     back = pq.ParquetDataset(frags).read()
     assert back.num_rows == t.num_rows
+
+
+def _partition_layout(out, n):
+    """part index -> sorted conv_id list, read back from the fragments."""
+    import glob
+
+    layout = {}
+    for k in range(n):
+        frags = glob.glob(os.path.join(out, f"part={k}", "*.parquet"))
+        ids = []
+        for f in frags:
+            ids.extend(pq.read_table(f, columns=["conv_id"])["conv_id"].to_pylist())
+        layout[k] = sorted(ids)
+    return layout
+
+
+def test_write_partitioned_mix64_fast_path(ray_session, tmp_path):
+    """The vectorized mix64 partitioner: every row lands in exactly one
+    partition, the layout is run-invariant (content-keyed), resume
+    skips finished partitions, and the per-batch partition column
+    matches fast_partition applied directly (partition invariance of
+    the fast path)."""
+    import ray.data as rd
+
+    from email_address_parser_ray.sources.io import fast_partition, write_partitioned
+
+    t = _small_transcripts()
+    out1 = str(tmp_path / "e1")
+    out2 = str(tmp_path / "e2")
+    m1 = write_partitioned(
+        rd.from_arrow(t), out1, key="conv_id", n_partitions=8, partitioner="mix64"
+    )
+    assert sum(m["rows"] for m in m1) == t.num_rows
+    m2 = write_partitioned(
+        rd.from_arrow(t), out2, key="conv_id", n_partitions=8, partitioner="mix64"
+    )
+    # identical layout across independent runs (deterministic hash)
+    assert _partition_layout(out1, 8) == _partition_layout(out2, 8)
+
+    # the directory a row landed in equals fast_partition of its key —
+    # and the partition function is invariant to batch boundaries
+    whole = fast_partition(t["conv_id"], 8).to_pylist()
+    by_key = dict(zip(t["conv_id"].to_pylist(), whole))
+    layout = _partition_layout(out1, 8)
+    for k, ids in layout.items():
+        assert all(by_key[c] == k for c in ids)
+    half = fast_partition(t.slice(0, 100)["conv_id"], 8).to_pylist()
+    assert half == whole[:100]
+
+    # resume: wipe one partition, rerun writes only it
+    mt0 = os.path.getmtime(os.path.join(out1, "part=0", "manifest.json"))
+    shutil.rmtree(os.path.join(out1, "part=3"))
+    m3 = write_partitioned(
+        rd.from_arrow(t), out1, key="conv_id", n_partitions=8, partitioner="mix64"
+    )
+    assert sum(m["rows"] for m in m3) == t.num_rows
+    assert os.path.getmtime(os.path.join(out1, "part=0", "manifest.json")) == mt0
+    assert _partition_layout(out1, 8) == _partition_layout(out2, 8)
