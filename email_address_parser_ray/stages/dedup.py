@@ -711,13 +711,22 @@ def decontaminate(train_ds, eval_ds, k_shingle: int = 3):
     task-based ``map_batches`` doing set-membership counting per doc —
     the big side is never shuffled, never re-read, never materialized.
 
+    The train-side scan is TWO-PHASE: a fully vectorized hashed-shingle
+    prefilter (``word_shingles_flat`` token-fold hashes against the
+    sorted hashed eval set — string-equal shingles always hash-equal,
+    so the prefilter can only OVER-select via rare 64-bit collisions,
+    never miss), then the exact string-set intersection runs only on
+    the prefilter hits.  On a clean corpus the no-hit majority never
+    touches per-doc Python; the output is decided entirely by the exact
+    phase, so it is bit-identical to the single-phase rule.
+
     Returns ``(doc_id, n_hits)`` for train docs with ≥ 1 shared
     shingle, where ``n_hits`` is the number of DISTINCT shared shingles
     — exact string shingles (same tokenization as ``word_shingle_set``),
     so the DuckDB oracle replays it with list_transform/unnest."""
     import ray
 
-    from ..functions.hashing import word_shingle_set
+    from ..functions.hashing import word_shingle_set, word_shingles_flat
 
     def batch_shingles(t: pa.Table) -> pa.Table:
         out = set()
@@ -741,19 +750,42 @@ def decontaminate(train_ds, eval_ds, k_shingle: int = 3):
                 f"set or raise the guard deliberately."
             )
     ev_ref = ray.put(frozenset(ev))
+    # hashed mirror of the eval shingle set for the vectorized phase:
+    # each shingle STRING hashed with the same token-fold the train
+    # side computes per window, so equal strings guarantee equal hashes
+    # (tokens carry no whitespace — join is injective on token seqs)
+    ev_list = sorted(ev)
+    evh_sorted = (
+        np.unique(word_shingles_flat(ev_list, k_shingle)[0])
+        if ev_list
+        else np.empty(0, np.uint64)
+    )
+    evh_ref = ray.put(evh_sorted)
 
     def flag(t: pa.Table) -> pa.Table:
-        evs = ray.get(ev_ref)
-        ids, hits = [], []
-        for did, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            n = len(word_shingle_set(txt, k_shingle) & evs)
-            if n:
-                ids.append(did)
-                hits.append(n)
+        ids_out: list = []
+        hits_out: list = []
+        texts = t["text"].to_pylist()
+        if texts:
+            evh = ray.get(evh_ref)
+            if len(evh):
+                hs, slens = word_shingles_flat(texts, k_shingle)
+                idx = np.searchsorted(evh, hs)
+                hit = evh[np.minimum(idx, len(evh) - 1)] == hs
+                soffs = np.cumsum(slens) - slens  # slens >= 1 always
+                doc_hit = np.logical_or.reduceat(hit, soffs)
+                if doc_hit.any():
+                    evs = ray.get(ev_ref)
+                    dids = t["doc_id"].to_pylist()
+                    for i in np.flatnonzero(doc_hit):
+                        n = len(word_shingle_set(texts[i], k_shingle) & evs)
+                        if n:  # a prefilter hit can be a hash collision
+                            ids_out.append(dids[i])
+                            hits_out.append(n)
         return pa.table(
             {
-                "doc_id": pa.array(ids, pa.int64()),
-                "n_hits": pa.array(hits, pa.int64()),
+                "doc_id": pa.array(ids_out, pa.int64()),
+                "n_hits": pa.array(hits_out, pa.int64()),
             }
         )
 

@@ -440,6 +440,41 @@ def test_decontaminate_counts_distinct_shared_shingles(ray_session):
     assert out["n_hits"].iat[0] == 2
 
 
+def test_decontaminate_edge_docs_and_empty_eval(ray_session):
+    """Short (<k tokens) and empty docs flow through the vectorized
+    prefilter with the same short-doc rule as word_shingle_set; an
+    empty eval corpus flags nothing."""
+    import ray.data as rd
+    from email_address_parser_ray.stages.dedup import decontaminate
+
+    ev = pa.table({
+        "doc_id": pa.array([100, 101], pa.int64()),
+        "text": pa.array(["short one", ""], pa.string()),
+    })
+    train = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "short one",                  # short-doc shingle match
+            "",                           # empty matches empty-eval doc
+            "short one plus more words",  # full-width shingles only: no match
+            "unrelated entirely",
+        ], pa.string()),
+    })
+    out = (
+        decontaminate(rd.from_arrow(train), rd.from_arrow(ev))
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert out["doc_id"].tolist() == [0, 1]
+    assert out["n_hits"].tolist() == [1, 1]
+
+    empty_ev = pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.string()),
+    })
+    assert decontaminate(rd.from_arrow(train), rd.from_arrow(empty_ev)).count() == 0
+
+
 def test_decontaminate_eval_guard(ray_session):
     import ray.data as rd
     import email_address_parser_ray.stages.dedup as dedup
