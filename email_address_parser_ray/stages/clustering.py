@@ -129,14 +129,25 @@ def _fold_bucket(df: pd.DataFrame) -> pd.DataFrame:
     return from_pandas_clean(df.groupby("node", as_index=False)["payload"].min())
 
 
-def _label_checksum(labels_ds) -> int:
-    def part(batch: pa.Table) -> pa.Table:
-        joined = pc.binary_join_element_wise(batch["node"], batch["payload"], "\x1f")
-        h = pd.util.hash_pandas_object(joined.to_pandas(), index=False).sum()
-        return pa.table({"h": pa.array([int(h) & 0xFFFFFFFFFFFFFFFF], pa.uint64())})
+def _label_checksum(labels_mat) -> int:
+    """Order-independent label-multiset hash of a MATERIALIZED label
+    table: one tiny remote task per existing block, folded on the
+    driver.  Piggybacks on the fold pass's blocks — the previous shape
+    (a ``map_batches().take_all()`` dataset execution per round) paid a
+    ~1-3 s streaming-executor barrier per CC round just to hash what
+    was already sitting in the object store."""
+    import ray
 
-    parts = labels_ds.map_batches(part, batch_format="pyarrow").take_all()
-    return sum(p["h"] for p in parts) & 0xFFFFFFFFFFFFFFFF
+    @ray.remote
+    def block_sum(t: pa.Table) -> int:
+        if t.num_rows == 0:
+            return 0
+        joined = pc.binary_join_element_wise(t["node"], t["payload"], "\x1f")
+        h = pd.util.hash_pandas_object(joined.to_pandas(), index=False).sum()
+        return int(h) & 0xFFFFFFFFFFFFFFFF
+
+    sums = ray.get([block_sum.remote(r) for r in labels_mat.to_arrow_refs()])
+    return sum(sums) & 0xFFFFFFFFFFFFFFFF
 
 
 def _round_dir(checkpoint_dir: str, rnd: int) -> str:
@@ -145,17 +156,19 @@ def _round_dir(checkpoint_dir: str, rnd: int) -> str:
 
 def _write_round(folded, checkpoint_dir: str, rnd: int, checksum_holder: list):
     """Atomic per-round checkpoint: temp dir → rename, with a _COMPLETE
-    marker carrying the label checksum (resume metadata)."""
+    marker carrying the label checksum (resume metadata).  The round is
+    materialized ONCE: the write streams the materialized blocks and the
+    checksum folds the same blocks (a failed write raises before the
+    rename publishes anything), so no per-round re-read execution."""
     import os
     import shutil
-
-    import ray.data as rd
 
     out = _round_dir(checkpoint_dir, rnd)
     tmp = out + f".tmp.{os.getpid()}"
     shutil.rmtree(tmp, ignore_errors=True)
-    folded.write_parquet(tmp)
-    cs = _label_checksum(rd.read_parquet(tmp))  # executes before the rename
+    folded_mat = folded.materialize()
+    folded_mat.write_parquet(tmp)
+    cs = _label_checksum(folded_mat)
     shutil.rmtree(out, ignore_errors=True)
     try:
         os.remove(out + "._COMPLETE")
@@ -166,7 +179,7 @@ def _write_round(folded, checkpoint_dir: str, rnd: int, checksum_holder: list):
     with open(out + "._COMPLETE", "w") as f:
         f.write(str(cs))
     checksum_holder.append(cs)
-    return rd.read_parquet(out)
+    return folded_mat
 
 
 def _find_resumable_round(checkpoint_dir: str, max_rounds: int):
