@@ -11,8 +11,10 @@ All three kinds have REAL ``fake=False`` decode paths with zero
 external dependencies, each over a public uncompressed container
 format:
 
-* image — 24-bit uncompressed BMP (BI_RGB), pure-numpy plane decode
-  (and PIL for compressed formats when it happens to be installed);
+* image — 24-bit uncompressed BMP (BI_RGB), pure-numpy plane decode,
+  PLUS 8-bit PNG via pure stdlib zlib inflate + numpy defilter (a real
+  COMPRESSED format with zero dependencies; PIL covers the rest when it
+  happens to be installed);
 * audio — stdlib ``wave`` PCM decode → per-segment RMS features;
 * video — YUV4MPEG2 (.y4m) demux: plain-text stream header + raw
   ``FRAME`` planes, parsed with numpy; ``FrameSampler`` emits real
@@ -111,6 +113,131 @@ def encode_bmp(gray: np.ndarray) -> bytes:
         + (0).to_bytes(4, "little") * 2
     )
     return hdr + px
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """8-bit non-interlaced PNG → float64 grayscale HxW in [0,1], pure
+    stdlib (``zlib`` inflate) + numpy unfiltering — a REAL compressed
+    image path with zero dependencies.  The format is public (RFC 2083 /
+    ISO 15948): chunk walk (IHDR/PLTE/IDAT/IEND, CRCs skipped), inflate,
+    then per-row defilter of the five standard filters — None and Up are
+    vectorized, Sub is a per-lane prefix sum (mod-256 cumsum), Average
+    and Paeth are inherently sequential in x (each pixel depends on the
+    reconstructed left neighbor) and run a per-pixel loop on just those
+    rows.  Color types 0/2/3/4/6 at bit depth 8 are accepted (alpha
+    ignored, palette expanded, BT.601 luma like ``decode_bmp``); 16-bit,
+    other depths, and Adam7 interlacing raise ``ValueError`` — honest
+    failure at the codec boundary."""
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, n = 8, len(payload)
+    w = h = None
+    bit_depth = color_type = interlace = None
+    palette = None
+    idat = []
+    while pos + 8 <= n:
+        ln = int.from_bytes(payload[pos : pos + 4], "big")
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        if typ == b"IHDR":
+            w = int.from_bytes(data[0:4], "big")
+            h = int.from_bytes(data[4:8], "big")
+            bit_depth, color_type = data[8], data[9]
+            interlace = data[12]
+        elif typ == b"PLTE":
+            palette = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln  # length + type + data + crc
+    if w is None or h is None:
+        raise ValueError("PNG missing IHDR")
+    if bit_depth != 8:
+        raise ValueError(f"only 8-bit PNG supported (got depth {bit_depth})")
+    if interlace != 0:
+        raise ValueError("interlaced (Adam7) PNG not supported")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    if channels is None:
+        raise ValueError(f"unsupported PNG color type {color_type}")
+    if color_type == 3 and palette is None:
+        raise ValueError("palette PNG missing PLTE")
+    raw = zlib.decompress(b"".join(idat))
+    rowlen = w * channels
+    if len(raw) != (rowlen + 1) * h:
+        raise ValueError("PNG pixel data length mismatch")
+    raw = np.frombuffer(raw, np.uint8).reshape(h, rowlen + 1)
+    filters = raw[:, 0]
+    rows = raw[:, 1:].astype(np.int64)  # headroom for the filter sums
+    bpp = channels
+    out = np.empty((h, rowlen), np.int64)
+    prev = np.zeros(rowlen, np.int64)
+    for y in range(h):
+        f, row = int(filters[y]), rows[y]
+        if f == 0:
+            rec = row
+        elif f == 1:  # Sub — per-lane running sum, mod 256 at the end
+            rec = row.reshape(-1, bpp).cumsum(axis=0).reshape(rowlen) & 0xFF
+        elif f == 2:  # Up
+            rec = (row + prev) & 0xFF
+        elif f in (3, 4):  # Average / Paeth — sequential in x by spec
+            rec = row.copy()
+            for x in range(rowlen):
+                a = rec[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                if f == 3:
+                    pred = (a + b) // 2
+                else:
+                    p = a + b - c
+                    pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa_ <= pb_ and pa_ <= pc_) else (b if pb_ <= pc_ else c)
+                rec[x] = (rec[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {f}")
+        out[y] = rec
+        prev = rec
+    px = out.astype(np.uint8).reshape(h, w, channels)
+    if color_type == 3:
+        px = palette[px[..., 0]]
+        channels = 3
+    if channels >= 3:
+        rgb = px[..., :3].astype(np.float64)
+        gray = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+    else:
+        gray = px[..., 0].astype(np.float64)
+    return gray / 255.0
+
+
+def encode_png(gray: np.ndarray) -> bytes:
+    """float64 grayscale in [0,1] → 8-bit grayscale non-interlaced PNG
+    (filter 0 rows, one zlib-deflated IDAT) — the engine-side encoder
+    pairing ``decode_png`` for round-trips and resized outputs."""
+    import zlib
+
+    h, w = gray.shape
+    v = np.clip(np.round(gray * 255.0), 0, 255).astype(np.uint8)
+    raw = np.zeros((h, w + 1), np.uint8)
+    raw[:, 1:] = v
+    payload = zlib.compress(raw.tobytes())
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            len(data).to_bytes(4, "big")
+            + typ
+            + data
+            + (zlib.crc32(typ + data) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 0, 0, 0, 0])
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", payload)
+        + chunk(b"IEND", b"")
+    )
 
 
 def demux_y4m(payload: bytes):
@@ -250,11 +377,13 @@ class MediaDecoder:
         )
 
     def _decode_image(self, payload: bytes) -> np.ndarray:
-        """REAL image path: BMP via the pure-numpy decoder (dependency
-        free), other formats via PIL when installed.  Features = mean
-        luma over ``dim`` equal column bands."""
+        """REAL image path: BMP and PNG via the pure-stdlib decoders
+        (dependency free), other formats via PIL when installed.
+        Features = mean luma over ``dim`` equal column bands."""
         if payload[:2] == b"BM":
             gray = decode_bmp(payload)
+        elif payload[:8] == b"\x89PNG\r\n\x1a\n":
+            gray = decode_png(payload)
         elif self.pil is not None:
             import io
 
@@ -319,10 +448,10 @@ class MediaDecoder:
 class ImageResizer:
     """Actor-pool resize stage.
 
-    ``fake=False`` is REAL for BMP payloads (pure-numpy decode →
-    nearest-neighbor resample → BMP re-encode) and for any PIL-readable
-    format when Pillow is installed; other compressed formats raise at
-    the codec call.  With ``fake=True`` the payload is passed through
+    ``fake=False`` is REAL for BMP and PNG payloads (pure-stdlib decode
+    → nearest-neighbor resample → re-encode in the same container) and
+    for any PIL-readable format when Pillow is installed; other
+    compressed formats raise at the codec call.  With ``fake=True`` the payload is passed through
     and only the typed metadata is rewritten.
     """
 
@@ -333,13 +462,15 @@ class ImageResizer:
         self.pil = _pil_image()
 
     def _resize_one(self, payload: bytes) -> bytes:
-        if payload[:2] == b"BM":
-            gray = decode_bmp(payload)
+        is_png = payload[:8] == b"\x89PNG\r\n\x1a\n"
+        if payload[:2] == b"BM" or is_png:
+            gray = decode_png(payload) if is_png else decode_bmp(payload)
             h, w = gray.shape
             # nearest-neighbor resample — pure numpy fancy indexing
             ri = np.minimum((np.arange(self.h) * h) // self.h, h - 1)
             ci = np.minimum((np.arange(self.w) * w) // self.w, w - 1)
-            return encode_bmp(gray[np.ix_(ri, ci)])
+            resampled = gray[np.ix_(ri, ci)]
+            return encode_png(resampled) if is_png else encode_bmp(resampled)
         if self.pil is None:
             raise NotImplementedError(
                 "compressed image codec not available; payload is not BMP "
