@@ -45,35 +45,30 @@ def _bench_queries(sf_dir: str) -> dict:
     root = ensure_transcripts(_transcripts_sf_dir())
     timings: dict[str, float] = {}
 
+    # EVERY per-query number is the min of 2 back-to-back legs:
+    # single-leg walls on this box swing ±25-40% (actor scheduling /
+    # object-store warmup / first-touch page allocation), and the
+    # per-leg minimum is the repo's standard estimator (BASELINE.md).
+    # Raw legs stay visible as scalar entries so regressions are
+    # attributable (the driver reads this dict as {query: seconds}).
     def timed(name, fn):
         if ONLY and name not in ONLY:
             return None
-        t0 = time.time()
-        n = fn()
-        timings[name] = round(time.time() - t0, 3)
-        return n
+        legs = []
+        for _ in range(2):
+            t0 = time.time()
+            fn()
+            legs.append(round(time.time() - t0, 3))
+        timings[name] = min(legs)
+        timings[f"{name}_leg1"] = legs[0]
+        timings[f"{name}_leg2"] = legs[1]
 
-    # headline: full record-linkage pipeline, counted by consuming clusters.
-    # Reported as min of 2 back-to-back legs: single-leg walls on this box
-    # swing ±25-40% (actor scheduling / object-store warmup), and the
-    # per-leg minimum is the repo's standard estimator (BASELINE.md).
+    # headline: full record-linkage pipeline, counted by consuming clusters
     def run_resolve():
         res = resolve(f"{root}/transcripts")
         return res["clusters"].count()
 
-    if ONLY and "resolve" not in ONLY:
-        pass
-    else:
-        legs = []
-        for _ in range(2):
-            t0 = time.time()
-            run_resolve()
-            legs.append(round(time.time() - t0, 3))
-        timings["resolve"] = min(legs)
-        # keep every leg visible (scalar values only: the driver reads
-        # this dict as {query: seconds})
-        timings["resolve_leg1"] = legs[0]
-        timings["resolve_leg2"] = legs[1]
+    timed("resolve", run_resolve)
 
     def run_extract():
         from email_address_parser_ray.pipelines.resolve import (
