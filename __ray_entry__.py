@@ -20,7 +20,12 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-SF_CORRECTNESS = "/root/testdata/sf0.01"
+import os as _os
+
+# the scale the driver's correctness gate runs oracles at; the local
+# sf0.1 sweep (scripts/check_correctness.py, GRAFT_CHECK_SF_DIR)
+# overrides it so oracle and query read the SAME corpus
+SF_CORRECTNESS = _os.environ.get("GRAFT_CHECK_SF_DIR", "/root/testdata/sf0.01")
 
 
 def _tcache(sf_dir: str) -> str:
@@ -1070,7 +1075,11 @@ def oracle_sql() -> dict[str, str]:
             "FROM y GROUP BY user_id, sess_idx"
         ),
         "embedding_centroids": (
-            "WITH u AS (SELECT label, unnest(embedding) AS x, "
+            # x must be promoted to DOUBLE before the 1e6 quantization:
+            # float32 arithmetic rounds x*1e6 to a 24-bit mantissa and
+            # lands FLOOR one cell off for ~1% of components (caught by
+            # the sf0.1 sweep); the engine quantizes in exact float64
+            "WITH u AS (SELECT label, CAST(unnest(embedding) AS DOUBLE) AS x, "
             "generate_subscripts(embedding, 1) AS i FROM embeddings) "
             "SELECT CAST(label AS BIGINT) AS label, CAST(i AS BIGINT) AS dim, "
             "CAST(SUM(CAST(FLOOR(x * 1000000) AS BIGINT)) // count(*) AS BIGINT) "
@@ -1268,6 +1277,12 @@ def oracle_sql() -> dict[str, str]:
             # threshold is 1-(1-0.49)^64 ~ 1-5e-19 per pair, so its
             # candidate set matches the ideal and the exact verify makes
             # precision identical.
+            # pair generation is an INVERTED shingle join (unnest → self
+            # join on the shingle → per-pair intersection counts), not an
+            # all-pairs list_intersect: identical pairs (jaccard > 0
+            # requires >= 1 shared shingle), but cost ~ sum df(g)^2
+            # instead of n^2 full-list intersections — the all-pairs form
+            # ran for tens of minutes at the sf0.1 sweep's 5000 docs
             "WITH RECURSIVE tk AS (SELECT doc_id, regexp_split_to_array(trim(text, "
             "' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '\\s+') AS toks "
             "FROM documents), "
@@ -1275,10 +1290,15 @@ def oracle_sql() -> dict[str, str]:
             "THEN [array_to_string(toks, ' ')] "
             "ELSE list_transform(range(1, len(toks) - 1), "
             "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS sh FROM tk), "
-            "p AS (SELECT a.doc_id AS da, b.doc_id AS db "
-            "FROM s a JOIN s b ON a.doc_id < b.doc_id "
-            "WHERE len(list_intersect(a.sh, b.sh)) * 1000000 // "
-            "(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 700000), "
+            "sf AS (SELECT doc_id, unnest(sh) AS g FROM s), "
+            "ln AS (SELECT doc_id, len(sh) AS n FROM s), "
+            "inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c "
+            "FROM sf a JOIN sf b ON a.g = b.g AND a.doc_id < b.doc_id "
+            "GROUP BY a.doc_id, b.doc_id), "
+            "p AS (SELECT da, db FROM inter "
+            "JOIN ln la ON la.doc_id = inter.da "
+            "JOIN ln lb ON lb.doc_id = inter.db "
+            "WHERE c * 1000000 // (la.n + lb.n - c) >= 700000), "
             "e AS (SELECT da AS a, db AS b FROM p UNION ALL SELECT db, da FROM p), "
             "reach AS (SELECT doc_id AS src, doc_id AS dst FROM documents "
             "UNION SELECT r.src, e.b FROM reach r JOIN e ON e.a = r.dst) "

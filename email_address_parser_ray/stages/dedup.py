@@ -813,6 +813,16 @@ def _simhash_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+# SimHash's verify is an int64 xor + popcount (no text fetch), so its
+# quadratic budget is far cheaper than the minhash family's: a full cap²
+# segment is ~8M integer ops, not 8M string-shingle intersections.  The
+# cap therefore sits at 4096 (like the embedding band cap) — 16-bit
+# band groups at web scale hold ~n/65536 docs and real corpora stay
+# far below it (sf0.1: largest observed group 317, which OVERFLOWED the
+# old shared 64 cap and silently chained away 506 oracle pairs).
+SIMHASH_MAX_SEGMENT = 4096
+
+
 def _simhash_pairs(g: pd.DataFrame, max_hamming: int = 3) -> pd.DataFrame:
     """Vectorized over one coarse bucket: per-band segments → candidate
     index pairs → vectorized popcount-based hamming filter."""
@@ -821,7 +831,7 @@ def _simhash_pairs(g: pd.DataFrame, max_hamming: int = 3) -> pd.DataFrame:
         .sort_values(["band_key", "doc_id"], kind="mergesort")
         .reset_index(drop=True)
     )
-    ia, ib = _segment_pairs(g["band_key"].to_numpy())
+    ia, ib = _segment_pairs(g["band_key"].to_numpy(), SIMHASH_MAX_SEGMENT)
     empty = pa.table(
         {
             "doc_a": pa.array([], pa.int64()),

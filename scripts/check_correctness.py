@@ -1,10 +1,16 @@
 """Local stand-in for the driver's correctness gate.
 
-Runs every ``__ray_entry__.queries()`` callable at sf0.01 and compares
-row-count + order-insensitive value equality against ``oracle_sql()``
-via DuckDB (views pre-registered like the driver does).  Usage:
+Runs every ``__ray_entry__.queries()`` callable and compares row-count
++ order-insensitive value equality against ``oracle_sql()`` via DuckDB
+(views pre-registered like the driver does).  Usage:
 
     python scripts/check_correctness.py [query ...]
+
+Env: GRAFT_CHECK_SF_DIR picks the scale (default sf0.01; the driver's
+gate scale).  Running at sf0.1 as well sweeps through the OTHER side of
+every size-flipped gate (broadcast vs join, driver vs distributed
+CC/dedup).  GRAFT_CHECK_OUT writes the per-query results as JSON (the
+CORRECTNESS_sf* artifacts).
 """
 
 from __future__ import annotations
@@ -15,9 +21,12 @@ import time
 import duckdb
 import pandas as pd
 
+import json
+import os
+
 sys.path.insert(0, "/root/repo")
 
-SF_DIR = "/root/testdata/sf0.01"
+SF_DIR = os.environ.get("GRAFT_CHECK_SF_DIR", "/root/testdata/sf0.01")
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
@@ -58,6 +67,7 @@ def main() -> int:
     oracles = e.oracle_sql()
     only = set(sys.argv[1:])
     failures = 0
+    results = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -68,19 +78,24 @@ def main() -> int:
                 got = canon(got)
         except Exception as ex:
             print(f"FAIL {name}: query raised {type(ex).__name__}: {ex}")
+            results[name] = {"ok": False, "err": f"{type(ex).__name__}: {ex}"[:300]}
             failures += 1
             continue
         dt = time.time() - t0
         if name not in oracles:
             print(f"ok(rows-only) {name}: {len(got)} rows  {dt:.1f}s")
+            results[name] = {"ok": True, "rows_only": True, "rows": len(got),
+                             "sec": round(dt, 1)}
             continue
         want = canon(con.sql(oracles[name]).df())
         if len(got) != len(want):
             print(f"FAIL {name}: rows {len(got)} != {len(want)}  {dt:.1f}s")
+            results[name] = {"ok": False, "rows": len(got), "oracle_rows": len(want)}
             failures += 1
             continue
         if list(got.columns) != list(want.columns):
             print(f"FAIL {name}: cols {list(got.columns)} != {list(want.columns)}")
+            results[name] = {"ok": False, "err": "schema mismatch"}
             failures += 1
             continue
         try:
@@ -88,14 +103,21 @@ def main() -> int:
                 got, want, check_dtype=False, check_exact=False, rtol=0, atol=0
             )
             print(f"ok {name}: {len(got)} rows  {dt:.1f}s")
+            results[name] = {"ok": True, "rows": len(got), "sec": round(dt, 1)}
         except AssertionError as ex:
             print(f"FAIL {name}: value mismatch  {dt:.1f}s")
             print(str(ex)[:1200])
             diff = got.compare(want) if got.shape == want.shape else None
             if diff is not None and len(diff):
                 print(diff.head(10))
+            results[name] = {"ok": False, "err": "value mismatch"}
             failures += 1
     ray.shutdown()
+    out_path = os.environ.get("GRAFT_CHECK_OUT")
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump({"sf_dir": SF_DIR, "failures": failures,
+                       "results": results}, f, indent=1)
     print("FAILURES:", failures)
     return 1 if failures else 0
 
