@@ -887,10 +887,16 @@ def oracle_sql() -> dict[str, str]:
             f"CAST(1000000 AS BIGINT) AS f1_ppm FROM sz"
         ),
         "q1_lineitem": (
+            # money quantized per ROW (base = exact 2 decimals → e2,
+            # disc = exact 4 → e4) and summed in BIGINT, mirroring the
+            # engine — float summation ORDER once moved a group total
+            # across a .5-cent boundary at the sf0.1 sweep
             "SELECT l_returnflag, l_linestatus, "
             "CAST(ROUND(sum(l_quantity) * 100) AS BIGINT) AS sum_qty_cents, "
-            "CAST(ROUND(sum(l_extendedprice) * 100) AS BIGINT) AS sum_base_price_cents, "
-            "CAST(ROUND(sum(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT) AS sum_disc_price_cents, "
+            "CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) "
+            "AS sum_base_price_cents, "
+            "CAST((SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) + 50) // 100 "
+            "AS BIGINT) AS sum_disc_price_cents, "
             "CAST(count(*) AS BIGINT) AS count_order "
             "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
             "GROUP BY l_returnflag, l_linestatus"
@@ -904,9 +910,11 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY o_orderkey ORDER BY revenue_cents DESC, o_orderkey LIMIT 10"
         ),
         "q5_region_revenue": (
+            # per-row e4 quantization + BIGINT sum, mirroring the engine
+            # (float summation order is not reproducible across engines)
             "SELECT n_name, "
-            "CAST(ROUND(sum(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT) "
-            "AS revenue_cents "
+            "CAST((SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) + 50) // 100 "
+            "AS BIGINT) AS revenue_cents "
             "FROM customer JOIN orders ON c_custkey = o_custkey "
             "JOIN lineitem ON l_orderkey = o_orderkey "
             "JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey "
@@ -925,8 +933,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "parttype_revenue": (
             "SELECT p_type, "
-            "CAST(ROUND(sum(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT) "
-            "AS revenue_cents, CAST(count(*) AS BIGINT) AS n_items "
+            "CAST((SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) + 50) // 100 "
+            "AS BIGINT) AS revenue_cents, CAST(count(*) AS BIGINT) AS n_items "
             "FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_type"
         ),
         "events_distinct_users": (

@@ -39,6 +39,28 @@ def _cents(x):
     )
 
 
+def _money_e4(extprice, discount):
+    """``extendedprice * (1 - discount)`` quantized PER ROW to exact
+    1e-4 dollars: both inputs carry exactly 2 decimals, so the product
+    has exactly 4 and the ROUND recovers the exact decimal integer from
+    the float product (identically in Arrow and DuckDB — same doubles,
+    same half-away mode).  Sums over this are exact int64 arithmetic,
+    immune to float summation ORDER — which the sf0.1 sweep caught
+    moving a q1 group total across a .5-cent boundary."""
+    rev = pc.multiply(extprice, pc.subtract(pa.scalar(1.0), discount))
+    return pc.cast(
+        pc.round(pc.multiply(rev, pa.scalar(10000.0)), round_mode="half_towards_infinity"),
+        pa.int64(),
+    )
+
+
+def _e4_to_cents(col) -> pa.Array:
+    """Exact-integer e4 → cents with half-away rounding (values are
+    positive money sums); matches SQL ``(s + 50) // 100``."""
+    s = col.to_numpy(zero_copy_only=False).astype(np.int64)
+    return pa.array((s + 50) // 100, pa.int64())
+
+
 def q1_lineitem(sf_dir: str):
     """TPC-H Q1-style pricing summary (groupby-agg with partial combine)."""
     import ray.data as rd
@@ -53,12 +75,22 @@ def q1_lineitem(sf_dir: str):
     cutoff = pa.scalar(pd.Timestamp("1998-09-02"), pa.timestamp("us"))
 
     def partial(t: pa.Table) -> pa.Table:
+        # money is quantized PER ROW to integers before any summation:
+        # l_extendedprice has exactly 2 decimals (→ e2 cents) and
+        # extendedprice*(1-discount) exactly 4 (→ e4), so per-row ROUND
+        # recovers the exact decimal integer and the sums are exact
+        # int64 arithmetic — float-sum ORDER can no longer move a total
+        # across a .5-cent boundary (caught by the sf0.1 sweep: one
+        # group's ROUND(sum)*100 differed from DuckDB by one cent purely
+        # from summation order).  The oracle mirrors the same per-row
+        # quantization.
         t = t.filter(pc.less_equal(t["l_shipdate"], cutoff))
-        disc = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        t = t.append_column("disc_price", disc)
+        t = t.append_column("disc_e4", _money_e4(t["l_extendedprice"], t["l_discount"])).append_column(
+            "base_e2", _cents(t["l_extendedprice"])
+        )
         return t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
-            [("l_quantity", "sum"), ("l_extendedprice", "sum"),
-             ("disc_price", "sum"), ("l_quantity", "count")]
+            [("l_quantity", "sum"), ("base_e2", "sum"),
+             ("disc_e4", "sum"), ("l_quantity", "count")]
         ).rename_columns(
             ["l_returnflag", "l_linestatus", "p_qty", "p_base", "p_disc", "p_cnt"]
         )
@@ -80,8 +112,8 @@ def q1_lineitem(sf_dir: str):
                 "l_returnflag": t["l_returnflag"],
                 "l_linestatus": t["l_linestatus"],
                 "sum_qty_cents": _cents(t["sum_qty"]),
-                "sum_base_price_cents": _cents(t["sum_base_price"]),
-                "sum_disc_price_cents": _cents(t["sum_disc_price"]),
+                "sum_base_price_cents": pc.cast(t["sum_base_price"], pa.int64()),
+                "sum_disc_price_cents": _e4_to_cents(t["sum_disc_price"]),
                 "count_order": pc.cast(t["count_order"], pa.int64()),
             }
         )
@@ -237,9 +269,7 @@ def q5_region_revenue(
             skeys, snats, rnats = ray.get(supp_ref)
             pos = pc.index_in(pc.cast(t["l_suppkey"], pa.int64()), value_set=skeys)
             s_nat = pc.take(snats, pos)
-            rev = pc.multiply(
-                t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
-            )
+            rev = _money_e4(t["l_extendedprice"], t["l_discount"])
             t2 = pa.table(
                 {"l_orderkey": t["l_orderkey"], "s_nationkey": s_nat, "rev": rev}
             )
@@ -254,9 +284,7 @@ def q5_region_revenue(
         # (l_orderkey, l_suppkey) per batch BELOW the shuffle, join onto
         # the region-filtered supplier side, re-partial the nationkey sums
         def li_presum(t: pa.Table) -> pa.Table:
-            rev = pc.multiply(
-                t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
-            )
+            rev = _money_e4(t["l_extendedprice"], t["l_discount"])
             t2 = pa.table(
                 {
                     "l_orderkey": t["l_orderkey"],
@@ -323,7 +351,7 @@ def q5_region_revenue(
         return pa.table(
             {
                 "n_name": pa.array([names[k] for k in keys], pa.string()),
-                "revenue_cents": _cents(t["revenue"]),
+                "revenue_cents": _e4_to_cents(t["revenue"]),
             }
         )
 
@@ -712,9 +740,7 @@ def parttype_revenue(sf_dir: str):
             pkeys, ptypes = ray.get(part_ref)
             pos = pc.index_in(pc.cast(t["l_partkey"], pa.int64()), value_set=pkeys)
             ptype = pc.take(ptypes, pos)
-            rev = pc.multiply(
-                t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
-            )
+            rev = _money_e4(t["l_extendedprice"], t["l_discount"])
             t2 = pa.table({"p_type": ptype, "rev": rev})
             return t2.group_by("p_type").aggregate(
                 [("rev", "sum"), ("rev", "count")]
@@ -724,9 +750,7 @@ def parttype_revenue(sf_dir: str):
     else:
 
         def presum(t: pa.Table) -> pa.Table:
-            rev = pc.multiply(
-                t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
-            )
+            rev = _money_e4(t["l_extendedprice"], t["l_discount"])
             t2 = pa.table({"l_partkey": pc.cast(t["l_partkey"], pa.int64()), "rev": rev})
             return t2.group_by("l_partkey").aggregate(
                 [("rev", "sum"), ("rev", "count")]
@@ -759,7 +783,7 @@ def parttype_revenue(sf_dir: str):
         lambda t: pa.table(
             {
                 "p_type": t["p_type"],
-                "revenue_cents": _cents(t["revenue"]),
+                "revenue_cents": _e4_to_cents(t["revenue"]),
                 "n_items": pc.cast(t["n_items"], pa.int64()),
             }
         ),
