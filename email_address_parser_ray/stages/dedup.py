@@ -762,6 +762,13 @@ def decontaminate(train_ds, eval_ds, k_shingle: int = 3):
     )
     evh_ref = ray.put(evh_sorted)
 
+    def _doc_hits(texts, evh) -> np.ndarray:
+        hs, slens = word_shingles_flat(texts, k_shingle)
+        idx = np.searchsorted(evh, hs)
+        hit = evh[np.minimum(idx, len(evh) - 1)] == hs
+        soffs = np.cumsum(slens) - slens  # slens >= 1 always
+        return np.logical_or.reduceat(hit, soffs)
+
     def flag(t: pa.Table) -> pa.Table:
         ids_out: list = []
         hits_out: list = []
@@ -769,19 +776,27 @@ def decontaminate(train_ds, eval_ds, k_shingle: int = 3):
         if texts:
             evh = ray.get(evh_ref)
             if len(evh):
-                hs, slens = word_shingles_flat(texts, k_shingle)
-                idx = np.searchsorted(evh, hs)
-                hit = evh[np.minimum(idx, len(evh) - 1)] == hs
-                soffs = np.cumsum(slens) - slens  # slens >= 1 always
-                doc_hit = np.logical_or.reduceat(hit, soffs)
-                if doc_hit.any():
+                n = len(texts)
+                # adaptive regime probe: on a HEAVILY contaminated
+                # corpus (the dense stress: 99% of docs flagged) the
+                # full prefilter is pure overhead on top of the exact
+                # phase it cannot shrink — measured +2.4 s/100k docs.
+                # Prefilter a 1-in-20 sample first; if most sampled
+                # docs hit, go straight to the exact phase for all.
+                probe = texts[::20]
+                probe_rate = float(_doc_hits(probe, evh).mean()) if probe else 0.0
+                if probe_rate >= 0.5:
+                    cand = np.arange(n)
+                else:
+                    cand = np.flatnonzero(_doc_hits(texts, evh))
+                if len(cand):
                     evs = ray.get(ev_ref)
                     dids = t["doc_id"].to_pylist()
-                    for i in np.flatnonzero(doc_hit):
-                        n = len(word_shingle_set(texts[i], k_shingle) & evs)
-                        if n:  # a prefilter hit can be a hash collision
+                    for i in cand:
+                        hits = len(word_shingle_set(texts[i], k_shingle) & evs)
+                        if hits:  # prefilter hits can be hash collisions
                             ids_out.append(dids[i])
-                            hits_out.append(n)
+                            hits_out.append(hits)
         return pa.table(
             {
                 "doc_id": pa.array(ids_out, pa.int64()),
