@@ -12,15 +12,16 @@ external dependencies, each over a public uncompressed container
 format:
 
 * image — 24-bit uncompressed BMP (BI_RGB), pure-numpy plane decode,
-  PLUS 8-bit PNG via pure stdlib zlib inflate + numpy defilter (a real
-  COMPRESSED format with zero dependencies; PIL covers the rest when it
-  happens to be installed);
+  PLUS 8-bit PNG via pure stdlib zlib inflate + numpy defilter, PLUS
+  baseline JPEG via the pure-stdlib codec in ``stages/jpeg.py`` (two
+  real COMPRESSED formats with zero dependencies; PIL covers the rest
+  when it happens to be installed);
 * audio — stdlib ``wave`` PCM decode → per-segment RMS features;
 * video — YUV4MPEG2 (.y4m) demux: plain-text stream header + raw
   ``FRAME`` planes, parsed with numpy; ``FrameSampler`` emits real
   luma-plane frames and ``MediaDecoder`` folds per-frame mean luma.
 
-Compressed codecs (JPEG/H.264/FLAC...) still need libjpeg/ffmpeg and
+Compressed codecs beyond PNG/JPEG (H.264/FLAC/AV1...) still need ffmpeg-class libs and
 raise ``NotImplementedError`` at the exact call site.  ``fake=True``
 produces deterministic md5 pseudo-features so the distributed plumbing
 stays value-checkable end-to-end against the DuckDB oracle.
@@ -384,6 +385,10 @@ class MediaDecoder:
             gray = decode_bmp(payload)
         elif payload[:8] == b"\x89PNG\r\n\x1a\n":
             gray = decode_png(payload)
+        elif payload[:2] == b"\xff\xd8":
+            from email_address_parser_ray.stages.jpeg import decode_jpeg  # noqa: PLC0415
+
+            gray = decode_jpeg(payload)
         elif self.pil is not None:
             import io
 
@@ -391,7 +396,7 @@ class MediaDecoder:
             gray = np.asarray(img, dtype=np.float64) / 255.0
         else:
             raise NotImplementedError(
-                "compressed image codec not available; payload is not BMP "
+                "image codec not available; payload is not BMP/PNG/JPEG "
                 "and Pillow is not installed"
             )
         bands = np.array_split(gray, self.dim, axis=1)
@@ -463,17 +468,28 @@ class ImageResizer:
 
     def _resize_one(self, payload: bytes) -> bytes:
         is_png = payload[:8] == b"\x89PNG\r\n\x1a\n"
-        if payload[:2] == b"BM" or is_png:
-            gray = decode_png(payload) if is_png else decode_bmp(payload)
+        is_jpg = payload[:2] == b"\xff\xd8"
+        if payload[:2] == b"BM" or is_png or is_jpg:
+            if is_jpg:
+                from email_address_parser_ray.stages.jpeg import (  # noqa: PLC0415
+                    decode_jpeg,
+                    encode_jpeg,
+                )
+
+                gray = decode_jpeg(payload)
+            else:
+                gray = decode_png(payload) if is_png else decode_bmp(payload)
             h, w = gray.shape
             # nearest-neighbor resample — pure numpy fancy indexing
             ri = np.minimum((np.arange(self.h) * h) // self.h, h - 1)
             ci = np.minimum((np.arange(self.w) * w) // self.w, w - 1)
             resampled = gray[np.ix_(ri, ci)]
+            if is_jpg:
+                return encode_jpeg(resampled, quality=90)
             return encode_png(resampled) if is_png else encode_bmp(resampled)
         if self.pil is None:
             raise NotImplementedError(
-                "compressed image codec not available; payload is not BMP "
+                "image codec not available; payload is not BMP/PNG/JPEG "
                 "and Pillow is not installed"
             )
         import io
