@@ -119,6 +119,22 @@ def _bench_queries(sf_dir: str) -> dict:
         return decontaminate(train, ev).count()
 
     timed("decontaminate", run_decontaminate)
+
+    # breadth entries: engine-addition pipelines driven through the same
+    # callables the driver's correctness gate uses (__ray_entry__ never
+    # calls ray.init, so importing it here is safe)
+    import __ray_entry__ as entrymod
+
+    q = entrymod.queries()
+
+    def consume(res) -> int:
+        return res.count() if hasattr(res, "count") else len(res)
+
+    timed("embedding_neardup", lambda: consume(q["embedding_neardup"](sf_dir)))
+    timed("events_pagerank", lambda: consume(q["events_pagerank"](sf_dir)))
+    timed(
+        "docs_tfidf_top_terms", lambda: consume(q["docs_tfidf_top_terms"](sf_dir))
+    )
     return timings
 
 
