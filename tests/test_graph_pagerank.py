@@ -53,3 +53,31 @@ def test_pagerank_matches_reference_and_partitioning(ray_session):
         )
         got_map = dict(zip(got["node"], got["r"]))
         assert got_map == want, blocks
+
+
+def test_pagerank_small_and_distributed_paths_agree(ray_session, monkeypatch):
+    """The driver-folded small-graph path and the hash-join rounds must
+    produce identical int64 ranks (forcing the distributed path by
+    zeroing the node gate)."""
+    import ray.data as rd
+
+    from email_address_parser_ray.stages import graph as g
+
+    rng = np.random.RandomState(7)
+    edges = sorted(
+        {
+            (f"a{a}", f"b{b}")
+            for a, b in zip(rng.randint(0, 25, 160), rng.randint(0, 9, 160))
+        }
+    )
+    t = pa.table(
+        {
+            "src": pa.array([a for a, _ in edges]),
+            "dst": pa.array([b for _, b in edges]),
+        }
+    )
+    small = pagerank_integer(rd.from_arrow(t).repartition(5), iters=2).to_pandas()
+    monkeypatch.setattr(g, "PAGERANK_SMALL_NODES", 0)
+    dist = g.pagerank_integer(rd.from_arrow(t).repartition(5), iters=2).to_pandas()
+    assert dict(zip(small["node"], small["r"])) == dict(zip(dist["node"], dist["r"]))
+    assert dict(zip(small["node"], small["r"])) == _reference(edges)
