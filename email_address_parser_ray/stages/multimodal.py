@@ -389,6 +389,10 @@ class MediaDecoder:
             from email_address_parser_ray.stages.jpeg import decode_jpeg  # noqa: PLC0415
 
             gray = decode_jpeg(payload)
+        elif payload[:4] == b"GIF8":
+            from email_address_parser_ray.stages.gif import decode_gif  # noqa: PLC0415
+
+            gray = decode_gif(payload)
         elif self.pil is not None:
             import io
 
@@ -469,7 +473,8 @@ class ImageResizer:
     def _resize_one(self, payload: bytes) -> bytes:
         is_png = payload[:8] == b"\x89PNG\r\n\x1a\n"
         is_jpg = payload[:2] == b"\xff\xd8"
-        if payload[:2] == b"BM" or is_png or is_jpg:
+        is_gif = payload[:4] == b"GIF8"
+        if payload[:2] == b"BM" or is_png or is_jpg or is_gif:
             if is_jpg:
                 from email_address_parser_ray.stages.jpeg import (  # noqa: PLC0415
                     decode_jpeg,
@@ -477,6 +482,12 @@ class ImageResizer:
                 )
 
                 gray = decode_jpeg(payload)
+            elif is_gif:
+                from email_address_parser_ray.stages.gif import (  # noqa: PLC0415
+                    decode_gif,
+                )
+
+                gray = decode_gif(payload)
             else:
                 gray = decode_png(payload) if is_png else decode_bmp(payload)
             h, w = gray.shape
@@ -486,6 +497,12 @@ class ImageResizer:
             resampled = gray[np.ix_(ri, ci)]
             if is_jpg:
                 return encode_jpeg(resampled, quality=90)
+            if is_gif:
+                from email_address_parser_ray.stages.gif import (  # noqa: PLC0415
+                    encode_gif,
+                )
+
+                return encode_gif(resampled)
             return encode_png(resampled) if is_png else encode_bmp(resampled)
         if self.pil is None:
             raise NotImplementedError(
