@@ -18,8 +18,11 @@ format:
   when it happens to be installed);
 * audio — stdlib ``wave`` PCM decode → per-segment RMS features;
 * video — YUV4MPEG2 (.y4m) demux: plain-text stream header + raw
-  ``FRAME`` planes, parsed with numpy; ``FrameSampler`` emits real
-  luma-plane frames and ``MediaDecoder`` folds per-frame mean luma.
+  ``FRAME`` planes, parsed with numpy; PLUS Motion-JPEG in an AVI
+  container (``stages/avi.py`` RIFF demux + the in-repo JPEG decoder
+  per frame — a real COMPRESSED video path with zero dependencies).
+  ``FrameSampler`` emits real luma-plane frames and ``MediaDecoder``
+  folds per-frame mean luma for both containers.
 
 Compressed codecs beyond PNG/JPEG (H.264/FLAC/AV1...) still need ffmpeg-class libs and
 raise ``NotImplementedError`` at the exact call site.  ``fake=True``
@@ -406,9 +409,18 @@ class MediaDecoder:
         bands = np.array_split(gray, self.dim, axis=1)
         return np.array([float(b.mean()) if b.size else 0.0 for b in bands])
 
-    def _decode_y4m(self, payload: bytes) -> np.ndarray:
-        """REAL video path: Y4M demux → per-frame mean luma, resampled to
-        ``dim`` equal time buckets (mean within each bucket)."""
+    def _decode_video(self, payload: bytes) -> np.ndarray:
+        """REAL video path: Y4M (raw planes) or MJPEG-in-AVI demux →
+        per-frame mean luma, resampled to ``dim`` equal time buckets
+        (mean within each bucket)."""
+        if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+            from email_address_parser_ray.stages.avi import demux_avi_mjpeg  # noqa: PLC0415
+            from email_address_parser_ray.stages.jpeg import decode_jpeg  # noqa: PLC0415
+
+            _, _, jpegs = demux_avi_mjpeg(payload)
+            luma = np.array([float(decode_jpeg(j).mean()) for j in jpegs])
+            segs = np.array_split(luma, self.dim)
+            return np.array([float(s.mean()) if len(s) else 0.0 for s in segs])
         _, _, frames = demux_y4m(payload)
         if not frames:
             return np.zeros(self.dim, dtype=np.float64)
@@ -423,7 +435,7 @@ class MediaDecoder:
             if kind == "audio":
                 return self._decode_wav(payload)
             if kind == "video":
-                return self._decode_y4m(payload)
+                return self._decode_video(payload)
             raise NotImplementedError(f"unknown media kind {kind!r}")
         # deterministic pseudo-features: 16-bit words of md5(hex(payload)).
         # Chosen over an RNG stand-in because any engine can recompute it —
@@ -551,12 +563,13 @@ class ImageResizer:
 class FrameSampler:
     """Video → frames flat-map stage: one output row per sampled frame.
 
-    ``fake=False`` is REAL for Y4M payloads: demux, take ``n_frames``
-    evenly-spaced frames, emit each luma plane re-encoded as a BMP
-    image payload (so downstream image stages consume sampled frames
-    directly).  With ``fake=True`` the "frame" is a deterministic byte
-    slice so the fan-out plumbing (schema, row multiplication, small
-    batches) stays testable without any codec.
+    ``fake=False`` is REAL for Y4M and MJPEG-in-AVI payloads: demux,
+    take ``n_frames`` evenly-spaced frames (JPEG-decoding each for the
+    AVI case), emit each luma plane re-encoded as a BMP image payload
+    (so downstream image stages consume sampled frames directly).
+    With ``fake=True`` the "frame" is a deterministic byte slice so
+    the fan-out plumbing (schema, row multiplication, small batches)
+    stays testable without any codec.
     """
 
     def __init__(self, n_frames: int = 4, fake: bool = True):
@@ -564,6 +577,15 @@ class FrameSampler:
         self.fake = fake
 
     def _sample_real(self, payload: bytes):
+        if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+            from email_address_parser_ray.stages.avi import demux_avi_mjpeg  # noqa: PLC0415
+            from email_address_parser_ray.stages.jpeg import decode_jpeg  # noqa: PLC0415
+
+            _, _, jpegs = demux_avi_mjpeg(payload)
+            idx = np.unique(
+                (np.arange(self.n_frames) * len(jpegs)) // max(1, self.n_frames)
+            )
+            return [(int(i), encode_bmp(decode_jpeg(jpegs[i]))) for i in idx]
         _, _, frames = demux_y4m(payload)
         if not frames:
             return []
