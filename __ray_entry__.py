@@ -469,14 +469,20 @@ def _q_docs_decontaminate(sf_dir: str):
 
 
 def _q_embedding_neardup(sf_dir: str):
+    import os
+
     from email_address_parser_ray.sources.io import read_parquet_clean
     from email_address_parser_ray.stages.ann import embedding_near_dup_pairs
 
-    emb = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    path = f"{sf_dir}/embeddings.parquet"
+    emb = read_parquet_clean(path, columns=["vec_id", "embedding"])
     # 0.45 sits where true pairs exist in the driver's embeddings (max
     # pairwise cosine ≈ 0.51); the banded-LSH recall at this threshold is
-    # verified exactly by the SQL self-join oracle.
-    return embedding_near_dup_pairs(emb, d=64, threshold=0.45)
+    # verified exactly by the SQL self-join oracle.  The file size (×2
+    # for decode expansion) gates the value-identical driver fold.
+    return embedding_near_dup_pairs(
+        emb, d=64, threshold=0.45, input_bytes_hint=2 * os.path.getsize(path)
+    )
 
 
 def _query_vector(sf_dir: str) -> np.ndarray:

@@ -316,12 +316,131 @@ NEARDUP_SMALL_CAND_LIMIT = 500_000  # candidate pairs below which a driver fold 
 NEARDUP_BROADCAST_BYTE_LIMIT = 256 * 1024 * 1024  # byte gate on the needed vectors
 
 
+NEARDUP_SMALL_INPUT_BYTES = 64 * 1024 * 1024  # driver-fold gate on the input table
+NEARDUP_GRAM_MAX_ROWS = 20_000  # blocked-gram fold branch cap (n² scan)
+NEARDUP_FOLD_MAX_PAIRS = 50_000_000  # candidate-branch cap; above → distributed
+_GRAM_CHUNK = 4096
+
+
+def _near_dup_pairs_driver(
+    tbl: pa.Table,
+    planes: np.ndarray,
+    n_bands: int,
+    planes_per_band: int,
+    threshold: float,
+    out_schema: pa.Schema,
+):
+    """Driver fold of the banded SRP-LSH near-dup search — value-identical
+    to the distributed path, collapsed to one numpy pass (the PageRank
+    small-graph precedent, stages/graph.py).  Returns ``None`` to decline
+    (caller falls back to the distributed shape).
+
+    Two branches, both reproducing the distributed semantics exactly:
+
+    * **gram scan** (n ≤ ``NEARDUP_GRAM_MAX_ROWS`` AND no band segment
+      over the ``NEARDUP_MAX_SEGMENT`` cap): with the default loose
+      bands (b=2, L=24) nearly every pair collides somewhere, so
+      materializing candidates is the cost, not the recall — instead a
+      blocked ``lookup @ lookup.T`` finds cos ≥ θ pairs directly (with a
+      1e-9 guard band), refilters them by "collides in ≥1 band" (the
+      no-cap candidate condition), and recomputes the survivors' cosines
+      with the SAME einsum-gather formula the distributed verify uses so
+      the e3 rounding can't diverge by a BLAS summation-order ULP.
+    * **capped-candidate scan** otherwise: the distributed pipeline's own
+      ``_segment_pairs`` emission (cap semantics included) over the
+      (band_key, vec_id) sort, dense-key ``np.unique`` dedup, chunked
+      einsum verify — declined above ``NEARDUP_FOLD_MAX_PAIRS``.
+
+    Assumes ``vec_id`` is unique in the table (it is the table's key).
+    """
+    from .dedup import _segment_pairs
+
+    ids = tbl["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    m = _normalize(_batch_matrix(tbl))
+    weights = 1 << np.arange(planes_per_band)
+    bits = (m @ planes.T) > 0
+    n = len(m)
+    keys = np.empty((n, n_bands), dtype=np.int64)
+    for band in range(n_bands):
+        seg = bits[:, band * planes_per_band : (band + 1) * planes_per_band]
+        keys[:, band] = (seg * weights).sum(axis=1) + (band << 32)
+    order_ids = np.argsort(ids, kind="stable")
+    ids_sorted = ids[order_ids]
+    lookup = m[order_ids]
+
+    # band segment sizes decide the branch: the gram scan is only valid
+    # when the cap never fires (candidates == "collides in >=1 band")
+    band_key = keys.reshape(-1)
+    vec_id = np.repeat(ids, n_bands)
+    order = np.lexsort((vec_id, band_key))
+    band_key = band_key[order]
+    starts = np.flatnonzero(np.r_[True, band_key[1:] != band_key[:-1]])
+    sizes = np.r_[starts[1:], len(band_key)] - starts
+
+    if n <= NEARDUP_GRAM_MAX_ROWS and not (sizes > NEARDUP_MAX_SEGMENT).any():
+        keys_dense = keys[order_ids]  # (n, L), aligned with lookup rows
+        parts = []
+        for c0 in range(0, n, _GRAM_CHUNK):
+            c1 = min(c0 + _GRAM_CHUNK, n)
+            cosb = lookup[c0:c1] @ lookup.T  # (chunk, n)
+            ii, jj = np.nonzero(cosb >= threshold - 1e-9)
+            gi = ii + c0
+            up = jj > gi  # upper triangle == vec_a < vec_b in id order
+            gi, jj = gi[up], jj[up]
+            if len(gi) == 0:
+                continue
+            collide = (keys_dense[gi] == keys_dense[jj]).any(axis=1)
+            gi, jj = gi[collide], jj[collide]
+            if len(gi) == 0:
+                continue
+            # exact same float formula as the distributed verify
+            cos = np.einsum("ij,ij->i", lookup[gi], lookup[jj])
+            keep = cos >= threshold
+            parts.append((ids_sorted[gi[keep]], ids_sorted[jj[keep]], cos[keep]))
+        if not parts:
+            return out_schema.empty_table()
+        va = np.concatenate([p[0] for p in parts])
+        vb = np.concatenate([p[1] for p in parts])
+        cos = np.concatenate([p[2] for p in parts])
+    else:
+        # closed-form pair-count estimate (capped triu + chain tail)
+        heads = np.minimum(sizes, NEARDUP_MAX_SEGMENT)
+        est = int((heads * (heads - 1) // 2).sum() + (sizes - heads).sum())
+        if est > NEARDUP_FOLD_MAX_PAIRS:
+            return None
+        vec_id = vec_id[order]
+        ia, ib = _segment_pairs(band_key, NEARDUP_MAX_SEGMENT)
+        if len(ia) == 0:
+            return out_schema.empty_table()
+        a_d = np.searchsorted(ids_sorted, vec_id[ia])
+        b_d = np.searchsorted(ids_sorted, vec_id[ib])
+        uniq = np.unique(a_d * n + b_d)
+        a_d, b_d = uniq // n, uniq % n
+        cos_parts, keep_parts = [], []
+        for c0 in range(0, len(a_d), 4_000_000):
+            c1 = min(c0 + 4_000_000, len(a_d))
+            cos_parts.append(
+                np.einsum("ij,ij->i", lookup[a_d[c0:c1]], lookup[b_d[c0:c1]])
+            )
+        cos = np.concatenate(cos_parts)
+        keep = cos >= threshold
+        va, vb, cos = ids_sorted[a_d[keep]], ids_sorted[b_d[keep]], cos[keep]
+    return pa.table(
+        {
+            "vec_a": pa.array(va, pa.int64()),
+            "vec_b": pa.array(vb, pa.int64()),
+            "cos_e3": pa.array(np.round(cos * 1_000).astype(np.int64), pa.int64()),
+        }
+    )
+
+
 def embedding_near_dup_pairs(
     embeddings_ds,
     d: int,
     threshold: float = 0.45,
     planes_per_band: int = 2,
     n_bands: int = 24,
+    input_bytes_hint: int | None = None,
 ):
     """Near-duplicate vector pairs via banded SRP-LSH + exact verify.
 
@@ -356,6 +475,15 @@ def embedding_near_dup_pairs(
 
     Returns (vec_a, vec_b, cos_e3) like ``cosine_pairs_exact``, whose
     SQL self-join is also this operator's oracle.
+
+    ``input_bytes_hint`` — caller-supplied estimate of the input table's
+    in-memory size (e.g. the parquet file size; callers that don't know
+    pass None).  At or below ``NEARDUP_SMALL_INPUT_BYTES`` the whole
+    search runs as a driver fold (``_near_dup_pairs_driver``): the
+    distributed shape costs 4+ executions of pure fixed overhead when
+    the table fits one heap.  The gate is an explicit hint, never a
+    blind ``size_bytes()`` probe, so a 100-TB input can never trigger a
+    driver-side pull by accident.
     """
     import ray
     import ray.data as rd
@@ -367,6 +495,28 @@ def embedding_near_dup_pairs(
     rng = np.random.RandomState(_PROJ_RNG_SEED + 7)
     planes = rng.normal(size=(n_bands * planes_per_band, d))
     weights = 1 << np.arange(planes_per_band)
+
+    out_schema_early = pa.schema(
+        [("vec_a", pa.int64()), ("vec_b", pa.int64()), ("cos_e3", pa.int64())]
+    )
+    if input_bytes_hint is not None and input_bytes_hint <= NEARDUP_SMALL_INPUT_BYTES:
+        parts = [
+            t
+            for t in ray.get(
+                embeddings_ds.select_columns(["vec_id", "embedding"]).to_arrow_refs()
+            )
+            if t.num_rows
+        ]
+        if not parts:
+            return rd.from_arrow(out_schema_early.empty_table())
+        tbl = pa.concat_tables(parts).combine_chunks()
+        folded = _near_dup_pairs_driver(
+            tbl, planes, n_bands, planes_per_band, threshold, out_schema_early
+        )
+        if folded is not None:
+            return rd.from_arrow(folded)
+        # fold declined (too many capped candidates for one heap):
+        # fall through to the distributed shape below
 
     def add_bands(batch: pa.Table) -> pa.Table:
         m = _normalize(_batch_matrix(batch))

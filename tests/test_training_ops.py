@@ -295,6 +295,27 @@ def test_embedding_near_dup_join_path_matches_broadcast(ray_session, monkeypatch
     assert len(fast) > 0
 
 
+def test_embedding_near_dup_driver_fold_matches_distributed(ray_session):
+    """The byte-gated driver fold (input_bytes_hint below the gate) must
+    produce exactly the distributed path's pairs+cosines — the PageRank
+    dual-path-equality pattern."""
+    from email_address_parser_ray.sources.io import read_parquet_clean
+    from email_address_parser_ray.stages import ann
+
+    emb = read_parquet_clean(
+        "/root/testdata/sf0.001/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    dist = ann.embedding_near_dup_pairs(emb, d=64, threshold=0.45).to_pandas()
+    folded = ann.embedding_near_dup_pairs(
+        emb, d=64, threshold=0.45, input_bytes_hint=1
+    ).to_pandas()
+    key = lambda df: sorted(map(tuple, df[["vec_a", "vec_b", "cos_e3"]].to_numpy()))
+    assert key(dist) == key(folded)
+    assert len(folded) > 0
+    # a hint above the gate must keep the distributed path
+    assert ann.NEARDUP_SMALL_INPUT_BYTES < 10**12
+
+
 def test_ivf_topk_probe_behavior(ray_session):
     """Exhaustive probe equals brute force; restricted probe returns k
     results drawn only from the probed cells."""
