@@ -582,6 +582,182 @@ def minhash_dedup_clusters(docs_ds, threshold: float = 0.7):
     )
 
 
+DEDUP_RETRACT_BROADCAST_LIMIT = 2_000_000  # removed / affected ids above this
+
+
+def _id_array(mat, col: str) -> pa.Array:
+    import ray
+
+    parts = [t for t in ray.get(mat.to_arrow_refs()) if t.num_rows]
+    if not parts:
+        return pa.array([], pa.int64())
+    return pa.concat_tables([t.select([col]) for t in parts])[col].combine_chunks()
+
+
+def minhash_retract_clusters(
+    old_pairs_ds, old_clusters_ds, removed_docs_ds, max_rounds: int = 16
+):
+    """Retraction (deletion / right-to-be-forgotten) for the near-dedup
+    family: drop removed docs, garbage-collect the verified pairs that
+    touch them, and re-label clusters.  Returns {"pairs", "clusters"} —
+    the dedup mirror of ``pipelines.incremental.incremental_retract``.
+
+    Exactness: a verified pair depends only on its two documents (exact
+    Jaccard), and on un-capped corpora candidate emission is
+    corpus-independent (collide-in-any-band), so the retained pair table
+    restricted to survivors equals a full ``minhash_verified_pairs``
+    over the reduced corpus and ``retract(add(X)) == never-added`` holds
+    for pairs and clusters.  Corpora where the ``_segment_pairs``
+    over-cap chain fired carry the chain-shift caveat (a removed doc
+    changes its segment's predecessor chain), same as the resolve
+    retraction's oversize-block caveat.
+
+    Removing a doc can SPLIT its cluster, and since a cluster's label is
+    its min member id, it can also just RENAME it — so every cluster
+    that lost a member is re-labelled.  Below
+    ``DEDUP_RETRACT_BROADCAST_LIMIT`` only the affected components are
+    re-CC'd (untouched components keep membership, edges, and label);
+    above it, a full CC over the surviving graph gives the same answer
+    with more work.
+    """
+    import ray
+    import ray.data as rd
+
+    from .clustering import connected_components
+    from .joins import hash_join
+
+    rem_mat = removed_docs_ds.map_batches(
+        lambda t: pa.table({"doc_id": pa.compute.cast(t["doc_id"], pa.int64())}),
+        batch_format="pyarrow",
+    ).materialize()
+    n_rem = rem_mat.count()
+    if n_rem == 0:
+        return {
+            "pairs": old_pairs_ds.materialize(),
+            "clusters": old_clusters_ds.materialize(),
+        }
+
+    if n_rem <= DEDUP_RETRACT_BROADCAST_LIMIT:
+        rem_ref = ray.put(_id_array(rem_mat, "doc_id"))
+
+        def gc(t: pa.Table) -> pa.Table:
+            rids = ray.get(rem_ref)
+            bad = pa.compute.or_(
+                pa.compute.is_in(t["doc_a"], value_set=rids),
+                pa.compute.is_in(t["doc_b"], value_set=rids),
+            )
+            return t.filter(pa.compute.invert(bad))
+
+        pairs = old_pairs_ds.map_batches(gc, batch_format="pyarrow").materialize()
+
+        def gc_members(t: pa.Table) -> pa.Table:
+            return t.filter(
+                pa.compute.invert(
+                    pa.compute.is_in(t["doc_id"], value_set=ray.get(rem_ref))
+                )
+            )
+
+        survivors = old_clusters_ds.map_batches(
+            gc_members, batch_format="pyarrow"
+        ).materialize()
+    else:
+        # at-scale path: anti joins against the removed id set
+        da = rem_mat.map_batches(
+            lambda t: pa.table({"doc_a": t["doc_id"]}), batch_format="pyarrow"
+        )
+        db = rem_mat.map_batches(
+            lambda t: pa.table({"doc_b": t["doc_id"]}), batch_format="pyarrow"
+        )
+        pairs = hash_join(
+            hash_join(old_pairs_ds, da, on="doc_a", join_type="left_anti"),
+            db,
+            on="doc_b",
+            join_type="left_anti",
+        ).materialize()
+        survivors = hash_join(
+            old_clusters_ds, rem_mat, on="doc_id", join_type="left_anti"
+        ).materialize()
+
+    def pad(col):
+        return pa.compute.utf8_lpad(
+            pa.compute.cast(col, pa.string()), width=12, padding="0"
+        )
+
+    def cc_over(nodes_src, pairs_src):
+        nodes = nodes_src.map_batches(
+            lambda t: pa.table({"address": pad(t["doc_id"])}), batch_format="pyarrow"
+        )
+        edges = pairs_src.map_batches(
+            lambda t: pa.table({"addr_a": pad(t["doc_a"]), "addr_b": pad(t["doc_b"])}),
+            batch_format="pyarrow",
+        )
+        return connected_components(nodes, edges, max_rounds).map_batches(
+            lambda t: pa.table(
+                {
+                    "doc_id": pa.compute.cast(t["address"], pa.int64()),
+                    "cluster_id": pa.compute.cast(t["cluster_id"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    if n_rem > DEDUP_RETRACT_BROADCAST_LIMIT:
+        return {"pairs": pairs, "clusters": cc_over(survivors, pairs).materialize()}
+
+    # scoped re-CC: only components that lost a member
+    rem_ref2 = ray.put(_id_array(rem_mat, "doc_id"))
+
+    def pick_affected(t: pa.Table) -> pa.Table:
+        hit = t.filter(pa.compute.is_in(t["doc_id"], value_set=ray.get(rem_ref2)))
+        return pa.table({"cluster_id": pa.compute.unique(hit["cluster_id"])})
+
+    old_cl_mat = old_clusters_ds.materialize()
+    id_parts = [
+        p
+        for p in ray.get(
+            old_cl_mat.map_batches(pick_affected, batch_format="pyarrow")
+            .materialize()
+            .to_arrow_refs()
+        )
+        if p.num_rows
+    ]
+    aff_ids = (
+        pa.concat_tables(id_parts)["cluster_id"].combine_chunks().unique()
+        if id_parts
+        else pa.array([], pa.int64())
+    )
+    aff_ref = ray.put(aff_ids)
+
+    untouched = survivors.map_batches(
+        lambda t: t.filter(
+            pa.compute.invert(
+                pa.compute.is_in(t["cluster_id"], value_set=ray.get(aff_ref))
+            )
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    aff_members = survivors.map_batches(
+        lambda t: t.filter(pa.compute.is_in(t["cluster_id"], value_set=ray.get(aff_ref))),
+        batch_format="pyarrow",
+    ).materialize()
+    if aff_members.count() > DEDUP_RETRACT_BROADCAST_LIMIT:
+        return {"pairs": pairs, "clusters": cc_over(survivors, pairs).materialize()}
+    aff_doc_ref = ray.put(_id_array(aff_members, "doc_id"))
+
+    # any surviving pair's endpoints share an old component, so one side decides
+    sub_pairs = pairs.map_batches(
+        lambda t: t.filter(
+            pa.compute.is_in(t["doc_a"], value_set=ray.get(aff_doc_ref))
+        ),
+        batch_format="pyarrow",
+    )
+    relabeled = cc_over(aff_members, sub_pairs)
+    clusters = untouched.map_batches(
+        lambda t: t.select(["doc_id", "cluster_id"]), batch_format="pyarrow"
+    ).union(relabeled).materialize()
+    return {"pairs": pairs, "clusters": clusters}
+
+
 # --- exact n-gram Jaccard verify ------------------------------------------
 
 NGRAM_PAIRS_MAX_SIDE = 20_000  # guard: all-pairs baseline, not a scale path
