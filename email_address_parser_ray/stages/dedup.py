@@ -352,12 +352,14 @@ def minhash_sketch_batch(batch: pa.Table, shingle_k: int = 3, bands: int = 64) -
     flat, slens = word_shingles_flat(texts, shingle_k)
     sigs = minhash_signature_flat(flat, slens)
     keys = band_keys_batch(sigs, bands)  # (n_docs, bands) int64
-    return pa.table(
-        {
-            "band_key": pa.array(keys.ravel(), pa.int64()),
-            "doc_id": pa.array(np.repeat(doc_ids, bands), pa.int64()),
-        }
-    )
+    cols = {
+        "band_key": pa.array(keys.ravel(), pa.int64()),
+        "doc_id": pa.array(np.repeat(doc_ids, bands), pa.int64()),
+    }
+    if "is_new" in batch.column_names:  # delta emission (incremental add)
+        flags = batch["is_new"].to_numpy(zero_copy_only=False).astype(np.int8)
+        cols["is_new"] = pa.array(np.repeat(flags, bands), pa.int8())
+    return pa.table(cols)
 
 
 def _bucket_candidate_pairs(g: pd.DataFrame) -> pa.Table:
@@ -383,33 +385,38 @@ def _bucket_candidate_pairs(g: pd.DataFrame) -> pa.Table:
     return from_pandas_clean(df)
 
 
+def _fold_candidate_pairs(cands):
+    """Size-gated cross-band dedup of a MATERIALIZED (doc_a, doc_b)
+    candidate dataset: per-bucket pairs are already deduped, so the
+    cross-band residue is tiny — fold it on the driver below
+    ``SMALL_CAND_LIMIT`` (saves a whole sort-shuffle barrier, the
+    dominant cost at bench scale) and fall back to the distributed
+    ``sorted_pair_dedup`` above it."""
+    import ray
+    import ray.data as rd
+
+    if cands.count() <= SMALL_CAND_LIMIT:
+        schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
+        tbl = concat_nonempty(ray.get(cands.to_arrow_refs()), schema)
+        return rd.from_arrow(tbl.group_by(["doc_a", "doc_b"]).aggregate([]))
+    return sorted_pair_dedup(cands, ["doc_a", "doc_b"])
+
+
 def minhash_candidate_pairs(docs_ds, bands: int = 64, shingle_k: int = 3):
     """documents → deduped near-dup candidate pairs (doc_a < doc_b).
 
     One task-based sketch pass, ONE shuffle (coarse band-key buckets),
-    per-bucket vectorized pair emission, then a size-gated cross-band
-    dedup: per-bucket pairs are already deduped, so the cross-band
-    residue is tiny — fold it on the driver below ``SMALL_CAND_LIMIT``
-    (saves a whole sort-shuffle barrier, the dominant cost at bench
-    scale) and fall back to the distributed ``sorted_pair_dedup`` above
-    it.  Candidates are UNVERIFIED — pipe them through
-    ``minhash_verified_pairs`` for the exact-Jaccard filter."""
-    import ray
-    import ray.data as rd
-
+    per-bucket vectorized pair emission, then the size-gated cross-band
+    dedup (``_fold_candidate_pairs``).  Candidates are UNVERIFIED —
+    pipe them through ``minhash_verified_pairs`` for the exact-Jaccard
+    filter."""
     banded = docs_ds.map_batches(
         lambda t: minhash_sketch_batch(t, shingle_k, bands), batch_format="pyarrow"
     ).map_batches(_add_key_bucket, batch_format="pyarrow")
     cands = banded.groupby("bucket").map_groups(
         _bucket_candidate_pairs, batch_format="pandas"
     ).materialize()
-    if cands.count() <= SMALL_CAND_LIMIT:
-        schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
-        tbl = concat_nonempty(ray.get(cands.to_arrow_refs()), schema)
-        return rd.from_arrow(
-            tbl.group_by(["doc_a", "doc_b"]).aggregate([])
-        )
-    return sorted_pair_dedup(cands, ["doc_a", "doc_b"])
+    return _fold_candidate_pairs(cands)
 
 
 SMALL_CAND_LIMIT = 500_000  # candidate pairs below which broadcast-verify wins
@@ -450,13 +457,21 @@ def minhash_verified_pairs(
     output equals the all-pairs exact-Jaccard ideal the DuckDB oracle
     computes.  Only candidate pairs ever touch the texts again;
     the corpus is never re-shuffled."""
+    cand_mat = minhash_candidate_pairs(docs_ds, bands, shingle_k).materialize()
+    return _verify_candidates(cand_mat, docs_ds, threshold, shingle_k)
+
+
+def _verify_candidates(cand_mat, docs_ds, threshold: float, shingle_k: int = 3):
+    """Exact-Jaccard verify of a MATERIALIZED candidate pair dataset
+    against the documents source — the gated broadcast/twin-join stage
+    shared by ``minhash_verified_pairs`` and the incremental add path
+    (gate rationale in ``minhash_verified_pairs``'s docstring)."""
     import ray
     import ray.data as rd
 
     from .joins import hash_join
 
     thr = int(round(threshold * 1_000_000))
-    cand_mat = minhash_candidate_pairs(docs_ds, bands, shingle_k).materialize()
     n_cand = cand_mat.count()
     if n_cand == 0:
         return rd.from_arrow(
@@ -580,6 +595,122 @@ def minhash_dedup_clusters(docs_ds, threshold: float = 0.7):
         ),
         batch_format="pyarrow",
     )
+
+
+def _bucket_delta_pairs(g: pd.DataFrame) -> pa.Table:
+    """``_bucket_candidate_pairs`` with old-old suppression: the band
+    rows carry ``is_new`` and a pair is emitted only when AT LEAST ONE
+    side is new — the incremental-add mirror of the resolve blocking
+    stage's delta emission (stages/blocking.py).  Old docs' band keys
+    are deterministic functions of their text, so the suppressed
+    old-old candidates are exactly the ones the previous run already
+    verified."""
+    g = (
+        g.drop_duplicates(["band_key", "doc_id"])
+        .sort_values(["band_key", "doc_id"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    empty = pa.table(
+        {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
+    )
+    ia, ib = _segment_pairs(g["band_key"].to_numpy())
+    if len(ia) == 0:
+        return empty
+    flags = g["is_new"].to_numpy().astype(bool)
+    keep = flags[ia] | flags[ib]
+    ia, ib = ia[keep], ib[keep]
+    if len(ia) == 0:
+        return empty
+    ids = g["doc_id"].to_numpy()
+    df = pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]}).drop_duplicates()
+    return from_pandas_clean(df)
+
+
+def minhash_incremental_clusters(
+    old_docs_ds,
+    old_pairs_ds,
+    new_docs_ds,
+    threshold: float = 0.7,
+    bands: int = 64,
+    shingle_k: int = 3,
+    max_rounds: int = 16,
+):
+    """Fold a new document stream into an existing near-dedup state —
+    the daily-append path.  Returns {"pairs", "clusters"} like
+    ``minhash_retract_clusters``; together they give the dedup family
+    full add/retract incrementality.
+
+    The expensive work is delta-only: the sketch pass runs over the
+    whole corpus (stateless, batch-wide, cheap), but candidate pairs
+    with BOTH sides old are suppressed inside the bucket groups
+    (``_bucket_delta_pairs``), so the exact-Jaccard text verify — the
+    stage that actually fetches documents — touches only new-new and
+    new-old pairs.  Old band keys are deterministic functions of the
+    text, so the suppressed candidates are exactly the pairs the
+    previous run verified: ``add(X) == fresh recompute`` holds for
+    pairs and clusters on un-capped corpora (the over-cap chain caveat
+    from ``_segment_pairs`` applies, same as retraction).
+
+    Clustering is a full CC over old ∪ delta pairs — the same choice as
+    ``incremental_resolve``: the win is never re-verifying old-old
+    pairs, and CC over the (slim) pair table is cheap next to the text
+    verify.  A new doc can MERGE old clusters (it bridges them), so
+    scoped re-labelling would need the merge closure anyway.
+    """
+    from .clustering import connected_components
+
+    flag = lambda v: lambda t: pa.table(  # noqa: E731
+        {
+            "doc_id": pa.compute.cast(t["doc_id"], pa.int64()),
+            "text": t["text"],
+            "is_new": pa.array(np.full(t.num_rows, v, np.int8), pa.int8()),
+        }
+    )
+    docs_flagged = old_docs_ds.map_batches(
+        flag(0), batch_format="pyarrow"
+    ).union(new_docs_ds.map_batches(flag(1), batch_format="pyarrow"))
+
+    banded = docs_flagged.map_batches(
+        lambda t: minhash_sketch_batch(t, shingle_k, bands), batch_format="pyarrow"
+    ).map_batches(_add_key_bucket, batch_format="pyarrow")
+    delta_cands = (
+        banded.groupby("bucket")
+        .map_groups(_bucket_delta_pairs, batch_format="pandas")
+        .materialize()
+    )
+    docs_all = docs_flagged.map_batches(
+        lambda t: t.select(["doc_id", "text"]), batch_format="pyarrow"
+    )
+    delta_pairs = _verify_candidates(
+        _fold_candidate_pairs(delta_cands).materialize(),
+        docs_all,
+        threshold,
+        shingle_k,
+    ).materialize()
+    pairs = old_pairs_ds.union(delta_pairs).materialize()
+
+    def pad(col):
+        return pa.compute.utf8_lpad(
+            pa.compute.cast(col, pa.string()), width=12, padding="0"
+        )
+
+    nodes = docs_all.map_batches(
+        lambda t: pa.table({"address": pad(t["doc_id"])}), batch_format="pyarrow"
+    )
+    edges = pairs.map_batches(
+        lambda t: pa.table({"addr_a": pad(t["doc_a"]), "addr_b": pad(t["doc_b"])}),
+        batch_format="pyarrow",
+    )
+    clusters = connected_components(nodes, edges, max_rounds).map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": pa.compute.cast(t["address"], pa.int64()),
+                "cluster_id": pa.compute.cast(t["cluster_id"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return {"pairs": pairs, "clusters": clusters.materialize()}
 
 
 DEDUP_RETRACT_BROADCAST_LIMIT = 2_000_000  # removed / affected ids above this

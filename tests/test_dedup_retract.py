@@ -1,7 +1,9 @@
-"""Retraction for the near-dedup family (minhash_retract_clusters):
-retract(add(X)) == never-added on pairs AND clusters, including the
-cluster-split and label-rename cases — the dedup mirror of the resolve
-pipeline's incremental_retract tests."""
+"""Incrementality for the near-dedup family: minhash_retract_clusters
+(retract(add(X)) == never-added on pairs AND clusters, including the
+cluster-split and label-rename cases) and minhash_incremental_clusters
+(add == fresh recompute, including the cluster-MERGE case, with old-old
+pairs never re-verified) — the dedup mirrors of the resolve pipeline's
+incremental tests."""
 
 import numpy as np
 import pyarrow as pa
@@ -9,6 +11,7 @@ import ray.data as rd
 
 from email_address_parser_ray.stages.dedup import (
     minhash_dedup_clusters,
+    minhash_incremental_clusters,
     minhash_retract_clusters,
     minhash_verified_pairs,
 )
@@ -92,6 +95,69 @@ def test_retract_untouched_clusters_keep_labels(ray_session):
     assert 20 not in after
     for d, c in after.items():
         assert before[d] == c  # singleton removal touches nothing else
+
+
+def _split_corpus(docs, new_ids):
+    new_mask = pa.compute.is_in(docs["doc_id"], value_set=pa.array(new_ids, pa.int64()))
+    return docs.filter(pa.compute.invert(new_mask)), docs.filter(new_mask)
+
+
+def test_incremental_add_equals_fresh_and_merges(ray_session):
+    """Adding doc 11 (the chain's middle) must MERGE the old {10} and
+    {12, 13} clusters, and the whole state must equal a fresh run."""
+    docs = _chain_corpus()
+    old_docs, new_docs = _split_corpus(docs, [11])
+    old_pairs = minhash_verified_pairs(rd.from_arrow(old_docs), threshold=0.5).materialize()
+    old_clusters = minhash_dedup_clusters(rd.from_arrow(old_docs), threshold=0.5)
+    before = _cluster_map(old_clusters)
+    assert before[10] != before[12]  # pre-merge: A separate from {C, D}
+
+    out = minhash_incremental_clusters(
+        rd.from_arrow(old_docs), old_pairs, rd.from_arrow(new_docs), threshold=0.5
+    )
+    fresh_pairs = minhash_verified_pairs(rd.from_arrow(docs), threshold=0.5)
+    fresh_clusters = minhash_dedup_clusters(rd.from_arrow(docs), threshold=0.5)
+    assert _pair_set(out["pairs"]) == _pair_set(fresh_pairs)
+    got = _cluster_map(out["clusters"])
+    assert got == _cluster_map(fresh_clusters)
+    assert got[10] == got[11] == got[12] == got[13] == 10  # merged
+
+
+def test_incremental_add_then_retract_roundtrip(ray_session):
+    docs = _chain_corpus()
+    old_docs, new_docs = _split_corpus(docs, [11, 13])
+    old_pairs = minhash_verified_pairs(rd.from_arrow(old_docs), threshold=0.5).materialize()
+    old_clusters = minhash_dedup_clusters(
+        rd.from_arrow(old_docs), threshold=0.5
+    ).materialize()
+
+    added = minhash_incremental_clusters(
+        rd.from_arrow(old_docs), old_pairs, rd.from_arrow(new_docs), threshold=0.5
+    )
+    back = minhash_retract_clusters(
+        added["pairs"],
+        added["clusters"],
+        rd.from_arrow(pa.table({"doc_id": pa.array([11, 13], pa.int64())})),
+    )
+    assert _pair_set(back["pairs"]) == _pair_set(old_pairs)
+    assert _cluster_map(back["clusters"]) == _cluster_map(old_clusters)
+
+
+def test_incremental_add_nothing_new_near(ray_session):
+    """Adding an unrelated doc leaves every old pair and label intact
+    and gives the newcomer a singleton cluster."""
+    docs = _chain_corpus()
+    old_docs, new_docs = _split_corpus(docs, [22])
+    old_pairs = minhash_verified_pairs(rd.from_arrow(old_docs), threshold=0.5).materialize()
+    old_clusters = minhash_dedup_clusters(rd.from_arrow(old_docs), threshold=0.5)
+    out = minhash_incremental_clusters(
+        rd.from_arrow(old_docs), old_pairs, rd.from_arrow(new_docs), threshold=0.5
+    )
+    assert _pair_set(out["pairs"]) == _pair_set(old_pairs)
+    got = _cluster_map(out["clusters"])
+    assert got[22] == 22
+    for d, c in _cluster_map(old_clusters).items():
+        assert got[d] == c
 
 
 def test_retract_noop_and_unknown_id(ray_session):
