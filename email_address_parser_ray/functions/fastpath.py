@@ -375,3 +375,95 @@ def extract_mentions_batch(batch: pa.Table, is_lax: bool = True) -> pa.Table:
             "is_strict": pa.array(o_strict, pa.bool_()),
         }
     )
+
+
+def redact_mentions_batch(
+    batch: pa.Table,
+    is_lax: bool = True,
+    placeholder: str = "[EMAIL]",
+    column: str = "text",
+) -> pa.Table:
+    """PII-redaction kernel: the inverse of ``extract_mentions_batch``.
+
+    Replaces every mention the extraction contract detects — parsed
+    ``<addr-spec>`` spans (the whole ``<...>``) and bare strict tokens
+    outside them — with ``placeholder``, leaving every other byte
+    untouched.  Same mega-string scan as extraction (vectorized
+    candidate prefilter, one compiled-pattern pass over the NUL-joined
+    batch), so redact ∘ extract consistency is structural:
+    ``extract(redact(t))`` is empty and redaction is idempotent as long
+    as ``placeholder`` itself contains no '@' or '<'.  Training-data
+    privacy surface (pairs with the retraction paths: forget the
+    records AND scrub the text).
+
+    Output = input table with ``column`` rewritten + an ``n_redacted``
+    int32 column.
+    """
+    if "@" in placeholder or "<" in placeholder:
+        raise ValueError("placeholder must not itself look like a mention")
+    texts = batch[column]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    has_candidate = np.asarray(
+        pc.or_(
+            pc.match_substring(texts, "@"), pc.match_substring(texts, "<")
+        ).to_numpy(zero_copy_only=False),
+        dtype=bool,
+    )
+    n = batch.num_rows
+    n_red = np.zeros(n, dtype=np.int32)
+    cand_idx = np.flatnonzero(has_candidate)
+    if len(cand_idx) == 0:
+        return batch.append_column("n_redacted", pa.array(n_red, pa.int32()))
+
+    texts_py = texts.take(pa.array(cand_idx)).to_pylist()
+    joined = "\x00".join(texts_py)
+    lens = np.fromiter((len(t) for t in texts_py), dtype=np.int64)
+    offsets = np.zeros(len(texts_py), dtype=np.int64)
+    np.cumsum(lens[:-1] + 1, out=offsets[1:])
+
+    spans: List[Tuple[int, int]] = []
+    for m in ANGLE_JOINED_RE.finditer(joined):
+        if _parse_candidate(m.group(1), is_lax) is not None:
+            spans.append((m.start(), m.end()))
+    span_starts = np.array([s for s, _ in spans], dtype=np.int64)
+    span_ends = np.array([e for _, e in spans], dtype=np.int64)
+    for m in BARE_RE.finditer(joined):
+        s, e = m.span(1)
+        if len(span_starts):
+            j = int(np.searchsorted(span_starts, s, side="right") - 1)
+            if j >= 0 and s < span_ends[j]:
+                continue  # inside a parsed angle span
+        spans.append((s, e))
+    spans.sort()
+
+    redacted = list(texts_py)
+    if spans:
+        starts = np.fromiter((s for s, _ in spans), dtype=np.int64, count=len(spans))
+        rows = np.searchsorted(offsets, starts, side="right") - 1
+        j = 0
+        while j < len(spans):
+            row = int(rows[j])
+            base = int(offsets[row])
+            parts: List[str] = []
+            at = 0
+            src = texts_py[row]
+            k = j
+            while k < len(spans) and int(rows[k]) == row:
+                s, e = spans[k]
+                parts.append(src[at : s - base])
+                parts.append(placeholder)
+                at = e - base
+                k += 1
+            parts.append(src[at:])
+            redacted[row] = "".join(parts)
+            n_red[cand_idx[row]] = k - j
+            j = k
+
+    out_texts = texts.to_pylist()
+    for i, row in enumerate(cand_idx):
+        out_texts[int(row)] = redacted[i]
+    cols = {name: batch[name] for name in batch.column_names}
+    cols[column] = pa.array(out_texts, pa.string())
+    cols["n_redacted"] = pa.array(n_red, pa.int32())
+    return pa.table(cols)
