@@ -316,6 +316,35 @@ def test_embedding_near_dup_driver_fold_matches_distributed(ray_session):
     assert ann.NEARDUP_SMALL_INPUT_BYTES < 10**12
 
 
+def test_embedding_near_dup_fold_branches(ray_session, monkeypatch):
+    """All three fold regimes agree: gram scan (default), the
+    capped-candidate branch (gram row cap forced to 0), and the
+    decline-to-distributed path (pair budget forced to 0)."""
+    from email_address_parser_ray.sources.io import read_parquet_clean
+    from email_address_parser_ray.stages import ann
+
+    emb = read_parquet_clean(
+        "/root/testdata/sf0.001/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    key = lambda df: sorted(map(tuple, df[["vec_a", "vec_b", "cos_e3"]].to_numpy()))
+    gram = ann.embedding_near_dup_pairs(
+        emb, d=64, threshold=0.45, input_bytes_hint=1
+    ).to_pandas()
+
+    monkeypatch.setattr(ann, "NEARDUP_GRAM_MAX_ROWS", 0)
+    cand = ann.embedding_near_dup_pairs(
+        emb, d=64, threshold=0.45, input_bytes_hint=1
+    ).to_pandas()
+    assert key(cand) == key(gram)
+
+    monkeypatch.setattr(ann, "NEARDUP_FOLD_MAX_PAIRS", 0)
+    declined = ann.embedding_near_dup_pairs(
+        emb, d=64, threshold=0.45, input_bytes_hint=1
+    ).to_pandas()
+    assert key(declined) == key(gram)
+    assert len(gram) > 0
+
+
 def test_ivf_topk_probe_behavior(ray_session):
     """Exhaustive probe equals brute force; restricted probe returns k
     results drawn only from the probed cells."""
