@@ -570,7 +570,24 @@ def embedding_near_dup_pairs(
         cand_mat = rd.from_arrow(tbl.group_by(["vec_a", "vec_b"]).aggregate([]))
     else:
         cand_mat = sorted_pair_dedup(cands, ["vec_a", "vec_b"])
-    cand_mat = cand_mat.materialize()
+    return _verify_vec_pairs(cand_mat.materialize(), embeddings_ds, d, threshold)
+
+
+def _verify_vec_pairs(cand_mat, embeddings_ds, d: int, threshold: float):
+    """Exact-cosine verify of a MATERIALIZED (vec_a, vec_b) candidate
+    dataset against the embeddings source — the gated broadcast /
+    twin-hash-join stage shared by ``embedding_near_dup_pairs`` and the
+    incremental add path (gate rationale in that function's docstring)."""
+    import ray
+    import ray.data as rd
+
+    from .joins import hash_join
+
+    out_schema = pa.schema(
+        [("vec_a", pa.int64()), ("vec_b", pa.int64()), ("cos_e3", pa.int64())]
+    )
+    if cand_mat.count() == 0:
+        return rd.from_arrow(out_schema.empty_table())
 
     # unique touched ids computed DISTRIBUTED (per-batch partial unique);
     # only the id partials reach the driver, never the pair table
@@ -685,3 +702,161 @@ def embedding_near_dup_pairs(
         )
 
     return joined.map_batches(verify_joined, batch_format="pyarrow", batch_size=None)
+
+
+def embedding_incremental_pairs(
+    old_embeddings_ds,
+    old_pairs_ds,
+    new_embeddings_ds,
+    d: int,
+    threshold: float = 0.45,
+    planes_per_band: int = 2,
+    n_bands: int = 24,
+):
+    """Fold a new vector stream into an existing near-dup pair state —
+    the embedding mirror of ``minhash_incremental_clusters``'s pair
+    stage (the daily-append path).  Band keys are deterministic
+    functions of the vector, so candidates with BOTH sides old are
+    exactly the pairs the previous run verified: they are suppressed
+    inside the band buckets and the exact-cosine verify — the stage
+    that touches vectors again — runs only on new-new and new-old
+    pairs.  ``add(X) == fresh recompute`` on un-capped corpora (the
+    ``_segment_pairs`` over-cap chain caveat applies, as everywhere in
+    the near-dup family).  Returns old ∪ delta verified pairs."""
+    import ray.data as rd
+
+    from .dedup import _add_key_bucket, _segment_pairs, sorted_pair_dedup
+    from ..functions.arrowutil import concat_nonempty
+
+    rng = np.random.RandomState(_PROJ_RNG_SEED + 7)
+    planes = rng.normal(size=(n_bands * planes_per_band, d))
+    weights = 1 << np.arange(planes_per_band)
+
+    def flag(v: int):
+        def f(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return pa.table(
+                {
+                    "vec_id": pc.cast(t["vec_id"], pa.int64()),
+                    "embedding": t["embedding"],
+                    "is_new": pa.array(np.full(t.num_rows, v, np.int8), pa.int8()),
+                }
+            )
+
+        return f
+
+    emb_flagged = old_embeddings_ds.map_batches(
+        flag(0), batch_format="pyarrow"
+    ).union(new_embeddings_ds.map_batches(flag(1), batch_format="pyarrow"))
+
+    def add_bands(batch: pa.Table) -> pa.Table:
+        m = _normalize(_batch_matrix(batch))
+        bits = (m @ planes.T) > 0
+        n = len(m)
+        keys = np.empty((n, n_bands), dtype=np.int64)
+        for band in range(n_bands):
+            seg = bits[:, band * planes_per_band : (band + 1) * planes_per_band]
+            keys[:, band] = (seg * weights).sum(axis=1) + (band << 32)
+        vec_ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        flags = batch["is_new"].to_numpy(zero_copy_only=False).astype(np.int8)
+        return pa.table(
+            {
+                "band_key": pa.array(keys.reshape(-1), pa.int64()),
+                "vec_id": pa.array(np.repeat(vec_ids, n_bands), pa.int64()),
+                "is_new": pa.array(np.repeat(flags, n_bands), pa.int8()),
+            }
+        )
+
+    def bucket_delta_pairs(g: pd.DataFrame) -> pa.Table:
+        empty = pa.table(
+            {"vec_a": pa.array([], pa.int64()), "vec_b": pa.array([], pa.int64())}
+        )
+        g = (
+            g.drop_duplicates(["band_key", "vec_id"])
+            .sort_values(["band_key", "vec_id"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        ia, ib = _segment_pairs(g["band_key"].to_numpy(), NEARDUP_MAX_SEGMENT)
+        if len(ia) == 0:
+            return empty
+        flags = g["is_new"].to_numpy().astype(bool)
+        keep = flags[ia] | flags[ib]  # suppress old-old (already verified)
+        ia, ib = ia[keep], ib[keep]
+        if len(ia) == 0:
+            return empty
+        ids = g["vec_id"].to_numpy()
+        df = pd.DataFrame({"vec_a": ids[ia], "vec_b": ids[ib]}).drop_duplicates()
+        return from_pandas_clean(df)
+
+    pair_schema = pa.schema([("vec_a", pa.int64()), ("vec_b", pa.int64())])
+    cands = (
+        emb_flagged.map_batches(add_bands, batch_format="pyarrow")
+        .map_batches(_add_key_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_delta_pairs, batch_format="pandas")
+        .materialize()
+    )
+    import ray
+
+    if cands.count() <= NEARDUP_SMALL_CAND_LIMIT:
+        tbl = concat_nonempty(ray.get(cands.to_arrow_refs()), pair_schema)
+        cand_mat = rd.from_arrow(tbl.group_by(["vec_a", "vec_b"]).aggregate([]))
+    else:
+        cand_mat = sorted_pair_dedup(cands, ["vec_a", "vec_b"])
+    emb_all = emb_flagged.map_batches(
+        lambda t: t.select(["vec_id", "embedding"]), batch_format="pyarrow"
+    )
+    delta = _verify_vec_pairs(cand_mat.materialize(), emb_all, d, threshold)
+    return old_pairs_ds.union(delta.materialize()).materialize()
+
+
+EMB_RETRACT_BROADCAST_LIMIT = 2_000_000  # removed ids above this → anti joins
+
+
+def embedding_retract_pairs(old_pairs_ds, removed_ids_ds):
+    """Retraction for the embedding near-dup pair state: drop every pair
+    touching a removed ``vec_id``.  A verified pair depends only on its
+    two vectors, so on un-capped corpora the result equals a fresh
+    ``embedding_near_dup_pairs`` over the reduced table — the embedding
+    mirror of ``minhash_retract_clusters``'s pair GC."""
+    import ray
+
+    from .joins import hash_join
+
+    rem_mat = removed_ids_ds.map_batches(
+        lambda t: pa.table({"vec_id": pa.compute.cast(t["vec_id"], pa.int64())}),
+        batch_format="pyarrow",
+    ).materialize()
+    n_rem = rem_mat.count()
+    if n_rem == 0:
+        return old_pairs_ds.materialize()
+    if n_rem <= EMB_RETRACT_BROADCAST_LIMIT:
+        parts = [t for t in ray.get(rem_mat.to_arrow_refs()) if t.num_rows]
+        rem_ref = ray.put(
+            pa.concat_tables(parts)["vec_id"].combine_chunks()
+        )
+
+        def gc(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            rids = ray.get(rem_ref)
+            bad = pc.or_(
+                pc.is_in(t["vec_a"], value_set=rids),
+                pc.is_in(t["vec_b"], value_set=rids),
+            )
+            return t.filter(pc.invert(bad))
+
+        return old_pairs_ds.map_batches(gc, batch_format="pyarrow").materialize()
+    da = rem_mat.map_batches(
+        lambda t: pa.table({"vec_a": t["vec_id"]}), batch_format="pyarrow"
+    )
+    db = rem_mat.map_batches(
+        lambda t: pa.table({"vec_b": t["vec_id"]}), batch_format="pyarrow"
+    )
+    return hash_join(
+        hash_join(old_pairs_ds, da, on="vec_a", join_type="left_anti"),
+        db,
+        on="vec_b",
+        join_type="left_anti",
+    ).materialize()
