@@ -1197,8 +1197,16 @@ def oracle_sql() -> dict[str, str]:
             "WHEN es >= fr AND es >= de THEN 'es' "
             "WHEN fr >= de THEN 'fr' ELSE 'de' END "
             "ELSE 'und' END AS lang_pred, "
-            "CAST(greatest(en, es, fr, de) * 1000000 // n AS BIGINT) AS lang_score_ppm "
-            "FROM documents d JOIN lid USING (doc_id)"
+            "CAST(greatest(en, es, fr, de) * 1000000 // n AS BIGINT) AS lang_score_ppm, "
+            # normalization family over the shared messy variant (the raw
+            # corpus is ASCII/lowercase/single-spaced, so both sides build
+            # the same perturbed string — see textstats.messy_variant)
+            "md5(trim(regexp_replace(lower(nfc_normalize(messy)), '\\s+', ' ', 'g'), ' ')) AS norm_fp, "
+            "CAST(length(trim(regexp_replace(lower(nfc_normalize(messy)), '\\s+', ' ', 'g'), ' ')) AS BIGINT) AS norm_len, "
+            "md5(trim(regexp_replace(lower(strip_accents(messy)), '\\s+', ' ', 'g'), ' ')) AS ascii_fp "
+            "FROM (SELECT *, ' ' || upper(substr(text, 1, 40)) || chr(9) || "
+            "chr(201) || ' ' || chr(101) || chr(769) || chr(13) || chr(10) || "
+            "text || '  ' AS messy FROM documents) d JOIN lid USING (doc_id)"
         ),
         "docs_near_pairs": (
             # union of the two pair detectors at the same grain: the

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import hashlib
 import re
+import unicodedata
 from typing import Dict
 
 import numpy as np
@@ -29,6 +30,58 @@ _STOPWORDS: Dict[str, set] = {
     "fr": {"le", "la", "de", "et", "les", "des", "un", "une", "est", "dans"},
     "de": {"der", "die", "das", "und", "ist", "von", "ein", "eine", "zu", "mit"},
 }
+
+
+def normalize_text(
+    text,
+    *,
+    form: str = "NFC",
+    lower: bool = True,
+    collapse_ws: bool = True,
+    strip_marks: bool = False,
+) -> pa.Array:
+    """Vectorized text canonicalization: Unicode normalize -> lowercase ->
+    collapse whitespace runs to a single space -> trim.  The operation
+    order mirrors the DuckDB oracle expression
+    ``trim(regexp_replace(lower(nfc_normalize(t)), '\\s+', ' ', 'g'), ' ')``
+    byte-for-byte.
+
+    ``strip_marks=True`` replaces the normalize step with NFD + removal of
+    combining marks (``\\p{Mn}``), which reproduces DuckDB's
+    ``strip_accents`` exactly (both keep ligatures and fullwidth forms —
+    verified: ``Ø`` and ``ﬁ`` survive, ``é``/``ñ``/``ü`` lose their marks).
+
+    Scale note: pyarrow 16's ``utf8_normalize`` decomposes but never
+    composes (NFC/NFKC come back decomposed), so composing forms use an
+    ASCII fast path — rows whose byte length equals their codepoint count
+    skip normalization entirely; only the non-ASCII minority goes through
+    ``unicodedata.normalize``.  On web-scale corpora that minority is the
+    per-batch exception, not the rule, so the hot path stays in Arrow.
+    """
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    if strip_marks:
+        text = pc.replace_substring_regex(
+            pc.utf8_normalize(text, form="NFD"), r"\p{Mn}", ""
+        )
+    elif form in ("NFD", "NFKD"):
+        text = pc.utf8_normalize(text, form=form)
+    else:  # NFC / NFKC: Arrow can't compose — Python fallback on non-ASCII rows only
+        nonascii = pc.not_equal(pc.binary_length(text), pc.utf8_length(text))
+        if pc.any(nonascii).as_py():
+            idx = np.flatnonzero(nonascii.to_numpy(zero_copy_only=False))
+            fixed = pa.array(
+                [unicodedata.normalize(form, text[i].as_py()) for i in idx],
+                pa.string(),
+            )
+            mask = np.zeros(len(text), bool)
+            mask[idx] = True
+            text = pc.replace_with_mask(text, pa.array(mask), fixed)
+    if lower:
+        text = pc.utf8_lower(text)
+    if collapse_ws:
+        text = pc.utf8_trim(pc.replace_substring_regex(text, r"\s+", " "), " ")
+    return text
 
 
 def token_stats(batch: pa.Table) -> pa.Table:
@@ -88,6 +141,47 @@ def fingerprint(batch: pa.Table) -> pa.Table:
     )
 
 
+def _md5_col(arr) -> pa.Array:
+    return pa.array(
+        [hashlib.md5(t.encode("utf-8")).hexdigest() for t in arr.to_pylist()],
+        pa.string(),
+    )
+
+
+def messy_variant(text) -> pa.Array:
+    """Deterministic perturbation for the normalization oracle.  The
+    synthetic corpus is all-ASCII, lowercase, single-spaced — normalizing
+    it raw would be an identity no-op, proving nothing.  Both sides (this
+    kernel and the DuckDB SQL in ``__ray_entry__.oracle_sql``) build the
+    SAME messy string — leading space, first 40 chars uppercased, tab,
+    precomposed É, decomposed e+U+0301, CRLF, the original text, trailing
+    double space — so the value check exercises case folding, NFC
+    composition, accent stripping and whitespace collapse on real work."""
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    upper40 = pc.utf8_upper(pc.utf8_slice_codeunits(text, 0, 40))
+    return pc.binary_join_element_wise(
+        " ", upper40, "\t\u00c9 e\u0301\r\n", text, "  ", ""
+    )
+
+
+def normalization_profile(batch: pa.Table) -> pa.Table:
+    """norm_fp/norm_len (NFC+lower+ws-collapse canonical form) and
+    ascii_fp (accent-stripped form) of the messy variant — the
+    value-checked surface of ``normalize_text``."""
+    messy = messy_variant(batch["text"])
+    norm = normalize_text(messy)
+    asc = normalize_text(messy, strip_marks=True)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "norm_fp": _md5_col(norm),
+            "norm_len": pc.cast(pc.utf8_length(norm), pa.int64()),
+            "ascii_fp": _md5_col(asc),
+        }
+    )
+
+
 def text_profile(batch: pa.Table) -> pa.Table:
     """One-pass per-document text profile: the union of ``token_stats``,
     ``quality_stats``, ``fingerprint`` and ``lang_id`` columns (shared
@@ -99,6 +193,7 @@ def text_profile(batch: pa.Table) -> pa.Table:
     qual = quality_stats(batch)
     fp = fingerprint(batch)
     lang = lang_id(batch)
+    norm = normalization_profile(batch)
     return pa.table(
         {
             "doc_id": batch["doc_id"],
@@ -113,6 +208,9 @@ def text_profile(batch: pa.Table) -> pa.Table:
             "fp": fp["fp"],
             "lang_pred": lang["lang_pred"],
             "lang_score_ppm": lang["lang_score_ppm"],
+            "norm_fp": norm["norm_fp"],
+            "norm_len": norm["norm_len"],
+            "ascii_fp": norm["ascii_fp"],
         }
     )
 

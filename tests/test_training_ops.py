@@ -195,6 +195,49 @@ def test_token_stats_vectorized():
     assert out["n_bpeish"].to_pylist()[1] == 5
 
 
+def test_normalize_text_canonical_form():
+    """NFC composition (via the non-ASCII fallback — pyarrow 16's
+    utf8_normalize never composes), case folding, whitespace collapse."""
+    from email_address_parser_ray.functions.textstats import normalize_text
+
+    decomposed = "Café  du\tMonde\r\n"
+    out = normalize_text(pa.array([decomposed, "  plain   ASCII  ", ""]))
+    assert out.to_pylist() == ["café du monde", "plain ascii", ""]
+    # idempotent: normalizing the output is a no-op
+    assert normalize_text(out).to_pylist() == out.to_pylist()
+
+
+def test_normalize_text_strip_marks_matches_duckdb():
+    """strip_marks must reproduce DuckDB strip_accents: combining marks
+    go, but ligatures / fullwidth / non-decomposable letters survive."""
+    import duckdb
+
+    from email_address_parser_ray.functions.textstats import normalize_text
+
+    cases = ["Éclair CAFÉ", "Øresund ﬁle", "niño über"]
+    ours = normalize_text(pa.array(cases), strip_marks=True).to_pylist()
+    con = duckdb.connect()
+    for c, mine in zip(cases, ours):
+        want, = con.execute(
+            "SELECT trim(regexp_replace(lower(strip_accents(?)), "
+            "'\\s+', ' ', 'g'), ' ')", [c]
+        ).fetchone()
+        assert mine == want
+    assert ours[0] == "eclair cafe"
+    assert ours[1] == "øresund ﬁle"  # Ø and the fi ligature survive
+
+
+def test_normalize_text_nfkc_compatibility():
+    """NFKC folds fullwidth and ligature compatibility forms (Python
+    unicodedata path, exercised because the rows are non-ASCII)."""
+    from email_address_parser_ray.functions.textstats import normalize_text
+
+    out = normalize_text(
+        pa.array(["ＦＵＬＬ ﬁle"]), form="NFKC"
+    )
+    assert out.to_pylist() == ["full file"]
+
+
 def test_lang_id_english_stopwords():
     from email_address_parser_ray.functions.textstats import lang_id
 
