@@ -1,0 +1,278 @@
+"""Mergeable sketch primitives — HyperLogLog distinct counting and
+Bloom-filter join prefilters.
+
+At 100 TB the exact machinery for COUNT DISTINCT (two-level groupby)
+and anti/semi joins (full hash-partitioned shuffle of BOTH sides) is
+often 100x more movement than the question needs.  The two classic
+sketches here fix that with the engine's standard partial-combine
+shape — per-block numpy partials, one tiny driver fold — and both are
+PARTITION-INVARIANT by construction (register max / bitmap OR are
+commutative + associative + idempotent), so repartitioning, retries or
+cluster size cannot change the answer:
+
+* **HyperLogLog** (Flajolet et al. 2007, public algorithm): one uint8
+  register file of ``2^p`` bytes per block → ``np.maximum`` fold →
+  bias-corrected harmonic-mean estimate with the standard small-range
+  (linear counting) and 64-bit large-range corrections.  4 KB of state
+  at p=12 summarises any number of rows with ~1.6 % standard error;
+  registers are mergeable across days/shards, which is what makes it a
+  pipeline primitive rather than a query trick (store the registers,
+  never recount).
+
+* **Bloom filter** (Bloom 1970) with Kirsch–Mitzenmacher double
+  hashing: per-block OR partials over a caller-sized bitmap, then
+  EXACTNESS-PRESERVING join prefilters — ``bloom_anti_join`` /
+  ``bloom_semi_join`` split the big side into definite-misses (the
+  filter's no-false-negative guarantee decides them outright, no
+  shuffle) and maybe-hits (routed through the exact hash join).  The
+  output equals the exact join row-for-row; the win is that at scale
+  the maybe-hit side is the only data that ever reaches the shuffle.
+
+Both sketches hash with the engine's production key hash (pandas'
+stable fixed-key siphash → splitmix64 finisher — the
+``fast_partition`` precedent, ``sources/io.py``): deterministic across
+processes and machines, no PYTHONHASHSEED, no per-row Python.  Like
+``stages/logreg.py`` these are approximate/iterative primitives with
+no faithful SQL form, so they are pytest-pinned (accuracy envelope,
+partition invariance, merge laws, equality-with-exact-join) rather
+than driver-oracled.
+
+Reference analog: none (the reference is a single-value parser); this
+file is part of the engine-addition tier alongside dedup/ANN/kmeans.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.hashing import mix64
+
+# ---------------------------------------------------------------------------
+# shared key hashing
+# ---------------------------------------------------------------------------
+
+
+def hash64_column(col) -> np.ndarray:
+    """Arrow array/chunked array → uint64 hashes (vectorized, stable).
+
+    pandas' fixed-key siphash covers strings and ints at C speed;
+    mix64 decorrelates it so register/bit indices are uniform."""
+    import pandas as pd
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    h = pd.util.hash_pandas_object(col.to_pandas(), index=False).to_numpy()
+    return mix64(h.astype(np.uint64))
+
+
+def _bit_length_u64(w: np.ndarray) -> np.ndarray:
+    """Exact vectorized bit_length for uint64 (0 → 0).  Six masked
+    shift passes — no float log2, so no rounding cliff at powers of
+    two."""
+    w = w.copy()
+    bl = np.zeros(len(w), np.int64)
+    for s in (32, 16, 8, 4, 2, 1):
+        m = w >= (np.uint64(1) << np.uint64(s))
+        bl[m] += s
+        w[m] >>= np.uint64(s)
+    bl[w > 0] += 1
+    return bl
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+
+def hll_batch_registers(hashes: np.ndarray, p: int) -> np.ndarray:
+    """uint64 hashes → one (2^p,) uint8 register file: register j holds
+    the max over the batch of rho(w) = leading-zero count + 1 of the
+    top 64-p hash bits, bucketed by the low p bits."""
+    m = 1 << p
+    regs = np.zeros(m, np.uint8)
+    if len(hashes) == 0:
+        return regs
+    bucket = (hashes & np.uint64(m - 1)).astype(np.int64)
+    w = hashes >> np.uint64(p)
+    rho = ((64 - p) - _bit_length_u64(w) + 1).astype(np.uint8)
+    np.maximum.at(regs, bucket, rho)
+    return regs
+
+
+def hll_partials(ds, col: str, p: int = 12):
+    """Dataset → Dataset of per-block register files (one ~2^p-byte
+    binary row per input block).  The partial stream is what a 100-TB
+    run persists/merges — O(blocks) rows regardless of input size."""
+    def partial(batch: pa.Table) -> pa.Table:
+        regs = hll_batch_registers(hash64_column(batch[col]), p)
+        return pa.table({"registers": pa.array([regs.tobytes()], pa.binary())})
+
+    return ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+
+
+def hll_merge(register_blobs, p: int = 12) -> np.ndarray:
+    """Fold any number of register files (bytes) with elementwise max —
+    the HLL merge law.  Empty input = empty-set registers."""
+    regs = np.zeros(1 << p, np.uint8)
+    for blob in register_blobs:
+        r = np.frombuffer(blob, np.uint8)
+        if len(r) != len(regs):
+            raise ValueError(f"register size mismatch: {len(r)} vs {len(regs)}")
+        np.maximum(regs, r, out=regs)
+    return regs
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    """Standard HLL estimate: bias-corrected harmonic mean, linear
+    counting below 2.5m, 64-bit-hash large-range correction."""
+    m = len(regs)
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
+    est = alpha * m * m / np.power(2.0, -regs.astype(np.float64)).sum()
+    if est <= 2.5 * m:
+        zeros = int((regs == 0).sum())
+        if zeros:
+            return m * np.log(m / zeros)
+    two64 = float(2**64)
+    if est > two64 / 30.0:
+        return -two64 * np.log1p(-est / two64)
+    return float(est)
+
+
+def approx_distinct(ds, col: str, p: int = 12) -> float:
+    """End-to-end approximate COUNT(DISTINCT col): distributed register
+    partials, tiny driver fold (one 2^p-byte row per block — the ONLY
+    thing that ever reaches the driver), estimate.  ~1.04/sqrt(2^p)
+    standard error (1.6 % at the default p=12 / 4 KB)."""
+    import ray
+
+    blobs = []
+    for ref in hll_partials(ds, col, p).to_arrow_refs():
+        t = ray.get(ref)
+        # zero-row inputs can surface blocks with the input schema
+        if "registers" in t.schema.names:
+            blobs.extend(t["registers"].to_pylist())
+    return hll_estimate(hll_merge(blobs, p))
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter + exactness-preserving join prefilters
+# ---------------------------------------------------------------------------
+
+BLOOM_MAX_BYTES = 64 * 1024 * 1024  # driver fold + broadcast budget
+
+_BLOOM_SALT_A = np.uint64(0xA076_1D64_78BD_642F)
+_BLOOM_SALT_B = np.uint64(0xE703_7ED1_A0B4_28DB)
+
+
+def _bloom_indices(hashes: np.ndarray, n_bits: int, k: int) -> np.ndarray:
+    """(n*k,) bit indices via Kirsch–Mitzenmacher double hashing:
+    idx_i = (h1 + i*h2) mod n_bits."""
+    h1 = mix64(hashes ^ _BLOOM_SALT_A)
+    h2 = mix64(hashes ^ _BLOOM_SALT_B) | np.uint64(1)  # odd → full orbit
+    i = np.arange(k, dtype=np.uint64).reshape(1, -1)
+    with np.errstate(over="ignore"):
+        idx = (h1.reshape(-1, 1) + i * h2.reshape(-1, 1)) % np.uint64(n_bits)
+    return idx.reshape(-1)
+
+
+def bloom_bits_for(n_keys: int, fp_rate: float = 0.01) -> tuple:
+    """Textbook sizing: (n_bits, k) for a target false-positive rate.
+    n_bits = -n ln(fp) / ln(2)^2 rounded up to a byte, k = ln(2)*bits/n."""
+    n_keys = max(1, n_keys)
+    n_bits = int(np.ceil(-n_keys * np.log(fp_rate) / (np.log(2) ** 2)))
+    n_bits = max(64, (n_bits + 7) & ~7)
+    k = max(1, int(round(np.log(2) * n_bits / n_keys)))
+    return n_bits, min(k, 16)
+
+
+def bloom_build(ds, col: str, n_bits: int, k: int) -> np.ndarray:
+    """Distributed Bloom build: per-block OR partials (one bitmap row
+    per block), driver OR fold.  Raises above ``BLOOM_MAX_BYTES`` —
+    a filter that big should be sharded by key range instead."""
+    import ray
+
+    n_bytes = n_bits // 8
+    if n_bytes > BLOOM_MAX_BYTES:
+        raise ValueError(
+            f"bloom bitmap {n_bytes}B exceeds BLOOM_MAX_BYTES "
+            f"({BLOOM_MAX_BYTES}B); shard the filter by key range"
+        )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        bm = np.zeros(n_bytes, np.uint8)
+        if batch.num_rows:
+            idx = _bloom_indices(hash64_column(batch[col]), n_bits, k)
+            np.bitwise_or.at(bm, (idx >> np.uint64(3)).astype(np.int64),
+                             np.left_shift(1, (idx & np.uint64(7)).astype(np.int64)).astype(np.uint8))
+        return pa.table({"bitmap": pa.array([bm.tobytes()], pa.binary())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    bm = np.zeros(n_bytes, np.uint8)
+    for ref in parts.to_arrow_refs():
+        t = ray.get(ref)
+        if "bitmap" not in t.schema.names:  # zero-row input block
+            continue
+        for blob in t["bitmap"].to_pylist():
+            np.bitwise_or(bm, np.frombuffer(blob, np.uint8), out=bm)
+    return bm
+
+
+def bloom_maybe_mask(bitmap: np.ndarray, hashes: np.ndarray, n_bits: int, k: int) -> np.ndarray:
+    """True where ALL k bits are set (maybe present); False = definite
+    miss.  No false negatives by construction."""
+    if len(hashes) == 0:
+        return np.zeros(0, bool)
+    idx = _bloom_indices(hashes, n_bits, k)
+    bits = (bitmap[(idx >> np.uint64(3)).astype(np.int64)]
+            >> (idx & np.uint64(7)).astype(np.uint8)) & 1
+    return bits.reshape(-1, k).all(axis=1)
+
+
+def _bloom_split(big, on: str, bitmap: np.ndarray, n_bits: int, k: int, want_maybe: bool):
+    """Filter the big side by the broadcast bitmap (ray.put once, read
+    per task — never re-shipped per batch)."""
+    import ray
+
+    bm_ref = ray.put(bitmap)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        bm = ray.get(bm_ref)
+        m = bloom_maybe_mask(bm, hash64_column(batch[on]), n_bits, k)
+        return batch.filter(pa.array(m if want_maybe else ~m))
+
+    return big.map_batches(keep, batch_format="pyarrow")
+
+
+def bloom_anti_join(big, small, on: str, n_bits: int = 0, k: int = 0,
+                    small_count: int = 0):
+    """EXACT left anti join (rows of ``big`` whose key is absent from
+    ``small``) with a Bloom prefilter: definite-misses pass straight
+    through (no shuffle at all — at scale this is almost every row);
+    only the maybe-hit sliver goes through the exact hash join.
+    Auto-sizes the filter from ``small_count`` (or a count() pass)
+    when n_bits/k are 0."""
+    from .joins import hash_join
+
+    if not n_bits:
+        n_bits, k = bloom_bits_for(small_count or small.count())
+    bm = bloom_build(small, on, n_bits, k)
+    definite_miss = _bloom_split(big, on, bm, n_bits, k, want_maybe=False)
+    maybe = _bloom_split(big, on, bm, n_bits, k, want_maybe=True)
+    verified = hash_join(maybe, small.select_columns([on]), on=on,
+                         join_type="left_anti")
+    return definite_miss.union(verified)
+
+
+def bloom_semi_join(big, small, on: str, n_bits: int = 0, k: int = 0,
+                    small_count: int = 0):
+    """EXACT left semi join with a Bloom prefilter: definite-misses are
+    dropped before the shuffle; maybe-hits are verified exactly."""
+    from .joins import hash_join
+
+    if not n_bits:
+        n_bits, k = bloom_bits_for(small_count or small.count())
+    bm = bloom_build(small, on, n_bits, k)
+    maybe = _bloom_split(big, on, bm, n_bits, k, want_maybe=True)
+    return hash_join(maybe, small.select_columns([on]), on=on,
+                     join_type="left_semi")

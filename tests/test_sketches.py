@@ -1,0 +1,167 @@
+"""Sketch primitives: HyperLogLog accuracy/merge laws and Bloom-filter
+join prefilters (exactness-preserving by construction).
+
+Like test_logreg.py these pin approximate/iterative primitives that
+have no faithful SQL form: accuracy envelopes, partition invariance
+(the 100-TB property — retries/repartition cannot change the answer),
+merge laws, and row-for-row equality of the Bloom-prefiltered joins
+with the exact joins they accelerate."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from email_address_parser_ray.stages.sketches import (
+    approx_distinct,
+    bloom_anti_join,
+    bloom_bits_for,
+    bloom_build,
+    bloom_maybe_mask,
+    bloom_semi_join,
+    hash64_column,
+    hll_estimate,
+    hll_merge,
+    hll_partials,
+)
+
+
+def _int_ds(ray, values, blocks=4):
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table({"k": pa.array(values, pa.int64())})
+    ).repartition(blocks)
+
+
+def _merged_registers(ray, ds, p=12):
+    blobs = []
+    for ref in hll_partials(ds, "k", p).to_arrow_refs():
+        blobs.extend(ray.get(ref)["registers"].to_pylist())
+    return hll_merge(blobs, p)
+
+
+def test_hll_accuracy_ints(ray_session):
+    rng = np.random.RandomState(7)
+    truth = 20_000
+    vals = rng.randint(0, truth, size=60_000) * 977  # 20k distinct, repeated
+    ds = _int_ds(ray_session, vals.tolist(), blocks=6)
+    n_true = len(np.unique(vals))
+    est = approx_distinct(ds, "k", p=12)
+    # p=12 → se ≈ 1.04/64 ≈ 1.6%; allow 3.5σ
+    assert abs(est - n_true) / n_true < 0.06
+
+
+def test_hll_accuracy_strings(ray_session):
+    import ray.data as rd
+
+    vals = [f"user-{i % 5000}@example.test" for i in range(25_000)]
+    ds = rd.from_arrow(pa.table({"k": pa.array(vals, pa.string())})).repartition(5)
+    est = approx_distinct(ds, "k", p=12)
+    assert abs(est - 5000) / 5000 < 0.06
+
+
+def test_hll_small_range_linear_counting(ray_session):
+    ds = _int_ds(ray_session, [i % 10 for i in range(1000)], blocks=3)
+    est = approx_distinct(ds, "k", p=12)
+    assert abs(est - 10) <= 1  # linear-counting regime is near-exact
+
+
+def test_hll_partition_invariance(ray_session):
+    vals = (np.arange(30_000) % 7919).tolist()
+    r1 = _merged_registers(ray_session, _int_ds(ray_session, vals, blocks=2))
+    r2 = _merged_registers(ray_session, _int_ds(ray_session, vals, blocks=11))
+    assert np.array_equal(r1, r2)  # max-merge ⇒ layout cannot matter
+
+
+def test_hll_merge_law(ray_session):
+    a = list(range(0, 8000))
+    b = list(range(4000, 12000))
+    ra = _merged_registers(ray_session, _int_ds(ray_session, a))
+    rb = _merged_registers(ray_session, _int_ds(ray_session, b))
+    runion = _merged_registers(ray_session, _int_ds(ray_session, a + b))
+    assert np.array_equal(np.maximum(ra, rb), runion)
+    est = hll_estimate(np.maximum(ra, rb))
+    assert abs(est - 12000) / 12000 < 0.06
+
+
+def test_hll_empty(ray_session):
+    ds = _int_ds(ray_session, [], blocks=1)
+    assert approx_distinct(ds, "k", p=12) == 0.0
+
+
+def test_bloom_no_false_negatives(ray_session):
+    keys = (np.arange(2000) * 31 + 5).tolist()
+    ds = _int_ds(ray_session, keys, blocks=4)
+    n_bits, k = bloom_bits_for(2000, 0.01)
+    bm = bloom_build(ds, "k", n_bits, k)
+    h = hash64_column(pa.array(keys, pa.int64()))
+    assert bloom_maybe_mask(bm, h, n_bits, k).all()
+
+
+def test_bloom_fp_rate_in_envelope(ray_session):
+    keys = list(range(5000))
+    ds = _int_ds(ray_session, keys, blocks=4)
+    n_bits, k = bloom_bits_for(5000, 0.01)
+    bm = bloom_build(ds, "k", n_bits, k)
+    absent = pa.array([10**9 + i for i in range(20_000)], pa.int64())
+    fp = bloom_maybe_mask(bm, hash64_column(absent), n_bits, k).mean()
+    assert fp < 0.05  # target 1%, generous envelope
+
+
+def test_bloom_build_partition_invariance(ray_session):
+    keys = [i * 13 for i in range(3000)]
+    n_bits, k = bloom_bits_for(3000, 0.01)
+    b1 = bloom_build(_int_ds(ray_session, keys, blocks=2), "k", n_bits, k)
+    b2 = bloom_build(_int_ds(ray_session, keys, blocks=9), "k", n_bits, k)
+    assert np.array_equal(b1, b2)  # OR-merge ⇒ layout cannot matter
+
+
+def test_bloom_oversize_raises(ray_session):
+    ds = _int_ds(ray_session, [1, 2, 3], blocks=1)
+    with pytest.raises(ValueError, match="BLOOM_MAX_BYTES"):
+        bloom_build(ds, "k", 8 * 65 * 1024 * 1024, 4)
+
+
+def _join_fixture(ray_session):
+    import ray.data as rd
+
+    rng = np.random.RandomState(11)
+    big_keys = rng.randint(0, 1000, size=5000)
+    big = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array(big_keys, pa.int64()),
+                "payload": pa.array(np.arange(5000), pa.int64()),
+            }
+        )
+    ).repartition(5)
+    small_keys = rng.choice(1000, size=300, replace=False)
+    # duplicate keys on the small side must not duplicate semi rows
+    small = rd.from_arrow(
+        pa.table({"k": pa.array(np.repeat(small_keys, 2), pa.int64())})
+    ).repartition(3)
+    return big, small, big_keys, set(small_keys.tolist())
+
+
+def test_bloom_anti_join_equals_exact(ray_session):
+    big, small, big_keys, small_set = _join_fixture(ray_session)
+    got = bloom_anti_join(big, small, on="k").to_pandas()
+    want = {
+        (int(k), int(p))
+        for p, k in enumerate(big_keys)
+        if int(k) not in small_set
+    }
+    assert set(zip(got["k"], got["payload"])) == want
+    assert len(got) == len(want)
+
+
+def test_bloom_semi_join_equals_exact(ray_session):
+    big, small, big_keys, small_set = _join_fixture(ray_session)
+    got = bloom_semi_join(big, small, on="k").to_pandas()
+    want = {
+        (int(k), int(p))
+        for p, k in enumerate(big_keys)
+        if int(k) in small_set
+    }
+    assert set(zip(got["k"], got["payload"])) == want
+    assert len(got) == len(want)
