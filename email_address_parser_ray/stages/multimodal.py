@@ -17,8 +17,11 @@ format:
   real COMPRESSED formats with zero dependencies; PIL covers the rest
   when it happens to be installed);
 * audio — pure-numpy RIFF-WAVE decode (``stages/wav.py``): integer
-  PCM 8/16/24/32, IEEE float, G.711 µ-law/A-law and IMA ADPCM (two
-  real COMPRESSED audio codecs) → per-segment RMS features;
+  PCM 8/16/24/32, IEEE float, G.711 µ-law/A-law and IMA ADPCM, PLUS
+  FLAC (``stages/flac.py`` — full subset decoder per RFC 9639:
+  CONSTANT/VERBATIM/FIXED/LPC subframes, Rice/Rice2 + escape
+  residuals, wasted bits, all stereo decorrelations) — three real
+  COMPRESSED audio codec families → per-segment RMS features;
 * video — YUV4MPEG2 (.y4m) demux: plain-text stream header + raw
   ``FRAME`` planes, parsed with numpy; PLUS Motion-JPEG in an AVI
   container (``stages/avi.py`` RIFF demux + the in-repo JPEG decoder
@@ -26,8 +29,9 @@ format:
   ``FrameSampler`` emits real luma-plane frames and ``MediaDecoder``
   folds per-frame mean luma for both containers.
 
-Compressed codecs beyond PNG/JPEG (H.264/FLAC/AV1...) still need ffmpeg-class libs and
-raise ``NotImplementedError`` at the exact call site.  ``fake=True``
+Compressed codecs beyond PNG/JPEG/GIF/MJPEG/G.711/ADPCM/FLAC
+(H.264/AV1/MP3/Vorbis...) still need ffmpeg-class libs and raise
+``NotImplementedError`` at the exact call site.  ``fake=True``
 produces deterministic md5 pseudo-features so the distributed plumbing
 stays value-checkable end-to-end against the DuckDB oracle.
 """
@@ -357,12 +361,18 @@ class MediaDecoder:
         """REAL audio path: pure-numpy RIFF-WAVE decode (``stages/wav.py``)
         → per-segment RMS energy features (dim equal time buckets).
         Handles 8/16/24/32-bit PCM, IEEE float, G.711 µ-law/A-law and
-        IMA ADPCM — two real COMPRESSED codecs — any channel count
-        (downmixed); non-WAV bytes raise wave.Error — honest failure at
-        the codec boundary, not a silent fake."""
-        from email_address_parser_ray.stages.wav import parse_wav  # noqa: PLC0415
+        IMA ADPCM, plus FLAC payloads via the pure-stdlib decoder in
+        ``stages/flac.py`` — three real COMPRESSED codec families — any
+        channel count (downmixed); non-audio bytes raise wave.Error —
+        honest failure at the codec boundary, not a silent fake."""
+        if payload[:4] == b"fLaC":
+            from email_address_parser_ray.stages.flac import parse_flac  # noqa: PLC0415
 
-        _, frames = parse_wav(payload)
+            _, frames = parse_flac(payload)
+        else:
+            from email_address_parser_ray.stages.wav import parse_wav  # noqa: PLC0415
+
+            _, frames = parse_wav(payload)
         x = frames.mean(axis=1) if frames.shape[1] > 1 else frames[:, 0]
         if len(x) == 0:
             return np.zeros(self.dim, dtype=np.float64)
