@@ -1,14 +1,16 @@
-"""Mergeable sketch primitives — HyperLogLog distinct counting and
-Bloom-filter join prefilters.
+"""Mergeable sketch primitives — HyperLogLog distinct counting,
+Bloom-filter join prefilters, Count-Min frequency sketches with an
+EXACT heavy-hitters operator, and weighted exact-k sampling
+(Efraimidis–Spirakis).
 
 At 100 TB the exact machinery for COUNT DISTINCT (two-level groupby)
 and anti/semi joins (full hash-partitioned shuffle of BOTH sides) is
 often 100x more movement than the question needs.  The two classic
 sketches here fix that with the engine's standard partial-combine
-shape — per-block numpy partials, one tiny driver fold — and both are
-PARTITION-INVARIANT by construction (register max / bitmap OR are
-commutative + associative + idempotent), so repartitioning, retries or
-cluster size cannot change the answer:
+shape — per-block numpy partials, one tiny driver fold — and all are
+PARTITION-INVARIANT by construction (register max / bitmap OR / count
+sum / content-keyed priorities are commutative + associative), so
+repartitioning, retries or cluster size cannot change the answer:
 
 * **HyperLogLog** (Flajolet et al. 2007, public algorithm): one uint8
   register file of ``2^p`` bytes per block → ``np.maximum`` fold →
@@ -276,3 +278,176 @@ def bloom_semi_join(big, small, on: str, n_bits: int = 0, k: int = 0,
     maybe = _bloom_split(big, on, bm, n_bits, k, want_maybe=True)
     return hash_join(maybe, small.select_columns([on]), on=on,
                      join_type="left_semi")
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch + exact heavy hitters
+# ---------------------------------------------------------------------------
+
+_CMS_ROW_SALTS = mix64(np.arange(64, dtype=np.uint64) ^ np.uint64(0xC0117_51DE))
+
+
+def cms_batch(hashes: np.ndarray, width: int, depth: int) -> np.ndarray:
+    """uint64 hashes → (depth, width) int64 count matrix: row d counts
+    into bucket mix64(h ^ salt_d) % width."""
+    m = np.zeros((depth, width), np.int64)
+    for d in range(depth):
+        idx = (mix64(hashes ^ _CMS_ROW_SALTS[d]) % np.uint64(width)).astype(np.int64)
+        np.add.at(m[d], idx, 1)
+    return m
+
+
+def cms_build(ds, col: str, width: int = 16384, depth: int = 4) -> np.ndarray:
+    """Distributed Count-Min build: per-block count-matrix partials
+    (sum-mergeable), driver sum fold.  Estimates are an UPPER bound on
+    the true count, within eps*N (eps = e/width) with probability
+    1 - exp(-depth).  depth*width*8 bytes of state regardless of rows."""
+    import ray
+
+    out = np.zeros((depth, width), np.int64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = cms_batch(hash64_column(batch[col]), width, depth)
+        return pa.table({"cms": pa.array([m.tobytes()], pa.binary())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    for ref in parts.to_arrow_refs():
+        t = ray.get(ref)
+        if "cms" not in t.schema.names:  # zero-row input block
+            continue
+        for blob in t["cms"].to_pylist():
+            out += np.frombuffer(blob, np.int64).reshape(depth, width)
+    return out
+
+
+def cms_query(cms: np.ndarray, keys) -> np.ndarray:
+    """Point-query upper-bound counts for an Arrow array of keys:
+    min over the depth rows."""
+    depth, width = cms.shape
+    h = hash64_column(keys if isinstance(keys, (pa.Array, pa.ChunkedArray)) else pa.array(keys))
+    est = np.full(len(h), np.iinfo(np.int64).max, np.int64)
+    for d in range(depth):
+        idx = (mix64(h ^ _CMS_ROW_SALTS[d]) % np.uint64(width)).astype(np.int64)
+        np.minimum(est, cms[d][idx], out=est)
+    return est
+
+
+def heavy_hitters(ds, col: str, phi: float):
+    """EXACT phi-heavy hitters (keys with count >= phi * N) in two
+    narrow passes, no full-key shuffle:
+
+    1. candidate pass — per block, keys with local count >= phi *
+       block_rows.  Pigeonhole guarantees NO false negatives: a key
+       below the local threshold in EVERY block sums below phi * N.
+       Emits O(1/phi) keys per block regardless of cardinality.
+    2. exact verify — candidate set broadcast once (``ray.put``), one
+       streaming filtered-count pass, final phi * N cut on the exact
+       totals.
+
+    Returns a pyarrow Table (key, count) sorted by count desc, key asc.
+    The driver holds only candidates (<= blocks/phi keys), never the
+    key universe."""
+    import ray
+
+    def local_cands(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"key": pa.array([], batch[col].type)})
+        import pyarrow.compute as pc
+
+        vc = pc.value_counts(batch[col].combine_chunks())
+        thr = phi * batch.num_rows
+        keep = pc.greater_equal(vc.field("counts"), pa.scalar(int(np.ceil(thr))))
+        return pa.table({"key": pc.filter(vc.field("values"), keep)})
+
+    cand_parts = ds.map_batches(local_cands, batch_format="pyarrow", batch_size=None)
+    cands = []
+    for ref in cand_parts.to_arrow_refs():
+        t = ray.get(ref)
+        if "key" in t.schema.names:
+            cands.append(t["key"].combine_chunks())
+    if not cands:
+        return pa.table({"key": pa.array([], pa.string()), "count": pa.array([], pa.int64())})
+    cand_arr = pa.concat_arrays([c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in cands]).unique()
+    cand_ref = ray.put(cand_arr)
+
+    def count_cands(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ca = ray.get(cand_ref)
+        pos = pc.index_in(batch[col], value_set=ca)
+        valid = pc.is_valid(pos)
+        counts = np.zeros(len(ca), np.int64)
+        np.add.at(counts, pc.filter(pos, valid).to_numpy(zero_copy_only=False), 1)
+        # ONE row per batch: the count vector as a blob + the batch's
+        # row count (safe even if the executor merges output blocks)
+        return pa.table(
+            {
+                "cnt": pa.array([counts.tobytes()], pa.binary()),
+                "n": pa.array([batch.num_rows], pa.int64()),
+            }
+        )
+
+    totals = np.zeros(len(cand_arr), np.int64)
+    n_rows = 0
+    for ref in ds.map_batches(count_cands, batch_format="pyarrow", batch_size=None).to_arrow_refs():
+        t = ray.get(ref)
+        if "cnt" not in t.schema.names:
+            continue
+        for blob, n in zip(t["cnt"].to_pylist(), t["n"].to_pylist()):
+            totals += np.frombuffer(blob, np.int64)
+            n_rows += int(n)
+    keep = np.flatnonzero(totals >= np.ceil(phi * n_rows))
+    keys = cand_arr.to_pylist()
+    order = sorted(keep.tolist(), key=lambda i: (-int(totals[i]), keys[i]))
+    return pa.table(
+        {
+            "key": pa.array([keys[i] for i in order], cand_arr.type),
+            "count": pa.array([int(totals[i]) for i in order], pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted exact-k sampling without replacement (Efraimidis–Spirakis)
+# ---------------------------------------------------------------------------
+
+
+def weighted_sample_k(ds, key_col: str, weight_col: str, k: int, seed: int = 7):
+    """Deterministic weighted sample of exactly k rows WITHOUT
+    replacement: every row gets the Efraimidis–Spirakis priority
+    u^(1/w) (u = uniform from mix64(key ^ seed) — content-keyed, so
+    partitioning/retries cannot change the draw), and the global top-k
+    priorities win.  Distributed as per-block partial top-k (each block
+    ships at most k rows) + driver final top-k — the same
+    partial-prune shape as grouped_topk.  Zero-weight rows never win;
+    equal weights reduce to a uniform content-keyed sample.
+
+    Works on the log scale (ln u / w) for numerical stability."""
+    import ray
+
+    seed_h = mix64(np.uint64(seed))
+
+    def partial_topk(batch: pa.Table):
+        if batch.num_rows == 0:
+            return batch
+        h = hash64_column(batch[key_col])
+        # u in (0,1): 53 mantissa bits of the mixed hash
+        u = ((mix64(h ^ seed_h) >> np.uint64(11)).astype(np.float64) + 0.5) / float(1 << 53)
+        w = batch[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        pri = np.where(w > 0, np.log(u) / np.maximum(w, 1e-300), -np.inf)
+        keep = np.argsort(-pri, kind="stable")[:k]
+        out = batch.take(pa.array(np.sort(keep)))
+        pri_kept = pri[np.sort(keep)]
+        return out.append_column("__pri", pa.array(pri_kept, pa.float64()))
+
+    parts = []
+    for ref in ds.map_batches(partial_topk, batch_format="pyarrow").to_arrow_refs():
+        t = ray.get(ref)
+        if "__pri" in t.schema.names and t.num_rows:
+            parts.append(t)
+    if not parts:
+        return None
+    allp = pa.concat_tables(parts)
+    pri = allp["__pri"].to_numpy()
+    top = np.argsort(-pri, kind="stable")[:k]
+    return allp.take(pa.array(np.sort(top))).drop_columns(["__pri"])

@@ -165,3 +165,137 @@ def test_bloom_semi_join_equals_exact(ray_session):
     }
     assert set(zip(got["k"], got["payload"])) == want
     assert len(got) == len(want)
+
+
+# --- Count-Min + heavy hitters ------------------------------------------------
+
+
+def test_cms_upper_bound_and_accuracy(ray_session):
+    rng = np.random.RandomState(3)
+    # zipf-ish skew: key i appears ~ 5000/i times
+    keys = np.repeat(np.arange(1, 200), (5000 / np.arange(1, 200)).astype(int))
+    ds = _int_ds(ray_session, keys.tolist(), blocks=6)
+    from email_address_parser_ray.stages.sketches import cms_build, cms_query
+
+    cms = cms_build(ds, "k", width=16384, depth=4)
+    probe = pa.array(np.arange(1, 200), pa.int64())
+    est = cms_query(cms, probe)
+    true = np.array([(keys == i).sum() for i in range(1, 200)])
+    assert (est >= true).all()  # CMS never undercounts
+    n = len(keys)
+    eps = np.e / 16384
+    assert ((est - true) <= eps * n + 1).all()
+
+
+def test_cms_partition_invariance(ray_session):
+    from email_address_parser_ray.stages.sketches import cms_build
+
+    keys = [i % 97 for i in range(5000)]
+    c1 = cms_build(_int_ds(ray_session, keys, blocks=2), "k", 4096, 3)
+    c2 = cms_build(_int_ds(ray_session, keys, blocks=13), "k", 4096, 3)
+    assert np.array_equal(c1, c2)  # sum-merge: layout cannot matter
+
+
+def test_heavy_hitters_exact(ray_session):
+    from email_address_parser_ray.stages.sketches import heavy_hitters
+
+    # 3 heavy keys (>= 10%) + a long tail
+    vals = [1] * 3000 + [2] * 2000 + [3] * 1500 + list(range(100, 3600))
+    rng = np.random.RandomState(5)
+    vals = np.array(vals)
+    rng.shuffle(vals)  # heavy keys spread across blocks
+    ds = _int_ds(ray_session, vals.tolist(), blocks=8)
+    got = heavy_hitters(ds, "k", phi=0.10)
+    n = len(vals)
+    exact = {
+        int(k): int(c)
+        for k, c in zip(*np.unique(vals, return_counts=True))
+        if c >= 0.10 * n
+    }
+    assert dict(zip(got["key"].to_pylist(), got["count"].to_pylist())) == exact
+    # sorted by count desc
+    counts = got["count"].to_pylist()
+    assert counts == sorted(counts, reverse=True)
+
+
+def test_heavy_hitters_no_false_negatives_on_spread_key(ray_session):
+    """A key just over phi that never dominates any single block must
+    still be found (the pigeonhole guarantee the local threshold rests
+    on)."""
+    from email_address_parser_ray.stages.sketches import heavy_hitters
+
+    # key 7: 130 of 1000 rows (13%), interleaved uniformly so each
+    # block sees it at ~13% (above its local threshold in at least one)
+    vals = []
+    for i in range(1000):
+        vals.append(7 if i % 8 == 0 else 1000 + i)
+    ds = _int_ds(ray_session, vals, blocks=5)
+    got = heavy_hitters(ds, "k", phi=0.12)
+    assert 7 in got["key"].to_pylist()
+
+
+def test_heavy_hitters_strings(ray_session):
+    import ray.data as rd
+
+    from email_address_parser_ray.stages.sketches import heavy_hitters
+
+    vals = ["hot@example.test"] * 400 + [f"u{i}@example.test" for i in range(600)]
+    ds = rd.from_arrow(pa.table({"k": pa.array(vals, pa.string())})).repartition(4)
+    got = heavy_hitters(ds, "k", phi=0.25)
+    assert got["key"].to_pylist() == ["hot@example.test"]
+    assert got["count"].to_pylist() == [400]
+
+
+# --- weighted exact-k sampling --------------------------------------------------
+
+
+def _weighted_ds(ray_session, n=2000, blocks=4):
+    import ray.data as rd
+
+    w = np.where(np.arange(n) < 100, 50.0, 1.0)  # 100 heavy rows
+    return rd.from_arrow(
+        pa.table(
+            {
+                "id": pa.array(np.arange(n), pa.int64()),
+                "w": pa.array(w, pa.float64()),
+            }
+        )
+    ).repartition(blocks)
+
+
+def test_weighted_sample_k_exact_k_and_partition_invariance(ray_session):
+    from email_address_parser_ray.stages.sketches import weighted_sample_k
+
+    s1 = weighted_sample_k(_weighted_ds(ray_session, blocks=3), "id", "w", 50, seed=9)
+    s2 = weighted_sample_k(_weighted_ds(ray_session, blocks=11), "id", "w", 50, seed=9)
+    assert s1.num_rows == 50 and s2.num_rows == 50
+    assert sorted(s1["id"].to_pylist()) == sorted(s2["id"].to_pylist())
+    assert len(set(s1["id"].to_pylist())) == 50  # without replacement
+
+
+def test_weighted_sample_k_favors_heavy_weights(ray_session):
+    from email_address_parser_ray.stages.sketches import weighted_sample_k
+
+    heavy_fracs = []
+    for seed in range(5):
+        s = weighted_sample_k(_weighted_ds(ray_session), "id", "w", 100, seed=seed)
+        ids = np.array(s["id"].to_pylist())
+        heavy_fracs.append((ids < 100).mean())
+    # 100 heavy rows at weight 50 vs 1900 at weight 1: heavy mass is
+    # 5000/6900 ≈ 72% — the sample should be dominated by heavy rows
+    assert np.mean(heavy_fracs) > 0.5
+
+
+def test_weighted_sample_k_zero_weight_never_drawn(ray_session):
+    import ray.data as rd
+
+    from email_address_parser_ray.stages.sketches import weighted_sample_k
+
+    t = pa.table(
+        {
+            "id": pa.array(np.arange(100), pa.int64()),
+            "w": pa.array([0.0] * 50 + [1.0] * 50, pa.float64()),
+        }
+    )
+    s = weighted_sample_k(rd.from_arrow(t).repartition(3), "id", "w", 50, seed=1)
+    assert all(i >= 50 for i in s["id"].to_pylist())
