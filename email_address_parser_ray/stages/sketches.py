@@ -451,3 +451,83 @@ def weighted_sample_k(ds, key_col: str, weight_col: str, k: int, seed: int = 7):
     pri = allp["__pri"].to_numpy()
     top = np.argsort(-pri, kind="stable")[:k]
     return allp.take(pa.array(np.sort(top))).drop_columns(["__pri"])
+
+
+# ---------------------------------------------------------------------------
+# grouped approximate distinct (HLL per group)
+# ---------------------------------------------------------------------------
+
+GROUPED_HLL_MAX_BYTES = 256 * 1024 * 1024  # groups x 2^p driver budget
+
+
+def grouped_approx_distinct(ds, group_col: str, col: str, p: int = 12):
+    """Approximate COUNT(DISTINCT col) GROUP BY group_col for
+    LOW-cardinality groups (channels, languages, days — the shapes the
+    question is actually asked over): each block emits one
+    (group, registers) row per group it contains; the driver max-folds
+    per group.  Driver state is groups x 2^p bytes, guarded by
+    ``GROUPED_HLL_MAX_BYTES`` (a million-group key wants the exact
+    two-level distinct instead — each group is then small).
+
+    Partition-invariant like the global sketch (per-group max-merge).
+    Returns a pyarrow Table (group_col, approx_distinct int64) sorted
+    by group."""
+    import ray
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    group_col: pa.array([], batch[group_col].type),
+                    "registers": pa.array([], pa.binary()),
+                }
+            )
+        import pyarrow.compute as pc
+
+        gcol = batch[group_col].combine_chunks()
+        uniq = gcol.unique()
+        inv = pc.index_in(gcol, value_set=uniq).to_numpy(zero_copy_only=False)
+        h = hash64_column(batch[col])
+        m = 1 << p
+        # one register row per group in this batch: bucket offsets by group
+        regs = np.zeros((len(uniq), m), np.uint8)
+        bucket = (h & np.uint64(m - 1)).astype(np.int64)
+        w = h >> np.uint64(p)
+        rho = ((64 - p) - _bit_length_u64(w) + 1).astype(np.uint8)
+        np.maximum.at(regs.reshape(-1), inv.astype(np.int64) * m + bucket, rho)
+        return pa.table(
+            {
+                group_col: uniq,
+                "registers": pa.array([r.tobytes() for r in regs], pa.binary()),
+            }
+        )
+
+    folded: dict = {}
+    budget = 0
+    for ref in ds.map_batches(partial, batch_format="pyarrow", batch_size=None).to_arrow_refs():
+        t = ray.get(ref)
+        if "registers" not in t.schema.names:
+            continue
+        for g, blob in zip(t[group_col].to_pylist(), t["registers"].to_pylist()):
+            r = np.frombuffer(blob, np.uint8)
+            if g in folded:
+                np.maximum(folded[g], r, out=folded[g])
+            else:
+                folded[g] = r.copy()
+                budget += len(r)
+                if budget > GROUPED_HLL_MAX_BYTES:
+                    raise ValueError(
+                        "grouped_approx_distinct: group cardinality exceeds "
+                        f"GROUPED_HLL_MAX_BYTES ({GROUPED_HLL_MAX_BYTES}B of "
+                        "registers); use the exact two-level distinct for "
+                        "high-cardinality group keys"
+                    )
+    groups = sorted(folded)
+    return pa.table(
+        {
+            group_col: pa.array(groups),
+            "approx_distinct": pa.array(
+                [int(round(hll_estimate(folded[g]))) for g in groups], pa.int64()
+            ),
+        }
+    )

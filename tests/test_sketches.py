@@ -299,3 +299,59 @@ def test_weighted_sample_k_zero_weight_never_drawn(ray_session):
     )
     s = weighted_sample_k(rd.from_arrow(t).repartition(3), "id", "w", 50, seed=1)
     assert all(i >= 50 for i in s["id"].to_pylist())
+
+
+# --- grouped approximate distinct ----------------------------------------------
+
+
+def _grouped_ds(ray_session, blocks=5):
+    import ray.data as rd
+
+    rng = np.random.RandomState(17)
+    n = 40_000
+    groups = np.array(["a", "b", "c"])[rng.randint(0, 3, size=n)]
+    # group a: ~2000 distinct, b: ~500, c: ~50
+    width = {"a": 2000, "b": 500, "c": 50}
+    vals = np.array([rng.randint(0, width[g]) * 7 + hash(g) % 97 for g in groups])
+    t = pa.table(
+        {
+            "g": pa.array(groups, pa.string()),
+            "v": pa.array(vals, pa.int64()),
+        }
+    )
+    return rd.from_arrow(t).repartition(blocks), groups, vals
+
+
+def test_grouped_approx_distinct_accuracy(ray_session):
+    from email_address_parser_ray.stages.sketches import grouped_approx_distinct
+
+    ds, groups, vals = _grouped_ds(ray_session)
+    got = dict(
+        zip(*(c.to_pylist() for c in grouped_approx_distinct(ds, "g", "v").columns))
+    )
+    for g in "abc":
+        true = len(np.unique(vals[groups == g]))
+        assert abs(got[g] - true) / true < 0.08, (g, got[g], true)
+
+
+def test_grouped_approx_distinct_partition_invariance(ray_session):
+    from email_address_parser_ray.stages.sketches import grouped_approx_distinct
+
+    ds1, _, _ = _grouped_ds(ray_session, blocks=2)
+    ds2, _, _ = _grouped_ds(ray_session, blocks=13)
+    t1 = grouped_approx_distinct(ds1, "g", "v")
+    t2 = grouped_approx_distinct(ds2, "g", "v")
+    assert t1.equals(t2)
+
+
+def test_grouped_approx_distinct_budget_guard(ray_session):
+    import email_address_parser_ray.stages.sketches as sk
+
+    ds, _, _ = _grouped_ds(ray_session)
+    old = sk.GROUPED_HLL_MAX_BYTES
+    sk.GROUPED_HLL_MAX_BYTES = 4096  # one group's registers
+    try:
+        with pytest.raises(ValueError, match="GROUPED_HLL_MAX_BYTES"):
+            sk.grouped_approx_distinct(ds, "g", "v")
+    finally:
+        sk.GROUPED_HLL_MAX_BYTES = old
