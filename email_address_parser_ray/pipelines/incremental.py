@@ -198,8 +198,6 @@ def incremental_retract(
     import ray
     import ray.data as rd
 
-    from ..stages.joins import hash_join
-
     counts = retract_nodes(old_nodes_ds, removed_mentions_ds).materialize()
     nodes = (
         counts.filter(expr="n_mentions > 0")
@@ -231,18 +229,15 @@ def incremental_retract(
 
         edges = old_edges_ds.map_batches(gc, batch_format="pyarrow").materialize()
     else:
-        # the true at-scale path: twin anti joins against the dropped set
-        da = dropped_mat.map_batches(
-            lambda t: pa.table({"addr_a": t["address"]}), batch_format="pyarrow"
-        )
-        db = dropped_mat.map_batches(
-            lambda t: pa.table({"addr_b": t["address"]}), batch_format="pyarrow"
-        )
-        edges = hash_join(
-            hash_join(old_edges_ds, da, on="addr_a", join_type="left_anti"),
-            db,
-            on="addr_b",
-            join_type="left_anti",
+        # the true at-scale path: Bloom-prefiltered exact GC — one
+        # filter over the dropped addresses, definite-miss edges (the
+        # overwhelming majority) bypass the shuffle entirely, only the
+        # maybe sliver runs the twin anti joins (sketches.bloom_pair_gc
+        # itself falls back to plain twin joins above its byte budget)
+        from ..stages.sketches import bloom_pair_gc
+
+        edges = bloom_pair_gc(
+            old_edges_ds, dropped_mat, "addr_a", "addr_b", "address", n_drop
         ).materialize()
 
     if old_clusters_ds is None or n_drop > RETRACT_BROADCAST_LIMIT:

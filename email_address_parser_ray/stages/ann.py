@@ -822,8 +822,6 @@ def embedding_retract_pairs(old_pairs_ds, removed_ids_ds):
     mirror of ``minhash_retract_clusters``'s pair GC."""
     import ray
 
-    from .joins import hash_join
-
     rem_mat = removed_ids_ds.map_batches(
         lambda t: pa.table({"vec_id": pa.compute.cast(t["vec_id"], pa.int64())}),
         batch_format="pyarrow",
@@ -848,15 +846,10 @@ def embedding_retract_pairs(old_pairs_ds, removed_ids_ds):
             return t.filter(pc.invert(bad))
 
         return old_pairs_ds.map_batches(gc, batch_format="pyarrow").materialize()
-    da = rem_mat.map_batches(
-        lambda t: pa.table({"vec_a": t["vec_id"]}), batch_format="pyarrow"
-    )
-    db = rem_mat.map_batches(
-        lambda t: pa.table({"vec_b": t["vec_id"]}), batch_format="pyarrow"
-    )
-    return hash_join(
-        hash_join(old_pairs_ds, da, on="vec_a", join_type="left_anti"),
-        db,
-        on="vec_b",
-        join_type="left_anti",
+    # at-scale path: Bloom-prefiltered exact GC (definite-miss pairs
+    # bypass the shuffle; see sketches.bloom_pair_gc for the fallback)
+    from .sketches import bloom_pair_gc
+
+    return bloom_pair_gc(
+        old_pairs_ds, rem_mat, "vec_a", "vec_b", "vec_id", n_rem
     ).materialize()

@@ -792,21 +792,16 @@ def minhash_retract_clusters(
             gc_members, batch_format="pyarrow"
         ).materialize()
     else:
-        # at-scale path: anti joins against the removed id set
-        da = rem_mat.map_batches(
-            lambda t: pa.table({"doc_a": t["doc_id"]}), batch_format="pyarrow"
-        )
-        db = rem_mat.map_batches(
-            lambda t: pa.table({"doc_b": t["doc_id"]}), batch_format="pyarrow"
-        )
-        pairs = hash_join(
-            hash_join(old_pairs_ds, da, on="doc_a", join_type="left_anti"),
-            db,
-            on="doc_b",
-            join_type="left_anti",
+        # at-scale path: Bloom-prefiltered exact GC (definite-miss
+        # pairs/members bypass the shuffle; exactness preserved by the
+        # verify joins on the maybe sliver — see sketches.bloom_pair_gc)
+        from .sketches import bloom_anti_join, bloom_pair_gc
+
+        pairs = bloom_pair_gc(
+            old_pairs_ds, rem_mat, "doc_a", "doc_b", "doc_id", n_rem
         ).materialize()
-        survivors = hash_join(
-            old_clusters_ds, rem_mat, on="doc_id", join_type="left_anti"
+        survivors = bloom_anti_join(
+            old_clusters_ds, rem_mat, on="doc_id", small_count=n_rem
         ).materialize()
 
     def pad(col):

@@ -531,3 +531,111 @@ def grouped_approx_distinct(ds, group_col: str, col: str, p: int = 12):
             ),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# pair-table GC with a Bloom prefilter (the retract families' scale path)
+# ---------------------------------------------------------------------------
+
+
+BLOOM_GC_VERIFY_BROADCAST_ROWS = 5_000_000  # maybe-sliver verify gate
+
+
+def bloom_pair_gc(pairs_ds, removed_ds, col_a: str, col_b: str,
+                  removed_col: str, removed_count: int = 0):
+    """EXACT removal of pair rows touching any removed id, Bloom-
+    prefiltered: ONE filter is built over the removed ids; pair rows
+    where BOTH endpoints are definite misses pass straight through
+    (at retract scale that is almost every pair — none of them enter
+    a shuffle), and only the maybe sliver is verified exactly — below
+    ``BLOOM_GC_VERIFY_BROADCAST_ROWS`` via the gated broadcast shape
+    (unique maybe-endpoints → one streaming filter over the removed
+    set → is_in GC with the hit ids), above it via twin ``left_anti``
+    hash joins.  Output is row-identical to plain twin joins over the
+    whole pair table (the filter has no false negatives); falls back
+    to exactly those when the removed set would want a bitmap above
+    ``BLOOM_MAX_BYTES``."""
+    import ray
+
+    from .joins import hash_join
+
+    n = removed_count or removed_ds.count()
+
+    def renamed(col):
+        return removed_ds.map_batches(
+            lambda t, c=col: pa.table({c: t[removed_col]}),
+            batch_format="pyarrow",
+        )
+
+    def twin_joins(src):
+        return hash_join(
+            hash_join(src, renamed(col_a), on=col_a, join_type="left_anti"),
+            renamed(col_b),
+            on=col_b,
+            join_type="left_anti",
+        )
+
+    n_bits, k = bloom_bits_for(n)
+    if n_bits // 8 > BLOOM_MAX_BYTES:
+        return twin_joins(pairs_ds)
+    bm_ref = ray.put(bloom_build(removed_ds, removed_col, n_bits, k))
+
+    def split(want_maybe: bool):
+        def f(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return t
+            bm = ray.get(bm_ref)
+            m = bloom_maybe_mask(bm, hash64_column(t[col_a]), n_bits, k) | \
+                bloom_maybe_mask(bm, hash64_column(t[col_b]), n_bits, k)
+            return t.filter(pa.array(m if want_maybe else ~m))
+
+        return f
+
+    definite = pairs_ds.map_batches(split(False), batch_format="pyarrow")
+    maybe = pairs_ds.map_batches(split(True), batch_format="pyarrow").materialize()
+    if maybe.count() == 0:
+        return definite
+    if maybe.count() <= BLOOM_GC_VERIFY_BROADCAST_ROWS:
+        # the standard gated verify: unique maybe-endpoints (small by
+        # construction — true hits + fp_rate of the pairs) → ONE
+        # streaming filter pass over the removed set → the hit ids
+        # (⊆ endpoints) broadcast for an exact is_in GC.  No shuffle
+        # join at all — which also sidesteps Acero's empty-partition
+        # join failure on sparse maybe slivers (see bucket_join).
+        import pyarrow.compute as pc
+
+        ep_parts = []
+        for ref in maybe.to_arrow_refs():
+            t = ray.get(ref)
+            if t.num_rows:
+                ep_parts.append(t[col_a].combine_chunks().unique())
+                ep_parts.append(t[col_b].combine_chunks().unique())
+        eps = pa.concat_arrays(ep_parts).unique()
+        eps_ref = ray.put(eps)
+
+        def hit_ids(t: pa.Table) -> pa.Table:
+            keep = pc.is_in(t[removed_col], value_set=ray.get(eps_ref))
+            return pa.table({"id": t.filter(keep)[removed_col]})
+
+        hits = []
+        for ref in removed_ds.map_batches(
+            hit_ids, batch_format="pyarrow"
+        ).to_arrow_refs():
+            t = ray.get(ref)
+            if "id" in t.schema.names and t.num_rows:
+                hits.append(t["id"].combine_chunks())
+        if not hits:
+            return definite.union(maybe)  # every maybe was a false positive
+        hit_arr = pa.concat_arrays(hits).unique()
+        hit_ref = ray.put(hit_arr)
+
+        def gc(t: pa.Table) -> pa.Table:
+            ids = ray.get(hit_ref)
+            bad = pc.or_(
+                pc.is_in(t[col_a], value_set=ids),
+                pc.is_in(t[col_b], value_set=ids),
+            )
+            return t.filter(pc.invert(bad))
+
+        return definite.union(maybe.map_batches(gc, batch_format="pyarrow"))
+    return definite.union(twin_joins(maybe))
