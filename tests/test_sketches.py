@@ -355,3 +355,65 @@ def test_grouped_approx_distinct_budget_guard(ray_session):
             sk.grouped_approx_distinct(ds, "g", "v")
     finally:
         sk.GROUPED_HLL_MAX_BYTES = old
+
+
+# --- approximate quantiles -------------------------------------------------------
+
+
+def test_approx_quantiles_rank_error(ray_session):
+    import ray.data as rd
+
+    from email_address_parser_ray.stages.sketches import approx_quantiles
+
+    rng = np.random.RandomState(23)
+    n = 200_000
+    vals = rng.lognormal(0, 1.0, size=n)
+    t = pa.table(
+        {
+            "id": pa.array(np.arange(n), pa.int64()),
+            "v": pa.array(vals, pa.float64()),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(8)
+    qs = [0.1, 0.5, 0.9, 0.99]
+    got = approx_quantiles(ds, "v", "id", qs, k=8192)
+    sv = np.sort(vals)
+    for q, val in zip(got["q"].to_pylist(), got["value"].to_pylist()):
+        # rank of the returned value must be within ~2.5 sigma of q*n
+        rank = np.searchsorted(sv, val) / n
+        tol = 2.5 * np.sqrt(q * (1 - q) / 8192) + 1e-4
+        assert abs(rank - q) < tol, (q, rank, tol)
+
+
+def test_approx_quantiles_partition_invariance(ray_session):
+    import ray.data as rd
+
+    from email_address_parser_ray.stages.sketches import approx_quantiles
+
+    n = 30_000
+    t = pa.table(
+        {
+            "id": pa.array(np.arange(n), pa.int64()),
+            "v": pa.array((np.arange(n) % 1000).astype(np.float64), pa.float64()),
+        }
+    )
+    a = approx_quantiles(rd.from_arrow(t).repartition(3), "v", "id", [0.25, 0.75])
+    b = approx_quantiles(rd.from_arrow(t).repartition(17), "v", "id", [0.25, 0.75])
+    assert a.equals(b)  # content-keyed draw: layout cannot matter
+
+
+def test_approx_quantiles_exact_when_small(ray_session):
+    import ray.data as rd
+
+    from email_address_parser_ray.stages.sketches import approx_quantiles
+
+    vals = np.arange(100, dtype=np.float64)
+    t = pa.table(
+        {
+            "id": pa.array(np.arange(100), pa.int64()),
+            "v": pa.array(vals, pa.float64()),
+        }
+    )
+    got = approx_quantiles(rd.from_arrow(t).repartition(4), "v", "id",
+                           [0.0, 0.5, 0.99], k=8192)
+    assert got["value"].to_pylist() == [0.0, 50.0, 99.0]
