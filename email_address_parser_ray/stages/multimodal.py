@@ -382,32 +382,38 @@ class MediaDecoder:
             dtype=np.float64,
         )
 
-    def _decode_image(self, payload: bytes) -> np.ndarray:
-        """REAL image path: BMP and PNG via the pure-stdlib decoders
-        (dependency free), other formats via PIL when installed.
-        Features = mean luma over ``dim`` equal column bands."""
+    def _decode_gray(self, payload: bytes) -> np.ndarray:
+        """Codec dispatch → float64 grayscale HxW in [0, 1]: BMP, PNG,
+        JPEG and GIF via the pure-stdlib decoders (dependency free),
+        other formats via PIL when installed.  Shared by the feature
+        path below and the perceptual-hash stage
+        (``stages/imagehash.py``)."""
         if payload[:2] == b"BM":
-            gray = decode_bmp(payload)
-        elif payload[:8] == b"\x89PNG\r\n\x1a\n":
-            gray = decode_png(payload)
-        elif payload[:2] == b"\xff\xd8":
+            return decode_bmp(payload)
+        if payload[:8] == b"\x89PNG\r\n\x1a\n":
+            return decode_png(payload)
+        if payload[:2] == b"\xff\xd8":
             from email_address_parser_ray.stages.jpeg import decode_jpeg  # noqa: PLC0415
 
-            gray = decode_jpeg(payload)
-        elif payload[:4] == b"GIF8":
+            return decode_jpeg(payload)
+        if payload[:4] == b"GIF8":
             from email_address_parser_ray.stages.gif import decode_gif  # noqa: PLC0415
 
-            gray = decode_gif(payload)
-        elif self.pil is not None:
+            return decode_gif(payload)
+        if self.pil is not None:
             import io
 
             img = self.pil.open(io.BytesIO(payload)).convert("L")
-            gray = np.asarray(img, dtype=np.float64) / 255.0
-        else:
-            raise NotImplementedError(
-                "image codec not available; payload is not BMP/PNG/JPEG "
-                "and Pillow is not installed"
-            )
+            return np.asarray(img, dtype=np.float64) / 255.0
+        raise NotImplementedError(
+            "image codec not available; payload is not BMP/PNG/JPEG "
+            "and Pillow is not installed"
+        )
+
+    def _decode_image(self, payload: bytes) -> np.ndarray:
+        """REAL image path: decode to grayscale (``_decode_gray``),
+        features = mean luma over ``dim`` equal column bands."""
+        gray = self._decode_gray(payload)
         bands = np.array_split(gray, self.dim, axis=1)
         return np.array([float(b.mean()) if b.size else 0.0 for b in bands])
 
