@@ -417,22 +417,25 @@ class MediaDecoder:
         bands = np.array_split(gray, self.dim, axis=1)
         return np.array([float(b.mean()) if b.size else 0.0 for b in bands])
 
-    def _decode_video(self, payload: bytes) -> np.ndarray:
-        """REAL video path: Y4M (raw planes) or MJPEG-in-AVI demux →
-        per-frame mean luma, resampled to ``dim`` equal time buckets
-        (mean within each bucket)."""
+    def _frame_luma(self, payload: bytes) -> np.ndarray:
+        """Y4M or MJPEG-in-AVI demux → per-frame mean luma in [0, 1]
+        (the container-independent video signal; shared by the feature
+        path and the perceptual-hash stage)."""
         if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
             from email_address_parser_ray.stages.avi import demux_avi_mjpeg  # noqa: PLC0415
             from email_address_parser_ray.stages.jpeg import decode_jpeg  # noqa: PLC0415
 
             _, _, jpegs = demux_avi_mjpeg(payload)
-            luma = np.array([float(decode_jpeg(j).mean()) for j in jpegs])
-            segs = np.array_split(luma, self.dim)
-            return np.array([float(s.mean()) if len(s) else 0.0 for s in segs])
+            return np.array([float(decode_jpeg(j).mean()) for j in jpegs])
         _, _, frames = demux_y4m(payload)
-        if not frames:
+        return np.array([f.mean() / 255.0 for f in frames])
+
+    def _decode_video(self, payload: bytes) -> np.ndarray:
+        """REAL video path: per-frame mean luma (``_frame_luma``),
+        resampled to ``dim`` equal time buckets (mean within each)."""
+        luma = self._frame_luma(payload)
+        if len(luma) == 0:
             return np.zeros(self.dim, dtype=np.float64)
-        luma = np.array([f.mean() / 255.0 for f in frames])
         segs = np.array_split(luma, self.dim)
         return np.array([float(s.mean()) if len(s) else 0.0 for s in segs])
 

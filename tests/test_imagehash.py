@@ -129,3 +129,115 @@ def test_image_near_dup_partition_invariance(ray_session):
     k1 = sorted(map(tuple, p1[["media_a", "media_b", "hamming"]].to_numpy()))
     k2 = sorted(map(tuple, p2[["media_a", "media_b", "hamming"]].to_numpy()))
     assert k1 == k2
+
+
+# --- audio / video envelope hashes ----------------------------------------------
+
+
+def _audio_wav(pcm, rate=16000):
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(pcm.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def _song(seed, n=40000):
+    rng = np.random.RandomState(seed)
+    t = np.arange(n)
+    envelope = np.abs(np.sin(2 * np.pi * t / (n / (3 + seed % 4))))
+    carrier = np.sin(2 * np.pi * 440 * t / 16000)
+    return (envelope * carrier * 20000 + rng.randint(-50, 51, n)).astype(np.int64)
+
+
+def test_audio_hash_wav_equals_flac_and_separates(ray_session):
+    from email_address_parser_ray.stages.flac import encode_flac
+    from email_address_parser_ray.stages.imagehash import MediaHasher
+
+    hasher = MediaHasher()
+    a = _song(1)
+    h_wav = hasher._hash_one("audio", _audio_wav(a))
+    h_flac = hasher._hash_one("audio", encode_flac(a.reshape(-1, 1), 16000))
+    assert h_wav == h_flac  # both decodes are exact → identical envelope
+    h_other = hasher._hash_one("audio", _audio_wav(_song(2)))
+    assert _ham(h_wav, h_other) > 8
+
+
+def test_audio_hash_survives_ulaw(ray_session):
+    from email_address_parser_ray.stages.imagehash import MediaHasher
+    from email_address_parser_ray.stages.wav import encode_ulaw
+
+    import struct
+
+    a = _song(3)
+    codes = encode_ulaw(a.astype(np.int16)).tobytes()
+    ulaw = (
+        b"RIFF" + struct.pack("<I", 36 + len(codes)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 7, 1, 16000, 16000, 1, 8)
+        + b"data" + struct.pack("<I", len(codes)) + codes
+    )
+    hasher = MediaHasher()
+    assert _ham(hasher._hash_one("audio", _audio_wav(a)),
+                hasher._hash_one("audio", ulaw)) <= 3
+
+
+def test_video_hash_y4m_vs_mjpeg(ray_session):
+    from email_address_parser_ray.stages.avi import mux_avi_mjpeg
+    from email_address_parser_ray.stages.imagehash import MediaHasher
+    from email_address_parser_ray.stages.jpeg import encode_jpeg
+    from email_address_parser_ray.stages.multimodal import encode_y4m
+
+    rng = np.random.RandomState(5)
+    # 80 frames whose mean luma follows a smooth trend
+    frames = []
+    for i in range(80):
+        level = 0.5 + 0.4 * np.sin(2 * np.pi * i / 20)
+        frames.append(
+            np.clip(level * 255 + rng.randn(32, 48) * 4, 0, 255).astype(np.uint8)
+        )
+    y4m = encode_y4m(frames)
+    jpegs = [encode_jpeg(f.astype(np.float64) / 255.0, quality=90) for f in frames]
+    avi = mux_avi_mjpeg(jpegs, 48, 32)
+    hasher = MediaHasher()
+    h1 = hasher._hash_one("video", y4m)
+    h2 = hasher._hash_one("video", avi)
+    assert _ham(h1, h2) <= 3
+    other = encode_y4m([np.full((32, 48), (i * 3) % 255, np.uint8) for i in range(80)])
+    assert _ham(h1, hasher._hash_one("video", other)) > 8
+
+
+def test_mixed_media_near_dup_pipeline(ray_session):
+    from email_address_parser_ray.stages.flac import encode_flac
+    from email_address_parser_ray.stages.imagehash import media_near_dup_pairs
+
+    img = _picture(9)
+    a = _song(4)
+    rows = [
+        (0, "image", encode_bmp(img)),
+        (1, "image", encode_png(img)),
+        (10, "audio", _audio_wav(a)),
+        (11, "audio", encode_flac(a.reshape(-1, 1), 16000)),
+        (20, "image", encode_bmp(_picture(10))),
+        (21, "audio", _audio_wav(_song(5))),
+    ]
+    t = pa.table(
+        {
+            "media_id": pa.array([r[0] for r in rows], pa.int64()),
+            "kind": pa.array([r[1] for r in rows], pa.string()),
+            "payload": pa.array([r[2] for r in rows], pa.binary()),
+            "width": pa.array(np.zeros(len(rows), np.int32)),
+            "height": pa.array(np.zeros(len(rows), np.int32)),
+            "sample_rate": pa.array(np.zeros(len(rows), np.int32)),
+        }
+    )
+    got = media_near_dup_pairs(rd.from_arrow(t).repartition(2)).to_pandas()
+    pairs = {tuple(p) for p in got[["media_a", "media_b"]].to_numpy()}
+    assert (0, 1) in pairs
+    assert (10, 11) in pairs
+    # never across modalities, never the distinct singles
+    assert pairs == {(0, 1), (10, 11)}
