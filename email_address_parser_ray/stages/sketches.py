@@ -332,6 +332,9 @@ def cms_query(cms: np.ndarray, keys) -> np.ndarray:
     return est
 
 
+HEAVY_HITTER_MAX_CANDIDATES = 5_000_000  # driver candidate budget
+
+
 def heavy_hitters(ds, col: str, phi: float):
     """EXACT phi-heavy hitters (keys with count >= phi * N) in two
     narrow passes, no full-key shuffle:
@@ -361,10 +364,22 @@ def heavy_hitters(ds, col: str, phi: float):
 
     cand_parts = ds.map_batches(local_cands, batch_format="pyarrow", batch_size=None)
     cands = []
+    n_cand = 0
     for ref in cand_parts.to_arrow_refs():
         t = ray.get(ref)
         if "key" in t.schema.names:
-            cands.append(t["key"].combine_chunks())
+            a = t["key"].combine_chunks()
+            cands.append(a)
+            n_cand += len(a)
+            # ≤ 1/phi candidates per block by construction; this trips
+            # only on a pathological phi for the block count — the ask
+            # is then a frequency table, not heavy hitters
+            if n_cand > HEAVY_HITTER_MAX_CANDIDATES:
+                raise ValueError(
+                    f"heavy_hitters: > {HEAVY_HITTER_MAX_CANDIDATES} local "
+                    f"candidates (phi={phi} too small for this block "
+                    "count); use an exact groupby count instead"
+                )
     if not cands:
         return pa.table({"key": pa.array([], pa.string()), "count": pa.array([], pa.int64())})
     cand_arr = pa.concat_arrays([c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in cands]).unique()
@@ -445,17 +460,23 @@ def weighted_sample_k(ds, key_col: str, weight_col, k: int, seed: int = 7):
         pri_kept = pri[np.sort(keep)]
         return out.append_column("__pri", pa.array(pri_kept, pa.float64()))
 
-    parts = []
+    # streaming driver fold: keep a running top-k while iterating the
+    # per-block partials, so driver state is O(k), not O(blocks × k)
+    best = None
     for ref in ds.map_batches(partial_topk, batch_format="pyarrow").to_arrow_refs():
         t = ray.get(ref)
-        if "__pri" in t.schema.names and t.num_rows:
-            parts.append(t)
-    if not parts:
+        if "__pri" not in t.schema.names or t.num_rows == 0:
+            continue
+        best = t if best is None else pa.concat_tables([best, t])
+        if best.num_rows > k:
+            pri = best["__pri"].to_numpy()
+            top = np.argsort(-pri, kind="stable")[:k]
+            best = best.take(pa.array(np.sort(top))).combine_chunks()
+    if best is None:
         return None
-    allp = pa.concat_tables(parts)
-    pri = allp["__pri"].to_numpy()
+    pri = best["__pri"].to_numpy()
     top = np.argsort(-pri, kind="stable")[:k]
-    return allp.take(pa.array(np.sort(top))).drop_columns(["__pri"])
+    return best.take(pa.array(np.sort(top))).drop_columns(["__pri"])
 
 
 # ---------------------------------------------------------------------------
