@@ -110,6 +110,7 @@ class _BitReader:
     reads as reshape+dot, unary reads via a set-bit index pointer."""
 
     def __init__(self, data: bytes, start_byte: int):
+        self.data = data
         self.bits = np.unpackbits(np.frombuffer(data, np.uint8))
         self.pos = start_byte * 8
         self.ones = np.flatnonzero(self.bits)
@@ -120,15 +121,18 @@ class _BitReader:
         return len(self.bits) - self.pos
 
     def read(self, n: int) -> int:
+        """Up to 64 bits as one packed window read (a 9-byte slice
+        covers any ≤64-bit field at any bit offset) — the Rice low-bit
+        hot path, so no per-bit Python."""
         if n == 0:
             return 0
-        if self.pos + n > len(self.bits):
+        p = self.pos
+        if p + n > len(self.bits):
             raise WavError("truncated FLAC bitstream")
-        b = self.bits[self.pos : self.pos + n]
-        self.pos += n
-        v = 0
-        for bit in b.tolist():
-            v = (v << 1) | bit
+        b0 = p >> 3
+        chunk = self.data[b0 : b0 + 9]
+        v = (int.from_bytes(chunk, "big") >> (len(chunk) * 8 - (p - (b0 << 3)) - n)) & ((1 << n) - 1)
+        self.pos = p + n
         return v
 
     def read_signed(self, n: int) -> int:
