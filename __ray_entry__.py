@@ -1170,7 +1170,16 @@ def oracle_sql() -> dict[str, str]:
             # token_stats + quality_stats + fingerprint + lang_id in one
             # per-doc SELECT (columns match functions/textstats.py
             # text_profile exactly)
-            "WITH lid AS (SELECT doc_id, n, en, es, fr, de FROM ("
+            "WITH rep AS (SELECT doc_id, CAST(max(c) * 1000000 // greatest(sum(c), 1) AS BIGINT) AS top_tok_ppm "
+            "FROM (SELECT doc_id, tok, count(*) AS c FROM "
+            "(SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS tok FROM documents) "
+            "GROUP BY doc_id, tok) GROUP BY doc_id), "
+            "bg AS (SELECT doc_id, CAST((count(*) - count(DISTINCT g)) * 1000000 // greatest(count(*), 1) AS BIGINT) AS dup_2gram_ppm "
+            "FROM (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1), "
+            "i -> toks[i] || chr(1) || toks[i + 1])) AS g "
+            "FROM (SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks FROM documents)) "
+            "GROUP BY doc_id), "
+            "lid AS (SELECT doc_id, n, en, es, fr, de FROM ("
             "SELECT doc_id, len(toks) AS n, "
             "len(list_filter(toks, x -> x IN ('the','a','and','of','to','in','is','that','it','for'))) AS en, "
             "len(list_filter(toks, x -> x IN ('el','la','de','que','y','en','un','una','es','por'))) AS es, "
@@ -1203,10 +1212,16 @@ def oracle_sql() -> dict[str, str]:
             # the same perturbed string — see textstats.messy_variant)
             "md5(trim(regexp_replace(lower(nfc_normalize(messy)), '\\s+', ' ', 'g'), ' ')) AS norm_fp, "
             "CAST(length(trim(regexp_replace(lower(nfc_normalize(messy)), '\\s+', ' ', 'g'), ' ')) AS BIGINT) AS norm_len, "
-            "md5(trim(regexp_replace(lower(strip_accents(messy)), '\\s+', ' ', 'g'), ' ')) AS ascii_fp "
+            "md5(trim(regexp_replace(lower(strip_accents(messy)), '\\s+', ' ', 'g'), ' ')) AS ascii_fp, "
+            # Gopher-style repetition filters (functions/textstats.py
+            # repetition_stats): top-word fraction + duplicate-bigram
+            # fraction, integer ppm on both sides
+            "CAST(coalesce(rep.top_tok_ppm, 0) AS BIGINT) AS top_tok_ppm, "
+            "CAST(coalesce(bg.dup_2gram_ppm, 0) AS BIGINT) AS dup_2gram_ppm "
             "FROM (SELECT *, ' ' || upper(substr(text, 1, 40)) || chr(9) || "
             "chr(201) || ' ' || chr(101) || chr(769) || chr(13) || chr(10) || "
-            "text || '  ' AS messy FROM documents) d JOIN lid USING (doc_id)"
+            "text || '  ' AS messy FROM documents) d JOIN lid USING (doc_id) "
+            "LEFT JOIN rep USING (doc_id) LEFT JOIN bg USING (doc_id)"
         ),
         "docs_near_pairs": (
             # union of the two pair detectors at the same grain: the

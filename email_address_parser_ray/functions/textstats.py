@@ -194,6 +194,7 @@ def text_profile(batch: pa.Table) -> pa.Table:
     fp = fingerprint(batch)
     lang = lang_id(batch)
     norm = normalization_profile(batch)
+    rep = repetition_stats(batch)
     return pa.table(
         {
             "doc_id": batch["doc_id"],
@@ -211,6 +212,8 @@ def text_profile(batch: pa.Table) -> pa.Table:
             "norm_fp": norm["norm_fp"],
             "norm_len": norm["norm_len"],
             "ascii_fp": norm["ascii_fp"],
+            "top_tok_ppm": rep["top_tok_ppm"],
+            "dup_2gram_ppm": rep["dup_2gram_ppm"],
         }
     )
 
@@ -252,5 +255,44 @@ def lang_id(batch: pa.Table) -> pa.Table:
             "doc_id": batch["doc_id"],
             "lang_pred": pa.array(langs, pa.string()),
             "lang_score_ppm": pa.array(ppms, pa.int64()),
+        }
+    )
+
+
+def repetition_stats(batch: pa.Table) -> pa.Table:
+    """Gopher-style repetition filters, integer-exact for the SQL
+    oracle: ``top_tok_ppm`` = most-frequent-token occurrences * 1e6 //
+    n_tokens (the "top word fraction" rule) and ``dup_2gram_ppm`` =
+    (bigram occurrences - distinct bigrams) * 1e6 // bigrams (the
+    "duplicate n-gram fraction" rule).  Vectorized batch-wide: one
+    np.unique over the flat token array, per-doc folds via reduceat /
+    bincount — no per-doc Python beyond str.split."""
+    texts = batch["text"].to_pylist()
+    tok_rows = [t.split() for t in texts]
+    lens = np.fromiter((len(r) for r in tok_rows), np.int64, len(tok_rows))
+    n = len(texts)
+    flat = np.array([w for r in tok_rows for w in r], dtype=object)
+    top = np.zeros(n, np.int64)
+    dup_ppm = np.zeros(n, np.int64)
+    if len(flat):
+        uniq, inv = np.unique(flat, return_inverse=True)
+        doc_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+        key = doc_of * np.int64(len(uniq) + 1) + inv
+        ukey, cnt = np.unique(key, return_counts=True)
+        udoc = (ukey // (len(uniq) + 1)).astype(np.int64)
+        starts = np.concatenate([[0], np.flatnonzero(np.diff(udoc)) + 1])
+        top[udoc[starts]] = np.maximum.reduceat(cnt, starts)
+        same = doc_of[:-1] == doc_of[1:]  # bigrams never cross docs
+        bd = doc_of[:-1][same]
+        if len(bd):
+            arr = np.stack([bd, inv[:-1][same], inv[1:][same]], axis=1)
+            tot2 = np.bincount(bd, minlength=n)
+            dist2 = np.bincount(np.unique(arr, axis=0)[:, 0], minlength=n)
+            dup_ppm = (tot2 - dist2) * 1_000_000 // np.maximum(tot2, 1)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "top_tok_ppm": pa.array(top * 1_000_000 // np.maximum(lens, 1), pa.int64()),
+            "dup_2gram_ppm": pa.array(dup_ppm, pa.int64()),
         }
     )
