@@ -572,9 +572,13 @@ def encode_flac(pcm: np.ndarray, rate: int, bps: int = 16,
     for lo in range(0, n, block_size):
         blk = pcm[lo : lo + block_size].astype(np.int64)
         bs = len(blk)
-        # partitions must divide the block evenly; the (typically last,
-        # short) blocks that don't fall back to one partition
-        po = partition_order if bs % (1 << partition_order) == 0 else 0
+        # partitions must divide the block evenly AND leave partition 0
+        # at least the predictor order; the (typically last, short)
+        # blocks that don't fall back to one partition
+        max_order = 4 if subframe.startswith("fixed") or subframe.startswith("lpc") else 0
+        po = partition_order
+        if bs % (1 << po) != 0 or (bs >> po) <= max_order:
+            po = 0
         hw = _BitWriter()
         hw.write(0x3FFE, 14)
         hw.write(0, 1)

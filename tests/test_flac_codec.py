@@ -134,3 +134,11 @@ def test_media_decoder_flac_dispatch():
     f_wav = dec._decode_wav(wav_payload)
     assert np.allclose(f_flac, f_wav, atol=1e-9)
     assert (f_flac > 0).any()
+
+
+def test_short_tail_block_with_partition_order():
+    """A tail block shorter than 2^po * order must fall back to one
+    partition (partition 0 holds blocksize>>po - order samples, which
+    would go negative)."""
+    pcm = _smooth(132).reshape(-1, 1)  # 128-block + 4-sample tail
+    _roundtrip(pcm, block_size=128, subframe="fixed2", partition_order=2)
