@@ -1176,7 +1176,9 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY doc_id, tok) GROUP BY doc_id), "
             "bg AS (SELECT doc_id, CAST((count(*) - count(DISTINCT g)) * 1000000 // greatest(count(*), 1) AS BIGINT) AS dup_2gram_ppm "
             "FROM (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1), "
-            "i -> toks[i] || chr(1) || toks[i + 1])) AS g "
+            # space separator: a '\S+' token can never contain one, so
+            # joined bigrams cannot collide (chr(1) could appear in-token)
+            "i -> toks[i] || ' ' || toks[i + 1])) AS g "
             "FROM (SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks FROM documents)) "
             "GROUP BY doc_id), "
             "lid AS (SELECT doc_id, n, en, es, fr, de FROM ("

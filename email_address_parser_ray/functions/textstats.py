@@ -19,6 +19,10 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 _WS = re.compile(r"\s+")
+# RE2's ASCII \S (what the DuckDB oracle's regexp_extract_all('\S+')
+# matches): everything except [\t\n\f\r ] — notably \v, NBSP and NEL
+# are token chars there, unlike Python's Unicode str.split()
+_RE2_TOK = re.compile(r"[^\t\n\f\r ]+")
 _TOKEN_RE = r"\S+"
 _PUNCT_RE = "[.,;:!?]"
 _BPEISH = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
@@ -266,9 +270,14 @@ def repetition_stats(batch: pa.Table) -> pa.Table:
     (bigram occurrences - distinct bigrams) * 1e6 // bigrams (the
     "duplicate n-gram fraction" rule).  Vectorized batch-wide: one
     np.unique over the flat token array, per-doc folds via reduceat /
-    bincount — no per-doc Python beyond str.split."""
+    bincount — no per-doc Python beyond the tokenizing findall.
+
+    Tokenizes on the exact class DuckDB's RE2 ``\\S+`` implies
+    ([\\t\\n\\f\\r ] — probed: \\v/NBSP/NEL are token chars in RE2,
+    but Python str.split() treats them as separators), so the oracle
+    agrees on corpora containing exotic whitespace."""
     texts = batch["text"].to_pylist()
-    tok_rows = [t.split() for t in texts]
+    tok_rows = [_RE2_TOK.findall(t) for t in texts]
     lens = np.fromiter((len(r) for r in tok_rows), np.int64, len(tok_rows))
     n = len(texts)
     flat = np.array([w for r in tok_rows for w in r], dtype=object)

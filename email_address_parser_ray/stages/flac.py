@@ -233,6 +233,11 @@ def _decode_residual(br: _BitReader, blocksize: int, order: int) -> np.ndarray:
     escape = (1 << plen) - 1
     po = br.read(4)
     nparts = 1 << po
+    # RFC 9639 §9.2.7: the block size must split evenly into 2^po
+    # partitions — otherwise the partition loop fills fewer than
+    # blocksize - order samples and the tail would be uninitialized
+    if blocksize % nparts != 0:
+        raise WavError("FLAC block size not divisible by partition count")
     out = np.empty(blocksize - order, np.int64)
     idx = 0
     for p in range(nparts):
@@ -346,7 +351,11 @@ def parse_flac(payload: bytes):
     br = _BitReader(payload, pos)
     chans = [[] for _ in range(info["channels"])]
     got = 0
-    while got < info["total"] and br.remaining() >= 32:
+    # STREAMINFO total_samples == 0 means "unknown" (streamed encodes):
+    # decode frames until the bitstream is exhausted instead of
+    # silently returning zero samples
+    total = info["total"]
+    while (total == 0 or got < total) and br.remaining() >= 32:
         if br.read(14) != 0x3FFE:
             raise WavError("bad FLAC frame sync")
         br.read(1)  # reserved
@@ -401,12 +410,14 @@ def parse_flac(payload: bytes):
             raise WavError(f"reserved FLAC channel assignment {ch_code}")
         br.align()
         br.read(16)  # frame CRC-16
-        take = min(blocksize, info["total"] - got)
+        take = blocksize if total == 0 else min(blocksize, total - got)
         for c in range(info["channels"]):
             chans[c].append(sub[c][:take])
         got += take
-    if got < info["total"]:
+    if total and got < total:
         raise WavError("truncated FLAC stream")
+    if total == 0 and got == 0:
+        raise WavError("unknown-length FLAC stream with no frames")
     scale = float(1 << (info["bps"] - 1))
     frames = np.stack(
         [np.concatenate(c) if c else np.zeros(0, np.int64) for c in chans], axis=1

@@ -253,14 +253,23 @@ def bloom_anti_join(big, small, on: str, n_bits: int = 0, k: int = 0,
     through (no shuffle at all — at scale this is almost every row);
     only the maybe-hit sliver goes through the exact hash join.
     Auto-sizes the filter from ``small_count`` (or a count() pass)
-    when n_bits/k are 0."""
+    when n_bits/k are 0.  Mirrors ``bloom_pair_gc``'s guards: falls
+    back to a plain hash join when the small side would want a bitmap
+    above ``BLOOM_MAX_BYTES``, and short-circuits when the maybe
+    sliver is empty (which also sidesteps Acero's empty-partition join
+    failure — see ``bucket_join``)."""
     from .joins import hash_join
 
     if not n_bits:
         n_bits, k = bloom_bits_for(small_count or small.count())
+    if n_bits // 8 > BLOOM_MAX_BYTES:
+        return hash_join(big, small.select_columns([on]), on=on,
+                         join_type="left_anti")
     bm = bloom_build(small, on, n_bits, k)
     definite_miss = _bloom_split(big, on, bm, n_bits, k, want_maybe=False)
-    maybe = _bloom_split(big, on, bm, n_bits, k, want_maybe=True)
+    maybe = _bloom_split(big, on, bm, n_bits, k, want_maybe=True).materialize()
+    if maybe.count() == 0:
+        return definite_miss
     verified = hash_join(maybe, small.select_columns([on]), on=on,
                          join_type="left_anti")
     return definite_miss.union(verified)
@@ -269,13 +278,20 @@ def bloom_anti_join(big, small, on: str, n_bits: int = 0, k: int = 0,
 def bloom_semi_join(big, small, on: str, n_bits: int = 0, k: int = 0,
                     small_count: int = 0):
     """EXACT left semi join with a Bloom prefilter: definite-misses are
-    dropped before the shuffle; maybe-hits are verified exactly."""
+    dropped before the shuffle; maybe-hits are verified exactly.
+    Same guards as ``bloom_anti_join``: plain hash join above
+    ``BLOOM_MAX_BYTES``, short-circuit on an empty maybe sliver."""
     from .joins import hash_join
 
     if not n_bits:
         n_bits, k = bloom_bits_for(small_count or small.count())
+    if n_bits // 8 > BLOOM_MAX_BYTES:
+        return hash_join(big, small.select_columns([on]), on=on,
+                         join_type="left_semi")
     bm = bloom_build(small, on, n_bits, k)
-    maybe = _bloom_split(big, on, bm, n_bits, k, want_maybe=True)
+    maybe = _bloom_split(big, on, bm, n_bits, k, want_maybe=True).materialize()
+    if maybe.count() == 0:
+        return maybe  # empty, big's schema
     return hash_join(maybe, small.select_columns([on]), on=on,
                      join_type="left_semi")
 
@@ -357,7 +373,10 @@ def heavy_hitters(ds, col: str, phi: float):
             return pa.table({"key": pa.array([], batch[col].type)})
         import pyarrow.compute as pc
 
-        vc = pc.value_counts(batch[col].combine_chunks())
+        # drop_null: value_counts would otherwise surface None as a
+        # candidate, and the final (count, key) sort can't order None
+        # against concrete keys
+        vc = pc.value_counts(pc.drop_null(batch[col].combine_chunks()))
         thr = phi * batch.num_rows
         keep = pc.greater_equal(vc.field("counts"), pa.scalar(int(np.ceil(thr))))
         return pa.table({"key": pc.filter(vc.field("values"), keep)})
@@ -510,6 +529,16 @@ def grouped_approx_distinct(ds, group_col: str, col: str, p: int = 12):
             )
         import pyarrow.compute as pc
 
+        # null group keys break the sorted driver fold — drop those rows
+        if batch[group_col].null_count:
+            batch = batch.filter(pc.is_valid(batch[group_col]))
+            if batch.num_rows == 0:
+                return pa.table(
+                    {
+                        group_col: pa.array([], batch[group_col].type),
+                        "registers": pa.array([], pa.binary()),
+                    }
+                )
         gcol = batch[group_col].combine_chunks()
         uniq = gcol.unique()
         inv = pc.index_in(gcol, value_set=uniq).to_numpy(zero_copy_only=False)
