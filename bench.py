@@ -135,6 +135,21 @@ def _bench_queries(sf_dir: str) -> dict:
     timed(
         "docs_tfidf_top_terms", lambda: consume(q["docs_tfidf_top_terms"](sf_dir))
     )
+
+    def run_bpe():
+        import ray.data as rd
+
+        from email_address_parser_ray.functions.bpe import (
+            bpe_token_count_ds, train_bpe,
+        )
+
+        docs = rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        model = train_bpe(docs, num_merges=256)
+        return bpe_token_count_ds(docs, model).count()
+
+    timed("bpe_train_encode", run_bpe)
     return timings
 
 

@@ -1,0 +1,367 @@
+"""Pure-Python deterministic byte-pair-encoding tokenizer as a
+distributed batch kernel.
+
+Public algorithm: Sennrich, Haddow & Birch 2016, "Neural Machine
+Translation of Rare Words with Subword Units" (ACL) — learn merges
+greedily from a word-frequency table; encode with merge-priority
+greedy application (the shape of GPT-2's public encoder).  No code is
+taken from any implementation; reference parity is pinned by a naive
+re-implementation in tests/test_bpe.py.
+
+The 100-TB layout:
+
+1. **word counting** — per-batch ``np.unique`` partials over the
+   pre-token stream, folded EXACTLY with ``sorted_group_agg`` (the
+   engine's unbounded-key aggregation policy — word vocabularies are
+   high-cardinality, Ray's native groupby is the wrong shape there);
+2. **driver-state cap** — per-block partial top-k by (count desc,
+   word asc) + a driver fold keeps driver state at ``max_words`` rows
+   no matter the corpus (the Zipf tail carries negligible pair mass;
+   truncation is logged, never silent);
+3. **merge selection on the driver** — vocab-sized state only.  Pair
+   counts are maintained INCREMENTALLY (only words containing the
+   just-merged pair are touched), so training is
+   O(merges × affected words), not O(merges × vocabulary);
+4. **encoding** — the trained model is broadcast once (``ray.put``);
+   per batch, ``np.unique`` collapses the pre-token stream to
+   DISTINCT words, the merge loop runs once per distinct word (with a
+   per-actor cache that persists across batches), and results scatter
+   back vectorized.
+
+Determinism: ties in merge selection break to the lexicographically
+smallest pair; word truncation ties break to the lexicographically
+smallest word; both are total orders, so the model is a pure function
+of the corpus *content* — partitioning, block order and retries cannot
+change it (pinned in tests/test_bpe.py).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Dict, List, Tuple
+
+import numpy as np
+import pyarrow as pa
+
+# Pre-tokenizer: letter runs | digit runs | single symbol — the same
+# class split textstats' "bpeish" count uses, so n_bpeish is exactly
+# the pre-token count BPE starts from.
+PRETOK = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+END = "</w>"  # end-of-word marker symbol (Sennrich §3.2)
+
+DEFAULT_MAX_WORDS = 100_000
+
+
+def _merge_seq(seq: tuple, a: str, b: str, ab: str) -> tuple:
+    """Replace non-overlapping (a, b) adjacencies left-to-right —
+    the canonical greedy occurrence rule both trainer and encoder
+    must share."""
+    out = []
+    i, n = 0, len(seq)
+    while i < n:
+        if i < n - 1 and seq[i] == a and seq[i + 1] == b:
+            out.append(ab)
+            i += 2
+        else:
+            out.append(seq[i])
+            i += 1
+    return tuple(out)
+
+
+@dataclass(frozen=True)
+class BpeModel:
+    """An ordered merge list + the training alphabet.  Token ids are a
+    pure function of the model: 0 = <unk>, then the sorted alphabet,
+    then merged symbols in merge order."""
+
+    merges: Tuple[Tuple[str, str], ...]
+    alphabet: Tuple[str, ...]
+
+    def token_ids(self) -> Dict[str, int]:
+        ids = {"<unk>": 0}
+        for s in self.alphabet:
+            ids.setdefault(s, len(ids))
+        for a, b in self.merges:
+            ids.setdefault(a + b, len(ids))
+        return ids
+
+
+def train_bpe_from_counts(
+    words: List[str], counts: List[int], num_merges: int, min_count: int = 2
+) -> BpeModel:
+    """Greedy merge learning over a (word, count) table — the driver
+    half of training.  State is O(vocabulary), never O(corpus)."""
+    seqs = [tuple(w) + (END,) for w in words]
+    cnts = [int(c) for c in counts]
+    pair_counts: Dict[tuple, int] = {}
+    pair_words: Dict[tuple, set] = {}
+    for i, (seq, c) in enumerate(zip(seqs, cnts)):
+        for p in zip(seq, seq[1:]):
+            pair_counts[p] = pair_counts.get(p, 0) + c
+            pair_words.setdefault(p, set()).add(i)
+
+    merges: List[Tuple[str, str]] = []
+    for _ in range(num_merges):
+        best, best_c = None, 0
+        for p, c in pair_counts.items():
+            if c > best_c or (c == best_c and best is not None and p < best):
+                best, best_c = p, c
+        if best is None or best_c < min_count:
+            break
+        a, b = best
+        ab = a + b
+        merges.append(best)
+        # incremental update: only words actually containing the pair
+        for i in sorted(pair_words.get(best, ())):
+            old, c = seqs[i], cnts[i]
+            for p in zip(old, old[1:]):
+                left = pair_counts[p] - c
+                if left > 0:
+                    pair_counts[p] = left
+                else:
+                    del pair_counts[p]
+                s = pair_words.get(p)
+                if s is not None:
+                    s.discard(i)
+                    if not s:
+                        del pair_words[p]
+            new = _merge_seq(old, a, b, ab)
+            seqs[i] = new
+            for p in zip(new, new[1:]):
+                pair_counts[p] = pair_counts.get(p, 0) + c
+                pair_words.setdefault(p, set()).add(i)
+
+    alphabet = sorted({ch for w in words for ch in w} | {END})
+    return BpeModel(merges=tuple(merges), alphabet=tuple(alphabet))
+
+
+class BpeTokenizer:
+    """Merge-priority greedy encoder with a per-instance word cache —
+    construct ONCE per actor (``__init__``-time state), encode per
+    batch.  The cache persists across batches, so repeated words
+    (Zipf again) hit the merge loop once per actor lifetime."""
+
+    def __init__(self, model: BpeModel):
+        self.model = model
+        self.ranks = {p: r for r, p in enumerate(model.merges)}
+        self.merges = model.merges
+        self.ids = model.token_ids()
+        self._cache: Dict[str, tuple] = {}
+
+    def encode_word(self, w: str) -> tuple:
+        got = self._cache.get(w)
+        if got is not None:
+            return got
+        sym = tuple(w) + (END,)
+        ranks = self.ranks
+        while len(sym) > 1:
+            best = None
+            for p in zip(sym, sym[1:]):
+                r = ranks.get(p)
+                if r is not None and (best is None or r < best):
+                    best = r
+            if best is None:
+                break
+            a, b = self.merges[best]
+            sym = _merge_seq(sym, a, b, a + b)
+        self._cache[w] = sym
+        return sym
+
+    # --- batch kernels ------------------------------------------------------
+
+    def _flat_words(self, texts: List[str]):
+        rows = [PRETOK.findall(t) for t in texts]
+        lens = np.fromiter((len(r) for r in rows), np.int64, len(rows))
+        flat = np.array([w for r in rows for w in r], dtype=object)
+        return flat, lens
+
+    def token_counts(self, texts: List[str]) -> np.ndarray:
+        """Per-text BPE token counts: the merge loop runs once per
+        DISTINCT word in the batch, scatter-summed back per doc."""
+        flat, lens = self._flat_words(texts)
+        out = np.zeros(len(texts), np.int64)
+        if len(flat):
+            uniq, inv = np.unique(flat, return_inverse=True)
+            per_uniq = np.fromiter(
+                (len(self.encode_word(w)) for w in uniq), np.int64, len(uniq)
+            )
+            doc_of = np.repeat(np.arange(len(texts), dtype=np.int64), lens)
+            np.add.at(out, doc_of, per_uniq[inv])
+        return out
+
+    def token_count_pairs(self, texts: List[str]):
+        """Batch-wide (token, count) partial — the vocab partial.
+        Unknown symbols surface verbatim (id 0 in token_ids())."""
+        flat, _ = self._flat_words(texts)
+        if not len(flat):
+            return [], np.zeros(0, np.int64)
+        uniq, ucnt = np.unique(flat, return_counts=True)
+        tok_counts: Dict[str, int] = {}
+        for w, c in zip(uniq, ucnt):
+            for s in self.encode_word(w):
+                tok_counts[s] = tok_counts.get(s, 0) + int(c)
+        toks = sorted(tok_counts)
+        return toks, np.array([tok_counts[t] for t in toks], np.int64)
+
+
+# ---------------------------------------------------------------------------
+# distributed training + batch stages
+# ---------------------------------------------------------------------------
+
+_WC_SCHEMA = pa.schema([("word", pa.string()), ("cnt", pa.int64())])
+
+
+def bpe_word_counts(ds, col: str = "text", max_words: int = DEFAULT_MAX_WORDS):
+    """Distributed exact word counting, capped for the driver: ONE
+    pass of per-batch ``np.unique`` partials, folded with
+    ``sorted_group_agg`` (high-cardinality key policy), then per-block
+    partial top-k (each block ships <= max_words rows) + a driver
+    final top-k.  Returns (words, counts, n_distinct) with counts
+    sorted desc, word asc."""
+    import ray
+
+    from ..stages.dedup import sorted_group_agg
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _WC_SCHEMA.empty_table()
+        flat = np.array(
+            [w for t in batch[col].to_pylist() for w in PRETOK.findall(t)],
+            dtype=object,
+        )
+        if not len(flat):
+            return _WC_SCHEMA.empty_table()
+        uniq, cnt = np.unique(flat, return_counts=True)
+        return pa.table(
+            {"word": pa.array(uniq, pa.string()), "cnt": pa.array(cnt, pa.int64())}
+        )
+
+    folded = sorted_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=["word"],
+        aggs=[("cnt", "sum")],
+    )
+
+    import pyarrow.compute as pc
+
+    sort_keys = [("cnt", "descending"), ("word", "ascending")]
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows <= max_words:
+            return t
+        return t.take(pc.sort_indices(t, sort_keys=sort_keys)[:max_words])
+
+    parts = []
+    for ref in folded.map_batches(
+        block_topk, batch_format="pyarrow", batch_size=None
+    ).to_arrow_refs():
+        t = ray.get(ref)
+        if "word" in t.schema.names and t.num_rows:
+            parts.append(t)
+    n_distinct = folded.count()
+    if not parts:
+        return [], [], 0
+    all_t = pa.concat_tables(parts).combine_chunks()
+    top = all_t.take(pc.sort_indices(all_t, sort_keys=sort_keys)[:max_words])
+    if n_distinct > max_words:
+        print(
+            f"bpe_word_counts: vocabulary {n_distinct} truncated to top "
+            f"{max_words} words for driver-side merge training"
+        )
+    return top["word"].to_pylist(), top["cnt"].to_pylist(), n_distinct
+
+
+def train_bpe(
+    ds,
+    col: str = "text",
+    num_merges: int = 256,
+    max_words: int = DEFAULT_MAX_WORDS,
+    min_count: int = 2,
+) -> BpeModel:
+    """End-to-end distributed BPE training: distributed word counts →
+    driver-side greedy merges over ≤ max_words rows."""
+    words, counts, _ = bpe_word_counts(ds, col, max_words=max_words)
+    return train_bpe_from_counts(words, counts, num_merges, min_count=min_count)
+
+
+class BpeCountStage:
+    """Actor-pool stage: model deserialized once per actor, the word
+    cache persists across batches.  Emits (doc_id, n_bpe_tokens)."""
+
+    def __init__(self, model_ref):
+        import ray
+
+        self.tok = BpeTokenizer(ray.get(model_ref))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.schema(
+                [("doc_id", pa.int64()), ("n_bpe_tokens", pa.int64())]
+            ).empty_table()
+        return pa.table(
+            {
+                "doc_id": pa.compute.cast(batch["doc_id"], pa.int64()),
+                "n_bpe_tokens": pa.array(
+                    self.tok.token_counts(batch["text"].to_pylist()), pa.int64()
+                ),
+            }
+        )
+
+
+def _pool(concurrency):
+    """score_pairs' pool policy: an autoscaling (cpus//2, cpus) pool so
+    a downstream sort/shuffle is never starved of CPUs by idle actors."""
+    if concurrency is not None:
+        return (1, concurrency) if isinstance(concurrency, int) else concurrency
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return (max(1, cpus // 2), cpus)
+
+
+def bpe_token_count_ds(ds, model: BpeModel, concurrency=None):
+    """(doc_id, n_bpe_tokens) over a documents dataset — the model is
+    put in the object store ONCE and read per actor, never re-shipped
+    per batch."""
+    import ray
+
+    model_ref = ray.put(model)
+    return ds.map_batches(
+        BpeCountStage,
+        fn_constructor_args=(model_ref,),
+        batch_format="pyarrow",
+        concurrency=_pool(concurrency),
+    )
+
+
+def bpe_vocab_ds(ds, model: BpeModel, concurrency=None):
+    """Corpus-wide BPE (token, count) vocabulary table: per-batch
+    token-count partials (the actor cache again) folded exactly with
+    sorted_group_agg — token vocabularies are bounded by the model,
+    but the fold shape stays the high-cardinality-safe one."""
+    import ray
+
+    from ..stages.dedup import sorted_group_agg
+
+    model_ref = ray.put(model)
+    schema = pa.schema([("token", pa.string()), ("cnt", pa.int64())])
+
+    class Partial:
+        def __init__(self):
+            self.tok = BpeTokenizer(ray.get(model_ref))
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return schema.empty_table()
+            toks, cnts = self.tok.token_count_pairs(batch["text"].to_pylist())
+            if not toks:
+                return schema.empty_table()
+            return pa.table(
+                {"token": pa.array(toks, pa.string()), "cnt": pa.array(cnts, pa.int64())}
+            )
+
+    parts = ds.map_batches(
+        Partial, batch_format="pyarrow", concurrency=_pool(concurrency)
+    )
+    return sorted_group_agg(parts, keys=["token"], aggs=[("cnt", "sum")])

@@ -47,13 +47,26 @@ def _token_counts(batch: pa.Table) -> pa.Table:
     )
 
 
-def pack_bins(docs_ds, cap: int = DEFAULT_CAP):
+def pack_bins(docs_ds, cap: int = DEFAULT_CAP, bpe_model=None):
     """(doc_id, n_tokens, bin) with ``bin = global_start_offset // cap``
-    under doc_id order.  ``docs_ds`` must have doc_id + text columns."""
+    under doc_id order.  ``docs_ds`` must have doc_id + text columns.
+
+    With ``bpe_model`` (a functions.bpe.BpeModel) the budget is
+    SUBWORD-token exact: lengths come from the broadcast BPE encoder
+    (actor-pool stage, model read once per actor) instead of the
+    whitespace regex — the packing scan itself is unchanged."""
     import ray
     import ray.data as rd
 
-    counts = docs_ds.map_batches(_token_counts, batch_format="pyarrow").sort("doc_id")
+    if bpe_model is not None:
+        from ..functions.bpe import bpe_token_count_ds
+
+        counts = bpe_token_count_ds(docs_ds, bpe_model).map_batches(
+            lambda t: t.rename_columns(["doc_id", "n_tokens"]),
+            batch_format="pyarrow",
+        ).sort("doc_id")
+    else:
+        counts = docs_ds.map_batches(_token_counts, batch_format="pyarrow").sort("doc_id")
     refs = counts.to_arrow_refs()
 
     @ray.remote(num_cpus=0.5)

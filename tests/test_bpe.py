@@ -1,0 +1,206 @@
+"""BPE tokenizer pins: merge-selection parity with a naive reference
+trainer, the Sennrich paper's worked example, encode determinism +
+round-trip, batch-kernel == scalar parity, distributed-training
+partition invariance (the 100-TB property), driver-state capping, and
+token-exact pack_bins.
+
+The tokenizer has no faithful SQL form (the merge loop is iterative
+and data-dependent), so like the sketches/logreg tiers it is
+pytest-pinned rather than driver-oracled."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from email_address_parser_ray.functions.bpe import (
+    END,
+    PRETOK,
+    BpeModel,
+    BpeTokenizer,
+    _merge_seq,
+    bpe_token_count_ds,
+    bpe_vocab_ds,
+    bpe_word_counts,
+    train_bpe,
+    train_bpe_from_counts,
+)
+from email_address_parser_ray.stages.packing import pack_bins
+
+
+# --- naive reference trainer (full recount per merge) -------------------------
+
+
+def naive_train(words, counts, num_merges, min_count=2):
+    seqs = [tuple(w) + (END,) for w in words]
+    merges = []
+    for _ in range(num_merges):
+        pc_ = {}
+        for seq, c in zip(seqs, counts):
+            for p in zip(seq, seq[1:]):
+                pc_[p] = pc_.get(p, 0) + c
+        if not pc_:
+            break
+        best = min(pc_, key=lambda p: (-pc_[p], p))
+        if pc_[best] < min_count:
+            break
+        merges.append(best)
+        seqs = [_merge_seq(s, *best, best[0] + best[1]) for s in seqs]
+    return tuple(merges)
+
+
+def _rand_corpus(seed, n_words=120):
+    rng = np.random.RandomState(seed)
+    alpha = "abcdef"
+    words = sorted(
+        {
+            "".join(alpha[i] for i in rng.randint(0, len(alpha), rng.randint(2, 9)))
+            for _ in range(n_words)
+        }
+    )
+    counts = rng.randint(1, 50, len(words)).tolist()
+    return words, counts
+
+
+def test_sennrich_worked_example():
+    words = ["low", "lower", "newest", "widest"]
+    counts = [5, 2, 6, 3]
+    model = train_bpe_from_counts(words, counts, num_merges=10)
+    # pair totals: es=9, st=9, t</w>=9 tie → lexicographic smallest first
+    assert model.merges[0] == ("e", "s")
+    tok = BpeTokenizer(model)
+    for w in words:
+        sym = tok.encode_word(w)
+        assert "".join(sym).replace(END, "") == w  # round-trip
+
+
+@pytest.mark.parametrize("seed", [3, 11, 29])
+def test_incremental_trainer_equals_naive(seed):
+    words, counts = _rand_corpus(seed)
+    got = train_bpe_from_counts(words, counts, num_merges=80, min_count=2)
+    assert got.merges == naive_train(words, counts, 80, min_count=2)
+
+
+def test_encode_parity_and_cache_determinism():
+    words, counts = _rand_corpus(7)
+    model = train_bpe_from_counts(words, counts, num_merges=60)
+    t1, t2 = BpeTokenizer(model), BpeTokenizer(model)
+    probe = words + ["zzézz", "", "abcdefabcdef"]
+    for w in probe:
+        a = t1.encode_word(w)  # cold
+        b = t1.encode_word(w)  # cached
+        c = t2.encode_word(w)  # independent instance
+        assert a == b == c
+        assert "".join(a).replace(END, "") == w
+
+
+def test_token_ids_deterministic_and_unk():
+    model = train_bpe_from_counts(["abab", "abba"], [5, 3], num_merges=4)
+    ids = model.token_ids()
+    assert ids["<unk>"] == 0
+    assert ids == BpeModel(model.merges, model.alphabet).token_ids()
+    # alphabet symbols precede merged symbols
+    assert all(ids[s] < ids[model.merges[0][0] + model.merges[0][1]]
+               for s in model.alphabet)
+
+
+def test_batch_token_counts_match_scalar():
+    words, counts = _rand_corpus(13)
+    model = train_bpe_from_counts(words, counts, num_merges=50)
+    tok = BpeTokenizer(model)
+    texts = [
+        " ".join(words[:10]),
+        "Hello, world! 42x",
+        "",
+        "éé unseen-chars",
+    ]
+    got = tok.token_counts(texts)
+    want = [
+        sum(len(tok.encode_word(w)) for w in PRETOK.findall(t)) for t in texts
+    ]
+    assert got.tolist() == want
+
+
+# --- distributed pieces --------------------------------------------------------
+
+
+def _docs_ds(texts, blocks=4):
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    ).repartition(blocks)
+
+
+def _corpus_texts(seed=5, n=300):
+    words, counts = _rand_corpus(seed, n_words=60)
+    rng = np.random.RandomState(seed + 1)
+    return [
+        " ".join(rng.choice(words, size=rng.randint(3, 25)))
+        for _ in range(n)
+    ]
+
+
+def test_train_bpe_partition_invariance(ray_session):
+    texts = _corpus_texts()
+    m1 = train_bpe(_docs_ds(texts, blocks=1), num_merges=40)
+    m8 = train_bpe(_docs_ds(texts, blocks=8), num_merges=40)
+    assert m1 == m8
+
+
+def test_bpe_word_counts_exact_and_cap(ray_session):
+    texts = _corpus_texts(seed=9, n=200)
+    # exact expected counts
+    exp = {}
+    for t in texts:
+        for w in PRETOK.findall(t):
+            exp[w] = exp.get(w, 0) + 1
+    words, counts, n_distinct = bpe_word_counts(_docs_ds(texts), max_words=10**6)
+    assert n_distinct == len(exp)
+    assert dict(zip(words, counts)) == exp
+    # cap: top-5 by (count desc, word asc)
+    top_words, top_counts, nd = bpe_word_counts(_docs_ds(texts), max_words=5)
+    want = sorted(exp.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert list(zip(top_words, top_counts)) == want
+    assert nd == len(exp)
+
+
+def test_bpe_token_count_ds_and_vocab(ray_session):
+    texts = _corpus_texts(seed=21, n=150)
+    ds = _docs_ds(texts, blocks=5)
+    model = train_bpe(ds, num_merges=30)
+    tok = BpeTokenizer(model)
+
+    counted = bpe_token_count_ds(ds, model, concurrency=2).to_pandas()
+    counted = counted.sort_values("doc_id").reset_index(drop=True)
+    want = tok.token_counts(texts)
+    assert counted["n_bpe_tokens"].tolist() == want.tolist()
+
+    vocab = bpe_vocab_ds(ds, model, concurrency=2).to_pandas()
+    got = dict(zip(vocab["token"], vocab["cnt"]))
+    exp = {}
+    for t in texts:
+        for w in PRETOK.findall(t):
+            for s in tok.encode_word(w):
+                exp[s] = exp.get(s, 0) + 1
+    assert got == exp
+    # conservation: total vocab mass == total token count
+    assert sum(got.values()) == int(want.sum())
+
+
+def test_pack_bins_token_exact(ray_session):
+    texts = _corpus_texts(seed=31, n=120)
+    ds = _docs_ds(texts, blocks=4)
+    model = train_bpe(ds, num_merges=25)
+    tok = BpeTokenizer(model)
+    cap = 64
+    out = pack_bins(ds, cap=cap, bpe_model=model).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    lens = tok.token_counts(texts)
+    assert out["n_tokens"].tolist() == lens.tolist()
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    assert out["bin"].tolist() == (starts // cap).tolist()
