@@ -508,28 +508,35 @@ def _q_ann_methods_topk(sf_dir: str):
 
     * ``brute`` — exact per-batch partial top-k (numpy matmul against
       the broadcast query), shuffle-free;
-    * ``ivf``   — IVF cell probing; with nprobe = all 10 cells the probe
-      set is exhaustive, so the rows equal brute's (the nprobe<cells
-      approximation knob is pinned by pytest);
+    * ``ivf``   — the PERSISTED IVF layout end-to-end: k-means cells
+      (stages/kmeans) → cell-partitioned parquet index under /tmp →
+      pruned probe (stages/ann.ivf_probe_topk).  With nprobe = all 10
+      cells the probe is exhaustive, so the rows equal brute's (the
+      nprobe<cells approximation knob and the probe-pruned bytes-read
+      are pinned by tests/test_ivf_layout.py);
     * ``lsh``   — SRP-LSH with 6 planes => 64 buckets, so at the test
       scale (500 vectors) the probe set holds a real candidate pool; the
       integer-exact bucketing makes the rows bit-reproducible by the
       plane-literal SQL oracle."""
+    import hashlib
+    import shutil
+
     from email_address_parser_ray.sources.io import read_parquet_clean
     from email_address_parser_ray.stages.ann import (
-        brute_force_topk, ivf_topk, lsh_topk,
+        brute_force_topk, ivf_build, ivf_probe_topk, lsh_topk,
     )
 
     q = _query_vector(sf_dir)
     emb = read_parquet_clean(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
-    emb_l = read_parquet_clean(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
-    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    index_dir = f"/tmp/eap_ray_ivf_{tag}"
+    shutil.rmtree(index_dir, ignore_errors=True)  # never trust a stale index
+    ivf_build(emb, index_dir, k=10, iters=2)
     parts = [
         ("brute", brute_force_topk(emb, q, k=10)),
-        ("ivf", ivf_topk(emb_l, q, k=10, nprobe=10)),
+        ("ivf", ivf_probe_topk(index_dir, q, k=10, nprobe=10)),
         ("lsh", lsh_topk(emb, q, k=10, probes=3, n_planes=6)),
     ]
 

@@ -195,11 +195,13 @@ def embedding_centroids(embeddings_ds):
 
 
 def ivf_topk(embeddings_ds, query: np.ndarray, k: int = 10, nprobe: int = 3):
-    """IVF-style ANN: coarse inverted cells (here the table's ``label``
-    column — at scale the cells come from ``stages/kmeans.kmeans_cells``
-    and the table is written partitioned by cell), probe the ``nprobe``
-    cells whose centroid is nearest the query, brute-force only inside
-    them.
+    """IVF-style ANN over a PRE-LABELED table: coarse inverted cells
+    from the table's ``label`` column, probe the ``nprobe`` cells
+    whose centroid is nearest the query, brute-force only inside
+    them.  This variant still SCANS the table to filter by label; the
+    end-to-end persisted layout — k-means cells → cell-partitioned
+    parquet → filesystem-pruned probe — is ``ivf_build`` +
+    ``ivf_probe_topk`` below.
 
     Centroids are computed distributively (``embedding_centroids``
     partial-sum machinery); only labels×dims integers reach the driver.
@@ -853,3 +855,133 @@ def embedding_retract_pairs(old_pairs_ds, removed_ids_ds):
     return bloom_pair_gc(
         old_pairs_ds, rem_mat, "vec_a", "vec_b", "vec_id", n_rem
     ).materialize()
+
+
+# ---------------------------------------------------------------------------
+# IVF index layout: k-means cells → cell-partitioned parquet → pruned probe
+# ---------------------------------------------------------------------------
+
+
+def ivf_build(
+    embeddings_ds,
+    out_dir: str,
+    k: int = 8,
+    iters: int = 2,
+    sample_mod: Optional[int] = None,
+):
+    """Build a PERSISTED IVF index: fit k-means cells
+    (``stages/kmeans.kmeans_fit`` — integer-exact Lloyd, centroid
+    broadcast per iteration), assign every vector its cell in one
+    streaming pass, and write the table hive-partitioned by cell
+    (``cell=K/`` directories) so a probe READS only its cells'
+    files — pruning happens at the filesystem listing, not as a
+    full-scan filter.
+
+    Resumable like ``sources/io.write_partitioned``: centroids are
+    persisted first (atomic rename), each finished cell gets a
+    manifest with footer-derived row counts, and a rerun skips
+    manifested cells UPSTREAM (their rows are filtered out before the
+    write).  Deterministic: the fit has no RNG, assignment ties break
+    to the lowest cell id, so rerun output is byte-stable.
+
+    Returns the per-cell manifests."""
+    import glob
+    import json
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+
+    from .kmeans import GRID, _assign_cells, kmeans_fit
+
+    os.makedirs(out_dir, exist_ok=True)
+    cent_path = os.path.join(out_dir, "centroids.json")
+    if os.path.exists(cent_path):
+        with open(cent_path) as f:
+            cents_e6 = np.asarray(json.load(f)["cents_e6"], np.int64)
+        if cents_e6.shape[0] != k:
+            raise ValueError(
+                f"ivf_build: existing index has k={cents_e6.shape[0]}, asked k={k}"
+            )
+    else:
+        cents_e6 = kmeans_fit(embeddings_ds, k=k, iters=iters, sample_mod=sample_mod)
+        tmp = cent_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"k": k, "cents_e6": cents_e6.tolist()}, f)
+        os.replace(tmp, cent_path)
+
+    todo = {
+        c
+        for c in range(k)
+        if not os.path.exists(os.path.join(out_dir, f"cell={c}", "manifest.json"))
+    }
+    if todo:
+        todo_arr = pa.array(sorted(todo), pa.int64())
+        cent_ref = ray.put(cents_e6)
+
+        def add_cell(batch: pa.Table) -> pa.Table:
+            ce6 = ray.get(cent_ref)
+            m = _batch_matrix(batch)
+            cell = _assign_cells(m, ce6.astype(np.float64) / GRID).astype(np.int64)
+            out = batch.append_column("cell", pa.array(cell, pa.int64()))
+            return out.filter(pc.is_in(out["cell"], value_set=todo_arr))
+
+        embeddings_ds.map_batches(add_cell, batch_format="pyarrow").write_parquet(
+            out_dir, partition_cols=["cell"]
+        )
+        for c in sorted(todo):
+            cell_dir = os.path.join(out_dir, f"cell={c}")
+            os.makedirs(cell_dir, exist_ok=True)
+            rows = sum(
+                pq.ParquetFile(p).metadata.num_rows
+                for p in glob.glob(os.path.join(cell_dir, "*.parquet"))
+            )
+            tmp = os.path.join(cell_dir, "manifest.json.tmp")
+            with open(tmp, "w") as f:
+                json.dump({"cell": c, "rows": rows}, f)
+            os.replace(tmp, os.path.join(cell_dir, "manifest.json"))
+    out = []
+    for c in range(k):
+        with open(os.path.join(out_dir, f"cell={c}", "manifest.json")) as f:
+            out.append(json.load(f))
+    return out
+
+
+def ivf_probe_cells(index_dir: str, query: np.ndarray, nprobe: int):
+    """Rank the index's cells by centroid cosine to ``query`` and
+    return the nprobe nearest cell ids (deterministic: stable argsort,
+    ties to the lower cell id)."""
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "centroids.json")) as f:
+        cents_e6 = np.asarray(json.load(f)["cents_e6"], np.float64)
+    c = _normalize(cents_e6)
+    qn = query.astype(np.float64)
+    qn = qn / (np.linalg.norm(qn) or 1.0)
+    order = np.argsort(-(c @ qn), kind="stable")
+    return [int(i) for i in order[:nprobe]]
+
+
+def ivf_probe_topk(index_dir: str, query: np.ndarray, k: int = 10, nprobe: int = 3):
+    """Probe a persisted IVF index: read ONLY the ``nprobe`` nearest
+    cells' parquet directories (column-pruned to vec_id + embedding),
+    brute-force cosine top-k inside them.  The bytes read scale with
+    nprobe/k_cells, not with the table — the 100-TB ANN path."""
+    import os
+
+    import ray.data as rd
+
+    cells = ivf_probe_cells(index_dir, query, nprobe)
+    dirs = [
+        os.path.join(index_dir, f"cell={c}")
+        for c in cells
+        if os.path.isdir(os.path.join(index_dir, f"cell={c}"))
+    ]
+    ds = rd.read_parquet(
+        dirs,
+        columns=["vec_id", "embedding"],
+        file_extensions=["parquet"],  # skip the manifests
+    )
+    return brute_force_topk(ds, query, k)
