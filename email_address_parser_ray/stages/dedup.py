@@ -999,6 +999,117 @@ class JaccardVerifier:
 DECONTAM_MAX_EVAL_SHINGLES = 50_000_000  # broadcast guard (~GBs of strings)
 
 
+def _decontaminate_bloom(train_ds, eval_sh_ds, k_shingle: int):
+    """The over-gate decontamination path: the eval shingle set is too
+    large to broadcast as strings, so membership is decided in three
+    exact-preserving steps:
+
+    1. a Bloom filter over the eval shingles' FOLD HASHES (the same
+       token-fold ``word_shingles_flat`` computes per train window, so
+       equal strings guarantee equal hashes) is built distributively
+       and broadcast — O(2^p) bytes no matter the shingle count.  If
+       the optimally-sized bitmap would exceed ``BLOOM_MAX_BYTES`` it
+       is CLAMPED to the budget (k re-derived): the false-positive
+       rate rises, the output does not change — fps only enlarge the
+       verify sliver;
+    2. the training stream masks its flat window hashes against the
+       bitmap (fully vectorized, same reduceat fold as the broadcast
+       path's prefilter); docs with zero maybe-windows — at scale,
+       almost all — emit nothing and never touch per-doc Python;
+    3. candidate docs emit (doc_id, shingle-string) rows, exact-verified
+       with ``bucketed_semi_join`` against the eval shingle strings
+       (the union-tag co-location shape — sparse slivers are safe,
+       unlike Ray's native join), then folded to (doc_id, n_hits)
+       with ``sorted_group_agg`` (n_hits = DISTINCT shared shingles —
+       the per-doc shingle sets are already distinct).
+
+    Output is row-identical to the broadcast path (branch equality
+    pinned in tests/test_decontaminate_scale.py)."""
+    import ray
+
+    from ..functions.hashing import word_shingle_set, word_shingles_flat
+    from .joins import bucketed_semi_join
+    from .sketches import (
+        BLOOM_MAX_BYTES,
+        bloom_bits_for,
+        bloom_build,
+        bloom_maybe_mask,
+        hash64_column,
+    )
+
+    n = eval_sh_ds.count()
+    n_bits, k = bloom_bits_for(n)
+    if n_bits // 8 > BLOOM_MAX_BYTES:
+        n_bits = BLOOM_MAX_BYTES * 8
+        k = max(1, int(round(n_bits / n * 0.6931)))
+
+    def fold_hashes(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"h": pa.array([], pa.uint64())})
+        hs, _ = word_shingles_flat(t["g"].to_pylist(), k_shingle)
+        return pa.table({"h": pa.array(hs, pa.uint64())})
+
+    ev_hashes = eval_sh_ds.map_batches(fold_hashes, batch_format="pyarrow")
+    bm_ref = ray.put(bloom_build(ev_hashes, "h", n_bits, k))
+
+    sliver_schema = pa.schema([("doc_id", pa.int64()), ("g", pa.string())])
+
+    def sliver(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return sliver_schema.empty_table()
+        texts = t["text"].to_pylist()
+        bm = ray.get(bm_ref)
+        hs, slens = word_shingles_flat(texts, k_shingle)
+        maybe = bloom_maybe_mask(bm, hash64_column(pa.array(hs)), n_bits, k)
+        soffs = np.cumsum(slens) - slens
+        cand = np.flatnonzero(np.logical_or.reduceat(maybe, soffs))
+        ids, gs = [], []
+        dids = t["doc_id"].to_pylist()
+        for i in cand:
+            for g in word_shingle_set(texts[i], k_shingle):
+                ids.append(dids[i])
+                gs.append(g)
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "g": pa.array(gs, pa.string())}
+        )
+
+    out_schema = pa.schema([("doc_id", pa.int64()), ("n_hits", pa.int64())])
+
+    def _stable_empty():
+        # rd.from_arrow on an empty table (and a sort over empty
+        # blocks) loses the schema (None); mapping an empty_table over
+        # a 1-row range keeps it stable
+        import ray.data as rd
+
+        return rd.range(1).map_batches(
+            lambda _t, s=out_schema: s.empty_table(), batch_format="pyarrow"
+        )
+
+    cand_rows = train_ds.map_batches(sliver, batch_format="pyarrow").materialize()
+    if cand_rows.count() == 0:  # clean corpus: nothing to verify
+        return _stable_empty()
+    shared = bucketed_semi_join(cand_rows, eval_sh_ds, on="g")
+
+    def ones(t: pa.Table) -> pa.Table:
+        # a re-foldable count: per-row 1 summed twice (sorted_group_agg
+        # applies its agg per block AND across blocks — "count" would
+        # count the partials instead of summing them)
+        return pa.table(
+            {
+                "doc_id": pa.compute.cast(t["doc_id"], pa.int64()),
+                "n_hits": pa.array(np.ones(t.num_rows, np.int64), pa.int64()),
+            }
+        )
+
+    folded = sorted_group_agg(
+        shared.map_batches(ones, batch_format="pyarrow"),
+        keys=["doc_id"],
+        aggs=[("n_hits", "sum")],
+    ).materialize()
+    # an fp-only sliver verifies to zero rows — keep the schema stable
+    return folded if folded.count() else _stable_empty()
+
+
 def decontaminate(train_ds, eval_ds, k_shingle: int = 3):
     """Benchmark decontamination: flag training documents that share any
     exact k-word shingle with an eval/benchmark corpus (the GPT-3 / Pile
@@ -1007,9 +1118,11 @@ def decontaminate(train_ds, eval_ds, k_shingle: int = 3):
     The eval side is the SMALL side by construction — benchmark suites
     are bounded while the training corpus is the 100-TB stream — so its
     DISTINCT shingle strings are reduced per-batch, unioned on the
-    driver, and broadcast ONCE via ``ray.put``; the guard raises above
-    ``DECONTAM_MAX_EVAL_SHINGLES`` rather than silently shipping a
-    multi-GB set.  The training corpus then streams through one
+    driver, and broadcast ONCE via ``ray.put``; above
+    ``DECONTAM_MAX_EVAL_SHINGLES`` the operator switches to the
+    DISTRIBUTED Bloom-prefiltered path (``_decontaminate_bloom``)
+    instead of declining — same output, no driver-side eval set.
+    The training corpus then streams through one
     task-based ``map_batches`` doing set-membership counting per doc —
     the big side is never shuffled, never re-read, never materialized.
 
@@ -1036,21 +1149,18 @@ def decontaminate(train_ds, eval_ds, k_shingle: int = 3):
             out |= word_shingle_set(txt, k_shingle)
         return pa.table({"g": pa.array(sorted(out), pa.string())})
 
-    parts = ray.get(
-        eval_ds.map_batches(batch_shingles, batch_format="pyarrow")
-        .materialize()
-        .to_arrow_refs()
-    )
+    eval_sh = eval_ds.map_batches(
+        batch_shingles, batch_format="pyarrow"
+    ).materialize()
+    # per-batch-distinct row count is an UPPER bound on the global
+    # distinct shingle count — a cheap gate probe, nothing pulled
+    if eval_sh.count() > DECONTAM_MAX_EVAL_SHINGLES:
+        return _decontaminate_bloom(train_ds, eval_sh, k_shingle)
+    parts = ray.get(eval_sh.to_arrow_refs())
     ev: set = set()
     for p in parts:
         if p.num_rows:
             ev.update(p["g"].to_pylist())
-        if len(ev) > DECONTAM_MAX_EVAL_SHINGLES:
-            raise ValueError(
-                f"decontaminate: eval corpus has > {DECONTAM_MAX_EVAL_SHINGLES} "
-                f"distinct shingles; too large to broadcast — shard the eval "
-                f"set or raise the guard deliberately."
-            )
     ev_ref = ray.put(frozenset(ev))
     # hashed mirror of the eval shingle set for the vectorized phase:
     # each shingle STRING hashed with the same token-fold the train

@@ -136,3 +136,49 @@ def bucket_join(
         )
 
     return both.groupby("__bucket").map_groups(merge, batch_format="pyarrow")
+
+
+def bucketed_semi_join(left, right, on: str, n_buckets: int = 32):
+    """EXACT left semi join by hash-bucket co-location — the
+    ``bucket_join`` shape (union-tag both sides, ONE groupby-bucket
+    shuffle, vectorized per-bucket filter) for arbitrary key types:
+    the bucket is ``hash64(key) % n_buckets``, so string keys work and
+    sparse sides are safe (Ray's native join — ``hash_join`` — builds
+    an empty zero-column table when a hash partition receives no shard
+    on one side and fails inside Acero; see ``bucket_join``).
+
+    Emits left rows whose key appears in ``right`` — each left row at
+    most once, column set unchanged."""
+    from .sketches import hash64_column
+
+    ls = left.schema()
+    l_cols = list(ls.names)
+    types = dict(zip(ls.names, ls.types))
+
+    def tag(is_left):
+        def f(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            b = (hash64_column(t[on]) % np.uint64(n_buckets)).astype(np.int64)
+            arrays = {
+                "__bucket": pa.array(b, pa.int64()),
+                "__is_left": pa.array([is_left] * n),
+            }
+            for c in l_cols:  # union schemas must match: pad right side
+                arrays[c] = t[c] if c in t.schema.names else pa.nulls(n, types[c])
+            return pa.table(arrays)
+
+        return f
+
+    both = left.map_batches(tag(True), batch_format="pyarrow").union(
+        right.select_columns([on]).map_batches(tag(False), batch_format="pyarrow")
+    )
+
+    def semi(t: pa.Table) -> pa.Table:
+        is_left = pc.fill_null(t["__is_left"], False)
+        lt = t.filter(is_left)
+        keys = lt[on]
+        rkeys = t.filter(pc.invert(is_left))[on].combine_chunks().unique()
+        keep = pc.is_in(keys, value_set=rkeys)
+        return lt.filter(keep).select(l_cols)
+
+    return both.groupby("__bucket").map_groups(semi, batch_format="pyarrow")
