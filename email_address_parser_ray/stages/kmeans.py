@@ -14,8 +14,10 @@ Ray shape (per iteration = ONE streaming pass):
 * centroids (k x d int64, tiny) are broadcast once via ``ray.put``;
 * each ``map_batches`` task assigns its rows (one numpy matmul) and
   emits only k rows of (cell, count, d int64 partial sums);
-* the driver folds nblocks x k partial rows (bounded by block count,
-  never by data size) and updates the grid centroids.
+* a remote pairwise TREE fold sums the per-block partials in the
+  cluster; the driver receives ONE k x (2 + d) table per iteration —
+  O(k*d) driver state and bandwidth, independent of block count —
+  and updates the grid centroids.
 
 The input is ``materialize()``-d once so iterations re-read object-store
 blocks instead of re-running the parquet scan; at 100 TB fit on a
@@ -109,12 +111,50 @@ def kmeans_fit(embeddings_ds, k: int = 8, iters: int = 2, sample_mod: int | None
                 }
             )
 
-        parts = emb.map_batches(partial, batch_format="pyarrow").to_pandas()
-        cells = parts["cell"].to_numpy()
+        # remote TREE fold of the per-block partials: pairwise sums run
+        # in the cluster, the driver receives exactly ONE k x (2 + d)
+        # table per iteration — driver state and bandwidth are O(k*d),
+        # independent of the block count (the hll_merge shape; the old
+        # driver-side .to_pandas() fold pulled O(blocks*k*d) rows)
+        @ray.remote
+        def fold2(a: pa.Table, b: pa.Table) -> pa.Table:
+            for t, o in ((a, b), (b, a)):
+                if "cell" not in t.schema.names or t.num_rows == 0:
+                    return o
+            cnts = np.zeros(k, np.int64)
+            sums = np.zeros((k, d), np.int64)
+            for t in (a, b):
+                c = t["cell"].to_numpy(zero_copy_only=False).astype(np.int64)
+                np.add.at(cnts, c, t["cnt"].to_numpy(zero_copy_only=False))
+                np.add.at(sums, c, np.stack(t["psum"].to_pylist()))
+            return pa.table(
+                {
+                    "cell": pa.array(np.arange(k, dtype=np.int64), pa.int64()),
+                    "cnt": pa.array(cnts, pa.int64()),
+                    "psum": pa.array(list(sums)),
+                }
+            )
+
+        refs = list(
+            emb.map_batches(
+                partial, batch_format="pyarrow", batch_size=None
+            ).to_arrow_refs()
+        )
+        while len(refs) > 1:
+            nxt = [
+                fold2.remote(refs[i], refs[i + 1])
+                for i in range(0, len(refs) - 1, 2)
+            ]
+            if len(refs) % 2:
+                nxt.append(refs[-1])
+            refs = nxt
+        final = ray.get(refs[0])
         cnts = np.zeros(k, np.int64)
-        np.add.at(cnts, cells, parts["cnt"].to_numpy())
         sums = np.zeros((k, d), np.int64)
-        np.add.at(sums, cells, np.stack(parts["psum"].to_numpy()))
+        if "cell" in final.schema.names and final.num_rows:
+            c = final["cell"].to_numpy(zero_copy_only=False).astype(np.int64)
+            np.add.at(cnts, c, final["cnt"].to_numpy(zero_copy_only=False))
+            np.add.at(sums, c, np.stack(final["psum"].to_pylist()))
         updated = _trunc_div(sums, np.maximum(cnts, 1)[:, None])
         cents_e6 = np.where(cnts[:, None] > 0, updated, cents_e6).astype(np.int64)
 

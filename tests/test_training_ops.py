@@ -569,6 +569,10 @@ def test_decontaminate_edge_docs_and_empty_eval(ray_session):
 
 
 def test_decontaminate_eval_guard(ray_session):
+    """Above the broadcast gate the operator now degrades to the
+    distributed Bloom path instead of raising (full branch-equality
+    coverage lives in tests/test_decontaminate_scale.py) — here: the
+    self-decontamination answer must be unchanged by the gate."""
     import ray.data as rd
     import email_address_parser_ray.stages.dedup as dedup
 
@@ -576,13 +580,14 @@ def test_decontaminate_eval_guard(ray_session):
         "doc_id": pa.array([0], pa.int64()),
         "text": pa.array(["a b c d e f g h"], pa.string()),
     })
+    want = dedup.decontaminate(rd.from_arrow(ev), rd.from_arrow(ev)).to_pandas()
     old = dedup.DECONTAM_MAX_EVAL_SHINGLES
     dedup.DECONTAM_MAX_EVAL_SHINGLES = 2
     try:
-        with pytest.raises(ValueError, match="distinct shingles"):
-            decon = dedup.decontaminate(rd.from_arrow(ev), rd.from_arrow(ev))
+        got = dedup.decontaminate(rd.from_arrow(ev), rd.from_arrow(ev)).to_pandas()
     finally:
         dedup.DECONTAM_MAX_EVAL_SHINGLES = old
+    assert got.values.tolist() == want.values.tolist() == [[0, 6]]
 
 
 def test_sorted_pair_dedup_matches_pandas(ray_session):
