@@ -250,6 +250,21 @@ def encode_png(gray: np.ndarray) -> bytes:
     )
 
 
+def _mjpeg_frames(payload: bytes):
+    """Container sniff for the two MJPEG carriages: RIFF/AVI and
+    ISO-BMFF (MP4/MOV).  Returns the per-frame JPEG list, or None when
+    the payload is neither (the Y4M path handles it then)."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        from email_address_parser_ray.stages.avi import demux_avi_mjpeg  # noqa: PLC0415
+
+        return demux_avi_mjpeg(payload)[2]
+    from email_address_parser_ray.stages.mp4 import demux_mp4_mjpeg, is_isobmff  # noqa: PLC0415
+
+    if is_isobmff(payload):
+        return demux_mp4_mjpeg(payload)[2]
+    return None
+
+
 def demux_y4m(payload: bytes):
     """YUV4MPEG2 demux → (width, height, list of uint8 luma planes HxW).
 
@@ -418,14 +433,13 @@ class MediaDecoder:
         return np.array([float(b.mean()) if b.size else 0.0 for b in bands])
 
     def _frame_luma(self, payload: bytes) -> np.ndarray:
-        """Y4M or MJPEG-in-AVI demux → per-frame mean luma in [0, 1]
-        (the container-independent video signal; shared by the feature
-        path and the perceptual-hash stage)."""
-        if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
-            from email_address_parser_ray.stages.avi import demux_avi_mjpeg  # noqa: PLC0415
+        """Y4M, MJPEG-in-AVI or MJPEG-in-MP4/MOV demux → per-frame mean
+        luma in [0, 1] (the container-independent video signal; shared
+        by the feature path and the perceptual-hash stage)."""
+        jpegs = _mjpeg_frames(payload)
+        if jpegs is not None:
             from email_address_parser_ray.stages.jpeg import decode_jpeg  # noqa: PLC0415
 
-            _, _, jpegs = demux_avi_mjpeg(payload)
             return np.array([float(decode_jpeg(j).mean()) for j in jpegs])
         _, _, frames = demux_y4m(payload)
         return np.array([f.mean() / 255.0 for f in frames])
@@ -588,11 +602,10 @@ class FrameSampler:
         self.fake = fake
 
     def _sample_real(self, payload: bytes):
-        if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
-            from email_address_parser_ray.stages.avi import demux_avi_mjpeg  # noqa: PLC0415
+        jpegs = _mjpeg_frames(payload)
+        if jpegs is not None:
             from email_address_parser_ray.stages.jpeg import decode_jpeg  # noqa: PLC0415
 
-            _, _, jpegs = demux_avi_mjpeg(payload)
             idx = np.unique(
                 (np.arange(self.n_frames) * len(jpegs)) // max(1, self.n_frames)
             )
