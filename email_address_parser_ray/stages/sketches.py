@@ -737,3 +737,121 @@ def approx_quantiles(ds, value_col: str, key_col: str, qs, k: int = 8192,
             "value": pa.array(v[idx], pa.float64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# grouped approximate quantiles (per-group bottom-k sample partials)
+# ---------------------------------------------------------------------------
+
+GROUPED_QUANTILE_MAX_SAMPLES = 32_000_000  # groups x k driver sample budget
+
+
+def grouped_approx_quantiles(ds, group_col: str, value_col: str, key_col: str,
+                             qs, k: int = 8192, seed: int = 7):
+    """Per-group ``approx_quantiles`` for LOW-cardinality group keys
+    (the ``grouped_approx_distinct`` shape): each block emits at most
+    k (group, priority, value) rows per group it contains — a
+    content-keyed bottom-k uniform sample, so partitioning/retries
+    cannot change the draw — and the driver merge keeps the global
+    bottom-k per group.  Groups with <= k rows carry their ENTIRE
+    value set, so their quantiles are exact; larger groups get the
+    binomial O(sqrt(q(1-q)/k)) rank error of the global sketch.
+
+    Driver state is groups x k samples, guarded by
+    ``GROUPED_QUANTILE_MAX_SAMPLES`` (a million-group key wants the
+    exact radix-refinement quantiles instead).  Null group keys are
+    dropped (they cannot order in the sorted fold); ``key_col`` must
+    identify rows.  Returns a pyarrow Table (group_col, q float64,
+    value float64), lower-nearest-rank, sorted by (group, q)."""
+    import ray
+
+    seed_h = mix64(np.uint64(seed))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        empty = pa.table(
+            {
+                group_col: pa.array([], batch[group_col].type),
+                "pri": pa.array([], pa.uint64()),
+                "value": pa.array([], pa.float64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        if batch[group_col].null_count:
+            batch = batch.filter(pc.is_valid(batch[group_col]))
+            if batch.num_rows == 0:
+                return empty
+        gcol = batch[group_col].combine_chunks()
+        uniq = gcol.unique()
+        inv = pc.index_in(gcol, value_set=uniq).to_numpy(zero_copy_only=False).astype(np.int64)
+        h = mix64(hash64_column(batch[key_col]) ^ seed_h)
+        v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        order = np.lexsort((v, h, inv))  # (group, pri, value) — total order
+        inv_s, h_s, v_s = inv[order], h[order], v[order]
+        starts = np.concatenate([[0], np.flatnonzero(np.diff(inv_s)) + 1])
+        within = np.arange(len(inv_s)) - np.repeat(
+            starts, np.diff(np.concatenate([starts, [len(inv_s)]]))
+        )
+        keep = within < k
+        return pa.table(
+            {
+                group_col: pc.take(uniq, pa.array(inv_s[keep], pa.int64())),
+                "pri": pa.array(h_s[keep], pa.uint64()),
+                "value": pa.array(v_s[keep], pa.float64()),
+            }
+        )
+
+    folded: dict = {}
+    budget = 0
+    for ref in ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=None
+    ).to_arrow_refs():
+        t = ray.get(ref)
+        if "pri" not in t.schema.names or t.num_rows == 0:
+            continue
+        groups = t[group_col].to_pylist()
+        pris = t["pri"].to_numpy(zero_copy_only=False)
+        vals = t["value"].to_numpy(zero_copy_only=False)
+        # segment by group (the partial emits group-contiguous rows)
+        garr = np.array(groups, dtype=object)
+        starts = np.concatenate(
+            [[0], np.flatnonzero(garr[1:] != garr[:-1]) + 1, [len(garr)]]
+        )
+        for s, e in zip(starts[:-1], starts[1:]):
+            g = garr[s]
+            pv = np.stack([pris[s:e].astype(np.uint64), vals[s:e]])
+            if g in folded:
+                op, ov = folded[g]
+                mp = np.concatenate([op, pv[0]])
+                mv = np.concatenate([ov, pv[1]])
+                o = np.lexsort((mv, mp))[:k]
+                budget -= len(op)
+                folded[g] = (mp[o], mv[o])
+            else:
+                o = np.lexsort((pv[1], pv[0]))[:k]
+                folded[g] = (pv[0][o], pv[1][o])
+            budget += len(folded[g][0])
+            if budget > GROUPED_QUANTILE_MAX_SAMPLES:
+                raise ValueError(
+                    "grouped_approx_quantiles: group cardinality x k exceeds "
+                    f"GROUPED_QUANTILE_MAX_SAMPLES ({GROUPED_QUANTILE_MAX_SAMPLES}); "
+                    "use the exact radix-refinement quantiles for "
+                    "high-cardinality group keys"
+                )
+    qs = [float(q) for q in qs]
+    out_g, out_q, out_v = [], [], []
+    for g in sorted(folded):
+        v = np.sort(folded[g][1])
+        idx = np.minimum((np.asarray(qs) * len(v)).astype(np.int64), len(v) - 1)
+        out_g.extend([g] * len(qs))
+        out_q.extend(qs)
+        out_v.extend(v[idx])
+    return pa.table(
+        {
+            group_col: pa.array(out_g),
+            "q": pa.array(out_q, pa.float64()),
+            "value": pa.array(out_v, pa.float64()),
+        }
+    )

@@ -183,3 +183,85 @@ def test_repetition_stats_matches_oracle_on_exotic_whitespace():
     ).fetch_arrow_table()
     assert got["top_tok_ppm"].to_pylist() == oracle["top_tok_ppm"].to_pylist()
     assert got["dup_2gram_ppm"].to_pylist() == oracle["dup_2gram_ppm"].to_pylist()
+
+
+# --- grouped approximate quantiles --------------------------------------------
+
+
+def _grouped_ds(seed=7, groups=("a", "b", "c"), n_per=(20000, 5000, 100), blocks=6):
+    import ray.data as rd
+
+    rng = np.random.RandomState(seed)
+    g, v, kid = [], [], []
+    base = 0
+    for name, n in zip(groups, n_per):
+        g.extend([name] * n)
+        v.extend(rng.normal(loc=len(name) * 10, scale=5, size=n).tolist())
+        kid.extend(range(base, base + n))
+        base += n
+    t = pa.table(
+        {
+            "g": pa.array(g, pa.string()),
+            "v": pa.array(v, pa.float64()),
+            "rid": pa.array(kid, pa.int64()),
+        }
+    )
+    return rd.from_arrow(t).repartition(blocks), t
+
+
+def test_grouped_approx_quantiles_rank_error_and_exact_small(ray_session):
+    from email_address_parser_ray.stages.sketches import grouped_approx_quantiles
+
+    ds, t = _grouped_ds()
+    qs = [0.1, 0.5, 0.9]
+    out = grouped_approx_quantiles(ds, "g", "v", "rid", qs, k=4096).to_pandas()
+    df = t.to_pandas()
+    for g, sub in df.groupby("g"):
+        vals = np.sort(sub["v"].to_numpy())
+        for q in qs:
+            got = float(
+                out[(out["g"] == g) & (out["q"] == q)]["value"].iloc[0]
+            )
+            # rank of the returned value must be within 3.5 sigma of q
+            rank = np.searchsorted(vals, got, side="right") / len(vals)
+            tol = 3.5 * np.sqrt(q * (1 - q) / min(4096, len(vals))) + 1.0 / len(vals)
+            assert abs(rank - q) <= tol, (g, q, rank)
+        if len(vals) <= 4096:  # small group: exact lower-nearest-rank
+            for q in qs:
+                got = float(out[(out["g"] == g) & (out["q"] == q)]["value"].iloc[0])
+                assert got == vals[min(int(q * len(vals)), len(vals) - 1)]
+
+
+def test_grouped_approx_quantiles_partition_invariant(ray_session):
+    from email_address_parser_ray.stages.sketches import grouped_approx_quantiles
+
+    ds1, t = _grouped_ds(seed=13, blocks=1)
+    ds8, _ = _grouped_ds(seed=13, blocks=8)
+    qs = [0.25, 0.75]
+    a = grouped_approx_quantiles(ds1, "g", "v", "rid", qs, k=512).to_pandas()
+    b = grouped_approx_quantiles(ds8, "g", "v", "rid", qs, k=512).to_pandas()
+    assert a.values.tolist() == b.values.tolist()
+
+
+def test_grouped_approx_quantiles_null_groups_and_budget(ray_session):
+    import ray.data as rd
+
+    from email_address_parser_ray.stages import sketches as sk
+
+    t = pa.table(
+        {
+            "g": pa.array(["x"] * 50 + [None] * 20 + ["y"] * 30, pa.string()),
+            "v": pa.array([float(i) for i in range(100)], pa.float64()),
+            "rid": pa.array(range(100), pa.int64()),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(3)
+    out = sk.grouped_approx_quantiles(ds, "g", "v", "rid", [0.5], k=64)
+    assert out["g"].to_pylist() == ["x", "y"]
+    old = sk.GROUPED_QUANTILE_MAX_SAMPLES
+    sk.GROUPED_QUANTILE_MAX_SAMPLES = 10
+    try:
+        with pytest.raises(ValueError, match="GROUPED_QUANTILE_MAX_SAMPLES"):
+            sk.grouped_approx_quantiles(ds, "g", "v", "rid", [0.5], k=64)
+    finally:
+        sk.GROUPED_QUANTILE_MAX_SAMPLES = old
