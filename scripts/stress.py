@@ -1,0 +1,122 @@
+"""Unified stress entry point — one command per scale-evidence family.
+
+    RAY_GRAFT_CPUS=32 python scripts/stress.py --family dedup [args...]
+
+Families ``cc | dedup | embedding | incremental_dedup | mediadedup |
+sketches`` dispatch to the existing per-family harnesses via runpy
+(same module, same argv shape, therefore identical measured numbers —
+each family's docstring documents its args).  ``decontaminate`` is
+implemented here: it forces the broadcast gate low so the distributed
+Bloom path runs over the full sf0.1 documents table, asserts
+row-identity with the broadcast path, and reports both walls.
+
+Every family prints one JSON line; BASELINE.md records the results.
+"""
+
+import argparse
+import json
+import os
+import runpy
+import sys
+import time
+
+os.chdir(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.getcwd())
+
+_SCRIPTED = {
+    "cc": "scripts/stress_cc.py",
+    "dedup": "scripts/stress_dedup.py",
+    "embedding": "scripts/stress_embedding.py",
+    "incremental_dedup": "scripts/stress_incremental_dedup.py",
+    "mediadedup": "scripts/stress_mediadedup.py",
+    "sketches": "scripts/stress_sketches.py",
+}
+
+
+def stress_decontaminate(tiles: int) -> None:
+    """Forced-low-gate decontamination over the (tiled) sf0.1 docs:
+    the Bloom path must match the broadcast path row-for-row at a
+    corpus size where the broadcast path is still runnable."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+
+    from email_address_parser_ray.stages import dedup as dedup_mod
+
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             logging_level="ERROR")
+    src = "/root/testdata/sf0.1/documents.parquet"
+
+    def load():
+        docs = rd.read_parquet(src, columns=["doc_id", "text"])
+        if tiles > 1:
+            import pyarrow.parquet as pq
+
+            base = pq.read_table(src, columns=["doc_id", "text"])
+            n = base.num_rows
+            parts = []
+            for t in range(tiles):
+                parts.append(
+                    pa.table(
+                        {
+                            "doc_id": pc.add(base["doc_id"], pa.scalar(t * n, pa.int64())),
+                            "text": base["text"],
+                        }
+                    )
+                )
+            docs = rd.from_arrow(pa.concat_tables(parts)).repartition(num_cpus * 2)
+        return docs
+
+    def split(docs, keep_eval):
+        def f(t):
+            m = pc.equal(
+                pc.subtract(
+                    t["doc_id"],
+                    pc.multiply(pc.divide(t["doc_id"], 97), pa.scalar(97, pa.int64())),
+                ),
+                pa.scalar(0, pa.int64()),
+            )
+            return t.filter(m if keep_eval else pc.invert(m))
+
+        return docs.map_batches(f, batch_format="pyarrow")
+
+    out = {"metric": "stress_decontaminate", "tiles": tiles, "num_cpus": num_cpus}
+    results = {}
+    for name, gate in (("broadcast", None), ("bloom", 1)):
+        old = dedup_mod.DECONTAM_MAX_EVAL_SHINGLES
+        if gate is not None:
+            dedup_mod.DECONTAM_MAX_EVAL_SHINGLES = gate
+        try:
+            docs = load()
+            t0 = time.time()
+            res = dedup_mod.decontaminate(split(docs, False), split(docs, True))
+            df = res.to_pandas().sort_values("doc_id").reset_index(drop=True)
+            out[f"{name}_sec"] = round(time.time() - t0, 3)
+            out[f"{name}_rows"] = len(df)
+            results[name] = df
+        finally:
+            dedup_mod.DECONTAM_MAX_EVAL_SHINGLES = old
+    assert results["broadcast"].equals(results["bloom"]), "branches diverge!"
+    out["branches_identical"] = True
+    print(json.dumps(out))
+    ray.shutdown()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--family", required=True,
+                    choices=sorted(_SCRIPTED) + ["decontaminate"])
+    ap.add_argument("args", nargs="*", help="family-specific positional args")
+    ns = ap.parse_args()
+    if ns.family == "decontaminate":
+        stress_decontaminate(int(ns.args[0]) if ns.args else 1)
+        return
+    path = _SCRIPTED[ns.family]
+    sys.argv = [path] + ns.args
+    runpy.run_path(path, run_name="__main__")
+
+
+if __name__ == "__main__":
+    main()
