@@ -613,6 +613,7 @@ def _q_export_shards(sf_dir: str):
     """Training-export pattern: extracted mentions → seeded random_shuffle
     → resumable hash-partitioned Parquet shards; returns the
     per-partition manifest counters (rows-only check)."""
+    import os
     import shutil
 
     import pyarrow as pa
@@ -622,7 +623,10 @@ def _q_export_shards(sf_dir: str):
     from email_address_parser_ray.sources.io import write_partitioned
 
     root = _tcache(sf_dir)
-    out = f"/tmp/eap_ray_export/{root.rsplit('/', 1)[-1]}"
+    # the OPERATOR takes the destination (write_partitioned(out_dir=…));
+    # this scratch root is only this driver query's choice, overridable
+    export_root = os.environ.get("EAP_EXPORT_ROOT", "/tmp/eap_ray_export")
+    out = f"{export_root}/{root.rsplit('/', 1)[-1]}"
     shutil.rmtree(out, ignore_errors=True)
     ds = extract_mentions(read_transcripts(f"{root}/transcripts"))
     shuffled = ds.random_shuffle(seed=7)

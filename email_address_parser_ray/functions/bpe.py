@@ -365,3 +365,64 @@ def bpe_vocab_ds(ds, model: BpeModel, concurrency=None):
         Partial, batch_format="pyarrow", concurrency=_pool(concurrency)
     )
     return sorted_group_agg(parts, keys=["token"], aggs=[("cnt", "sum")])
+
+
+class BpeEncodeStage:
+    """Actor-pool stage emitting the training-export artifact:
+    (doc_id, token_ids list<int32>, n_bpe_tokens).  Ids come from the
+    model's deterministic vocabulary (0 = <unk> for symbols outside
+    it — possible only for characters unseen in training)."""
+
+    def __init__(self, model_ref):
+        import ray
+
+        self.tok = BpeTokenizer(ray.get(model_ref))
+        self._id_cache: Dict[str, list] = {}
+
+    def _ids(self, w: str) -> list:
+        got = self._id_cache.get(w)
+        if got is None:
+            ids = self.tok.ids
+            got = [ids.get(s, 0) for s in self.tok.encode_word(w)]
+            self._id_cache[w] = got
+        return got
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("token_ids", pa.list_(pa.int32())),
+                ("n_bpe_tokens", pa.int64()),
+            ]
+        )
+        if batch.num_rows == 0:
+            return schema.empty_table()
+        texts = batch["text"].to_pylist()
+        rows = []
+        for t in texts:
+            ids: list = []
+            for w in PRETOK.findall(t):
+                ids.extend(self._ids(w))
+            rows.append(ids)
+        return pa.table(
+            {
+                "doc_id": pa.compute.cast(batch["doc_id"], pa.int64()),
+                "token_ids": pa.array(rows, pa.list_(pa.int32())),
+                "n_bpe_tokens": pa.array([len(r) for r in rows], pa.int64()),
+            }
+        )
+
+
+def bpe_encode_ds(ds, model: BpeModel, concurrency=None):
+    """(doc_id, token_ids, n_bpe_tokens) over a documents dataset —
+    what a training-data export actually ships.  Model broadcast once;
+    per-actor word→ids cache."""
+    import ray
+
+    model_ref = ray.put(model)
+    return ds.map_batches(
+        BpeEncodeStage,
+        fn_constructor_args=(model_ref,),
+        batch_format="pyarrow",
+        concurrency=_pool(concurrency),
+    )

@@ -985,3 +985,81 @@ def ivf_probe_topk(index_dir: str, query: np.ndarray, k: int = 10, nprobe: int =
         file_extensions=["parquet"],  # skip the manifests
     )
     return brute_force_topk(ds, query, k)
+
+
+def ivf_add(embeddings_ds, index_dir: str, add_tag: str):
+    """INCREMENTAL IVF index growth: assign new vectors to the
+    EXISTING centroids (cells never move — probe recall semantics are
+    unchanged; re-balance by rebuilding when drift matters) and append
+    their rows to the cell directories.
+
+    Idempotent per ``add_tag`` (the add/retract family's discipline):
+    new fragments are staged under ``.add_<tag>/`` first, then
+    published by renaming into the cell dirs, manifests recounted from
+    parquet footers, and a marker written — a retried add with the
+    same tag is a no-op after publish, and a crash before publish
+    leaves the live cells untouched (the stage dir is simply rebuilt).
+
+    Returns the refreshed per-cell manifests."""
+    import glob
+    import json
+    import os
+    import shutil
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+
+    from .kmeans import GRID, _assign_cells
+
+    marker = os.path.join(index_dir, f"add_{add_tag}.done")
+    k_path = os.path.join(index_dir, "centroids.json")
+    with open(k_path) as f:
+        cents_e6 = np.asarray(json.load(f)["cents_e6"], np.int64)
+    k = cents_e6.shape[0]
+
+    if not os.path.exists(marker):
+        stage = os.path.join(index_dir, f".add_{add_tag}")
+        shutil.rmtree(stage, ignore_errors=True)  # crashed attempt: rebuild
+        cent_ref = ray.put(cents_e6)
+
+        def add_cell(batch: pa.Table) -> pa.Table:
+            ce6 = ray.get(cent_ref)
+            m = _batch_matrix(batch)
+            cell = _assign_cells(m, ce6.astype(np.float64) / GRID).astype(np.int64)
+            return batch.append_column("cell", pa.array(cell, pa.int64()))
+
+        embeddings_ds.map_batches(add_cell, batch_format="pyarrow").write_parquet(
+            stage, partition_cols=["cell"]
+        )
+        # publish: move fragments into the live cell dirs (same fs →
+        # rename), recount manifests, then the marker
+        for cell_dir in sorted(glob.glob(os.path.join(stage, "cell=*"))):
+            c = int(cell_dir.rsplit("=", 1)[1])
+            live = os.path.join(index_dir, f"cell={c}")
+            os.makedirs(live, exist_ok=True)
+            for frag in glob.glob(os.path.join(cell_dir, "*.parquet")):
+                os.replace(
+                    frag,
+                    os.path.join(live, f"add-{add_tag}-" + os.path.basename(frag)),
+                )
+        for c in range(k):
+            live = os.path.join(index_dir, f"cell={c}")
+            os.makedirs(live, exist_ok=True)
+            rows = sum(
+                pq.ParquetFile(p).metadata.num_rows
+                for p in glob.glob(os.path.join(live, "*.parquet"))
+            )
+            tmp = os.path.join(live, "manifest.json.tmp")
+            with open(tmp, "w") as f:
+                json.dump({"cell": c, "rows": rows}, f)
+            os.replace(tmp, os.path.join(live, "manifest.json"))
+        shutil.rmtree(stage, ignore_errors=True)
+        with open(marker + ".tmp", "w") as f:
+            f.write("ok")
+        os.replace(marker + ".tmp", marker)
+    out = []
+    for c in range(k):
+        with open(os.path.join(index_dir, f"cell={c}", "manifest.json")) as f:
+            out.append(json.load(f))
+    return out

@@ -204,3 +204,35 @@ def test_pack_bins_token_exact(ray_session):
     assert out["n_tokens"].tolist() == lens.tolist()
     starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
     assert out["bin"].tolist() == (starts // cap).tolist()
+
+
+def test_bpe_encode_ds_ids_roundtrip(ray_session):
+    from email_address_parser_ray.functions.bpe import bpe_encode_ds
+
+    texts = _corpus_texts(seed=41, n=80)
+    ds = _docs_ds(texts, blocks=4)
+    model = train_bpe(ds, num_merges=30)
+    tok = BpeTokenizer(model)
+    out = bpe_encode_ds(ds, model, concurrency=2).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    id2tok = {v: k for k, v in model.token_ids().items()}
+    for i, t in enumerate(texts):
+        ids = list(out["token_ids"][i])
+        assert out["n_bpe_tokens"][i] == len(ids)
+        # decode round-trip: concatenating the id's symbols (modulo the
+        # end-of-word markers) reproduces the pre-token stream
+        syms = "".join(id2tok[j] for j in ids).replace(END, "")
+        assert syms == "".join(PRETOK.findall(t))
+        assert 0 not in ids  # training corpus chars are all in-vocab
+    # count column agrees with the counting stage
+    assert out["n_bpe_tokens"].tolist() == tok.token_counts(texts).tolist()
+
+
+def test_bpe_encode_unk_for_unseen_char(ray_session):
+    from email_address_parser_ray.functions.bpe import bpe_encode_ds
+
+    model = train_bpe_from_counts(["abc", "abd"], [5, 5], num_merges=2)
+    ds = _docs_ds(["abc xyz"], blocks=1)
+    out = bpe_encode_ds(ds, model, concurrency=1).to_pandas()
+    ids = list(out["token_ids"][0])
+    assert 0 in ids  # x/y/z never seen in training → <unk>

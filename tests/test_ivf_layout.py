@@ -137,3 +137,36 @@ def test_ivf_k_mismatch_raises(index, tmp_path):
     m, ds, out, _ = index
     with pytest.raises(ValueError):
         ivf_build(ds, out, k=7)
+
+
+def test_ivf_add_incremental_equals_rebuild(index, tmp_path):
+    """ivf_add: append new vectors to the existing cells; probing the
+    grown index == brute force over the union; a retried add with the
+    same tag is a no-op."""
+    from email_address_parser_ray.stages.ann import ivf_add
+
+    m, ds, out, _ = index
+    rng = np.random.RandomState(77)
+    new = m[:40] + rng.normal(scale=0.05, size=(40, m.shape[1]))
+    new_t = pa.table(
+        {
+            "vec_id": pa.array(range(len(m), len(m) + 40), pa.int64()),
+            "embedding": pa.array([r.tolist() for r in new]),
+        }
+    )
+    import ray.data as rd
+
+    new_ds = rd.from_arrow(new_t).repartition(2)
+    manifests = ivf_add(new_ds, out, add_tag="day1")
+    assert sum(man["rows"] for man in manifests) == len(m) + 40
+
+    union = _emb_ds(np.concatenate([m, new]))
+    q = m[11] - 0.02
+    exact = _rows(brute_force_topk(union, q, k=10))
+    got = _rows(ivf_probe_topk(out, q, k=10, nprobe=5))
+    assert got == exact
+
+    # retry with the same tag: no duplicates, manifests unchanged
+    again = ivf_add(new_ds, out, add_tag="day1")
+    assert again == manifests
+    assert _rows(ivf_probe_topk(out, q, k=10, nprobe=5)) == exact
