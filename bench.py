@@ -150,6 +150,46 @@ def _bench_queries(sf_dir: str) -> dict:
         return bpe_token_count_ds(docs, model).count()
 
     timed("bpe_train_encode", run_bpe)
+
+    def run_pretrain_prep():
+        import shutil
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data as rd
+
+        from email_address_parser_ray.pipelines.pretrain import pretrain_prep
+
+        docs = rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+
+        def part(keep_eval):
+            def f(t):
+                m = pc.equal(
+                    pc.subtract(
+                        t["doc_id"],
+                        pc.multiply(
+                            pc.divide(t["doc_id"], 97), pa.scalar(97, pa.int64())
+                        ),
+                    ),
+                    pa.scalar(0, pa.int64()),
+                )
+                return t.filter(m if keep_eval else pc.invert(m))
+
+            return f
+
+        out = "/tmp/eap_ray_pretrain_bench"
+        shutil.rmtree(out, ignore_errors=True)
+        _, counters, _ = pretrain_prep(
+            docs.map_batches(part(False), batch_format="pyarrow"),
+            docs.map_batches(part(True), batch_format="pyarrow"),
+            out,
+            num_merges=128,
+        )
+        return counters["exported_rows"]
+
+    timed("pretrain_prep", run_pretrain_prep)
     return timings
 
 

@@ -1,0 +1,148 @@
+"""End-to-end LLM pretraining data preparation — the composition the
+engine's training-data operators exist for, as ONE pipeline:
+
+    raw documents
+      → exact dedup            (content-hash, sorted_group_agg fold)
+      → near-dedup             (MinHash+LSH clusters, keep min-id rep)
+      → decontamination        (eval n-gram overlap, Bloom path above
+                                the broadcast gate)
+      → quality filter         (token count + Gopher top-word ppm)
+      → BPE training           (distributed word counts, capped driver)
+      → token-exact packing    (prefix-scan bins over BPE counts)
+      → resumable export       (hash-partitioned parquet + manifests)
+
+Every stage is one of the engine's tested operators; this module only
+wires them and carries a per-stage row-count lineage (the
+``pipeline_counters`` discipline).  Filters are ANTI/SEMI joins that
+never broadcast an unbounded side: survivors flow through
+``bucketed_semi_join`` (one union-tag shuffle, sparse-safe), and the
+decontamination drop list is broadcast only under an explicit row
+gate, with the Bloom-prefiltered exact anti join above it.
+
+Intermediate survivor sets are ``materialize()``-d once each — every
+one is consumed at least twice (its own count + the next stage), so
+this trades object-store blocks for avoided recompute, never driver
+memory.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+DROP_BROADCAST_ROWS = 2_000_000  # flagged-id broadcast gate
+
+
+def _semi(docs, keep_ids):
+    from ..stages.joins import bucketed_semi_join
+
+    return bucketed_semi_join(docs, keep_ids, on="doc_id")
+
+
+def _anti_ids(docs, drop_ds, n_drop: int):
+    """Drop rows whose doc_id is in ``drop_ds`` — broadcast is_in under
+    the gate, Bloom-prefiltered exact anti join above it."""
+    import ray
+
+    if n_drop == 0:
+        return docs
+    if n_drop <= DROP_BROADCAST_ROWS:
+        parts = []
+        for r in drop_ds.to_arrow_refs():
+            t = ray.get(r)
+            if "doc_id" in t.schema.names and t.num_rows:
+                parts.append(t["doc_id"].combine_chunks())
+        ids_ref = ray.put(pa.concat_arrays(parts))
+
+        def drop(t: pa.Table) -> pa.Table:
+            return t.filter(
+                pc.invert(pc.is_in(t["doc_id"], value_set=ray.get(ids_ref)))
+            )
+
+        return docs.map_batches(drop, batch_format="pyarrow")
+    from ..stages.sketches import bloom_anti_join
+
+    return bloom_anti_join(
+        docs, drop_ds.select_columns(["doc_id"]), on="doc_id", small_count=n_drop
+    )
+
+
+def pretrain_prep(
+    docs_ds,
+    eval_ds,
+    out_dir: str,
+    num_merges: int = 256,
+    cap: int = 2048,
+    min_tokens: int = 5,
+    max_top_tok_ppm: int = 500_000,
+    n_partitions: int = 16,
+    jaccard: float = 0.7,
+):
+    """Run the full prep over a (doc_id, text) dataset against an eval
+    corpus.  Returns (manifests, counters, bpe_model): the resumable
+    export's per-partition manifests, the per-stage row-count lineage,
+    and the trained tokenizer (ship it with the shards — ids are
+    meaningless without it)."""
+    from ..functions.bpe import bpe_encode_ds, train_bpe
+    from ..functions.textstats import repetition_stats, token_stats
+    from ..sources.io import write_partitioned
+    from ..stages.dedup import decontaminate, exact_dedup, minhash_dedup_clusters
+    from ..stages.packing import pack_bins_over_counts
+
+    counters = {}
+    docs = docs_ds.materialize()
+    counters["input_docs"] = docs.count()
+
+    # 1. exact dedup — cheap content-hash pre-pass shrinks everything after
+    keep_exact = exact_dedup(docs).select_columns(["doc_id"])
+    docs = _semi(docs, keep_exact).materialize()
+    counters["after_exact_dedup"] = docs.count()
+
+    # 2. near-dedup — keep each cluster's min-id representative
+    clusters = minhash_dedup_clusters(docs, threshold=jaccard)
+    reps = clusters.map_batches(
+        lambda t: t.filter(pc.equal(t["doc_id"], t["cluster_id"])).select(
+            ["doc_id"]
+        ),
+        batch_format="pyarrow",
+    )
+    docs = _semi(docs, reps).materialize()
+    counters["after_near_dedup"] = docs.count()
+
+    # 3. decontamination — drop flagged docs
+    flagged = decontaminate(docs, eval_ds).materialize()
+    counters["contaminated"] = n_flagged = flagged.count()
+    docs = _anti_ids(docs, flagged, n_flagged).materialize()
+    counters["after_decontaminate"] = docs.count()
+
+    # 4. quality filter — whitespace token floor + Gopher top-word ppm
+    def quality(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        toks = token_stats(t)["n_tokens"].to_numpy(zero_copy_only=False)
+        rep = repetition_stats(t)["top_tok_ppm"].to_numpy(zero_copy_only=False)
+        keep = (toks >= min_tokens) & (rep <= max_top_tok_ppm)
+        return t.filter(pa.array(keep))
+
+    docs = docs.map_batches(quality, batch_format="pyarrow").materialize()
+    counters["after_quality"] = docs.count()
+
+    # 5-6. BPE training, id encoding, token-exact packing — the bin
+    # scan runs directly over the encoded rows (token_ids ride along;
+    # Acero joins cannot carry list columns, so no post-hoc join)
+    model = train_bpe(docs, num_merges=num_merges)
+    encoded = bpe_encode_ds(docs, model).map_batches(
+        lambda t: t.rename_columns(["doc_id", "token_ids", "n_tokens"]),
+        batch_format="pyarrow",
+    )
+    packed = pack_bins_over_counts(encoded, cap=cap).materialize()
+    counters["packed_docs"] = packed.count()
+
+    # 7. resumable hash-partitioned export
+    manifests = write_partitioned(
+        packed, out_dir, key="doc_id", n_partitions=n_partitions,
+        partitioner="mix64",
+    )
+    counters["exported_rows"] = sum(m["rows"] for m in manifests)
+    return manifests, counters, model

@@ -55,18 +55,27 @@ def pack_bins(docs_ds, cap: int = DEFAULT_CAP, bpe_model=None):
     SUBWORD-token exact: lengths come from the broadcast BPE encoder
     (actor-pool stage, model read once per actor) instead of the
     whitespace regex — the packing scan itself is unchanged."""
-    import ray
-    import ray.data as rd
-
     if bpe_model is not None:
         from ..functions.bpe import bpe_token_count_ds
 
         counts = bpe_token_count_ds(docs_ds, bpe_model).map_batches(
             lambda t: t.rename_columns(["doc_id", "n_tokens"]),
             batch_format="pyarrow",
-        ).sort("doc_id")
+        )
     else:
-        counts = docs_ds.map_batches(_token_counts, batch_format="pyarrow").sort("doc_id")
+        counts = docs_ds.map_batches(_token_counts, batch_format="pyarrow")
+    return pack_bins_over_counts(counts, cap)
+
+
+def pack_bins_over_counts(counts_ds, cap: int = DEFAULT_CAP):
+    """The packing prefix scan over ANY dataset carrying (doc_id,
+    n_tokens, ...): appends a ``bin`` column, preserving every other
+    column — so token-id payloads (list columns Acero joins cannot
+    carry) ride along instead of needing a post-hoc join."""
+    import ray
+    import ray.data as rd
+
+    counts = counts_ds.sort("doc_id")
     refs = counts.to_arrow_refs()
 
     @ray.remote(num_cpus=0.5)
@@ -81,17 +90,13 @@ def pack_bins(docs_ds, cap: int = DEFAULT_CAP, bpe_model=None):
 
     @ray.remote(num_cpus=0.5)
     def assign(tab: pa.Table, offset: int, cap: int) -> pa.Table:
-        if tab.num_columns == 0 or len(tab) == 0:
+        if tab.num_columns == 0:
             return _SCHEMA.empty_table()
+        if len(tab) == 0:
+            return tab.append_column("bin", pa.array([], pa.int64()))
         n = tab["n_tokens"].to_numpy(zero_copy_only=False).astype(np.int64)
         starts = offset + np.concatenate(([0], np.cumsum(n)[:-1]))
-        return pa.table(
-            {
-                "doc_id": tab["doc_id"],
-                "n_tokens": tab["n_tokens"],
-                "bin": pa.array(starts // cap, pa.int64()),
-            }
-        )
+        return tab.append_column("bin", pa.array(starts // cap, pa.int64()))
 
     stats = ray.get([block_total.remote(r) for r in refs])
     totals = [s[0] if isinstance(s, tuple) else s for s in stats]

@@ -1,0 +1,109 @@
+"""The composed LLM pretraining data-prep pipeline: planted exact
+dups, near dups, contaminated docs and junk docs must each be dropped
+at the right stage (the counters prove it), the packed export must be
+complete and token-exact, and the whole pipeline must be
+partition-invariant."""
+
+import glob
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from email_address_parser_ray.pipelines.pretrain import pretrain_prep
+
+
+def _corpus():
+    """60 clean docs + planted: 3 exact copies of doc 0, 2 near copies
+    of doc 1, 2 docs containing an eval shingle, 3 junk docs (too
+    short / one token repeated)."""
+    rng = np.random.RandomState(5)
+    vocab = [f"tok{i}" for i in range(150)]
+    clean = [
+        " ".join(rng.choice(vocab, size=rng.randint(12, 30)))
+        for _ in range(60)
+    ]
+    ev = [" ".join(rng.choice(vocab, size=15)) for _ in range(6)]
+    docs = list(clean)
+    docs += [clean[0]] * 3                                   # exact dups
+    docs += [clean[1] + " tail" + str(i) for i in range(2)]  # near dups
+    # contaminated docs are FRESH (not near-dups of any clean doc):
+    # independent random text with an eval 3-gram spliced in
+    docs += [
+        " ".join(rng.choice(vocab, size=20)) + " " + " ".join(ev[0].split()[:3])
+        for _ in range(2)
+    ]
+    docs += ["a b", "x", "spam " * 40]                       # junk
+    return docs, ev
+
+
+def _ds(texts, blocks):
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    ).repartition(blocks)
+
+
+def test_pretrain_prep_end_to_end(ray_session, tmp_path):
+    docs, ev = _corpus()
+    out = str(tmp_path / "export")
+    manifests, counters, model = pretrain_prep(
+        _ds(docs, 4), _ds(ev, 2), out, num_merges=40, cap=64, min_tokens=5
+    )
+    assert counters["input_docs"] == len(docs)
+    # 3 exact copies of doc 0 collapse (also the near-dup family keeps
+    # one rep of doc 1's group); junk and contaminated docs drop
+    assert counters["after_exact_dedup"] == len(docs) - 3
+    assert counters["after_near_dedup"] == counters["after_exact_dedup"] - 2
+    assert counters["contaminated"] >= 2
+    assert (
+        counters["after_decontaminate"]
+        == counters["after_near_dedup"] - counters["contaminated"]
+    )
+    assert counters["after_quality"] <= counters["after_decontaminate"] - 3
+    assert counters["packed_docs"] == counters["after_quality"]
+    assert counters["exported_rows"] == counters["packed_docs"]
+
+    # the export is real, complete, and token-exact
+    frags = glob.glob(os.path.join(out, "part=*", "*.parquet"))
+    t = pa.concat_tables([pq.read_table(f) for f in frags])
+    assert t.num_rows == counters["exported_rows"]
+    assert set(t.schema.names) == {"doc_id", "n_tokens", "bin", "token_ids"}
+    from email_address_parser_ray.functions.bpe import BpeTokenizer
+
+    tok = BpeTokenizer(model)
+    df = t.to_pandas().sort_values("doc_id")
+    for _, row in df.head(10).iterrows():
+        assert row["n_tokens"] == len(row["token_ids"])
+        assert row["n_tokens"] == tok.token_counts([docs[row["doc_id"]]])[0]
+    # bins respect the running-offset rule
+    lens = df["n_tokens"].to_numpy()
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    assert df["bin"].tolist() == (starts // 64).tolist()
+    assert sum(m["rows"] for m in manifests) == t.num_rows
+
+
+def test_pretrain_prep_partition_invariant(ray_session, tmp_path):
+    docs, ev = _corpus()
+    outs = {}
+    for blocks in (1, 6):
+        out = str(tmp_path / f"exp{blocks}")
+        _, counters, model = pretrain_prep(
+            _ds(docs, blocks), _ds(ev, 1), out, num_merges=25, cap=64
+        )
+        frags = glob.glob(os.path.join(out, "part=*", "*.parquet"))
+        t = pa.concat_tables([pq.read_table(f) for f in frags])
+        df = t.to_pandas().sort_values("doc_id").reset_index(drop=True)
+        outs[blocks] = (counters, model, df[["doc_id", "n_tokens", "bin"]])
+    assert outs[1][0] == outs[6][0]          # identical lineage counters
+    assert outs[1][1] == outs[6][1]          # identical BPE model
+    assert outs[1][2].equals(outs[6][2])     # identical packed rows
