@@ -104,14 +104,90 @@ def stress_decontaminate(tiles: int) -> None:
     ray.shutdown()
 
 
+def stress_ivf(tiles: int, k: int = 64, nprobe: int = 4) -> None:
+    """Persisted-IVF layout at scale: tile the sf0.1 embeddings T
+    times (perturbed per tile so cells stay meaningful), build the
+    cell-partitioned index, and measure (a) probe wall vs brute-force
+    wall and (b) BYTES READ by the pruned probe vs the whole index —
+    the claim the layout exists for."""
+    import glob
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from email_address_parser_ray.stages.ann import (
+        brute_force_topk, ivf_build, ivf_probe_cells, ivf_probe_topk,
+    )
+
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             logging_level="ERROR")
+    src = "/root/testdata/sf0.1/embeddings.parquet"
+    base = pq.read_table(src, columns=["vec_id", "embedding"])
+    n = base.num_rows
+    d = len(base["embedding"][0])
+    m0 = np.asarray(base["embedding"].combine_chunks().flatten()).reshape(n, d)
+    parts = []
+    rng = np.random.RandomState(7)
+    for t in range(tiles):
+        shift = rng.normal(scale=2.0, size=(1, d))  # separated tiles: real cluster geometry
+        parts.append(
+            pa.table(
+                {
+                    "vec_id": pa.array(np.arange(n) + t * n, pa.int64()),
+                    "embedding": pa.array([r.tolist() for r in (m0 + shift)]),
+                }
+            )
+        )
+    all_t = pa.concat_tables(parts)
+    emb = rd.from_arrow(all_t).repartition(num_cpus * 2).materialize()
+
+    out = {"metric": "stress_ivf", "vectors": all_t.num_rows, "k_cells": k,
+           "nprobe": nprobe, "num_cpus": num_cpus}
+    index_dir = f"/tmp/eap_ray_cache/stress_ivf_x{tiles}"
+    shutil.rmtree(index_dir, ignore_errors=True)
+    t0 = time.time()
+    ivf_build(emb, index_dir, k=k, iters=2)
+    out["build_sec"] = round(time.time() - t0, 3)
+
+    q = m0[17]
+    t0 = time.time()
+    brute = brute_force_topk(emb, q, k=10).to_pandas()
+    out["brute_sec"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    probed = ivf_probe_topk(index_dir, q, k=10, nprobe=nprobe).to_pandas()
+    out["probe_sec"] = round(time.time() - t0, 3)
+    out["recall_at_10"] = len(set(brute["vec_id"]) & set(probed["vec_id"])) / 10
+
+    cells = set(ivf_probe_cells(index_dir, q, nprobe))
+    probed_bytes = total_bytes = 0
+    for p in glob.glob(os.path.join(index_dir, "cell=*", "*.parquet")):
+        b = os.path.getsize(p)
+        total_bytes += b
+        if int(p.split("cell=")[1].split("/")[0]) in cells:
+            probed_bytes += b
+    out["probed_bytes"] = probed_bytes
+    out["index_bytes"] = total_bytes
+    out["bytes_read_fraction"] = round(probed_bytes / total_bytes, 4)
+    print(json.dumps(out))
+    ray.shutdown()
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--family", required=True,
-                    choices=sorted(_SCRIPTED) + ["decontaminate"])
+                    choices=sorted(_SCRIPTED) + ["decontaminate", "ivf"])
     ap.add_argument("args", nargs="*", help="family-specific positional args")
     ns = ap.parse_args()
     if ns.family == "decontaminate":
         stress_decontaminate(int(ns.args[0]) if ns.args else 1)
+        return
+    if ns.family == "ivf":
+        stress_ivf(int(ns.args[0]) if ns.args else 40)
         return
     path = _SCRIPTED[ns.family]
     sys.argv = [path] + ns.args
