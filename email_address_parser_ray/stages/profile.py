@@ -128,3 +128,89 @@ def profile_dataset(ds, columns=None, p: int = 12) -> pa.Table:
             ),
         }
     )
+
+
+def profile_quantiles(ds, key_col: str, qs=(0.5, 0.95, 0.99),
+                      k: int = 8192, columns=None, seed: int = 7) -> pa.Table:
+    """One-pass approximate quantiles for EVERY numeric column at once:
+    each block keeps the k rows with the smallest content-keyed
+    priority (mix64 of ``key_col`` — partitioning/retries cannot
+    change the draw), carrying all numeric columns of those rows; the
+    driver merges to the global bottom-k ROW sample and reads each
+    column's quantiles off it.  One streaming pass, no shuffle,
+    O(k × columns) driver state; exact when the dataset has ≤ k rows.
+
+    The single shared row sample is what makes this one pass — the
+    per-column alternative (``sketches.approx_quantiles`` per column)
+    costs a pass each.  Lower-nearest-rank, binomial
+    O(sqrt(q(1-q)/k)) rank error per column.  Returns (column, q,
+    value float64) sorted by (column, q); null values stay out of
+    their column's quantile (tracked per column, not per row)."""
+    import ray
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import mix64
+
+    schema = ds.schema()
+    types = dict(zip(schema.names, schema.types))
+    num_types = {pa.int8(), pa.int16(), pa.int32(), pa.int64(),
+                 pa.uint8(), pa.uint16(), pa.uint32(), pa.uint64(),
+                 pa.float16(), pa.float32(), pa.float64()}
+    cols = [
+        c for c in (columns if columns is not None else schema.names)
+        if types[c] in num_types
+    ]
+    if not cols:
+        raise ValueError("profile_quantiles: no numeric columns to profile")
+    seed_h = mix64(np.uint64(seed))
+
+    def partial(t: pa.Table) -> pa.Table:
+        out_schema = pa.schema(
+            [("pri", pa.uint64())] + [(c, pa.float64()) for c in cols]
+        )
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        h = mix64(hash64_column(t[key_col]) ^ seed_h)
+        order = np.argsort(h, kind="stable")[:k]
+        arrays = {"pri": pa.array(h[order], pa.uint64())}
+        for c in cols:
+            v = pc.cast(t[c], pa.float64()).to_numpy(zero_copy_only=False)
+            arrays[c] = pa.array(v[order], pa.float64())
+        return pa.table(arrays)
+
+    pris = np.zeros(0, np.uint64)
+    vals = {c: np.zeros(0, np.float64) for c in cols}
+    for ref in ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=None).to_arrow_refs():
+        t = ray.get(ref)
+        if "pri" not in t.schema.names or t.num_rows == 0:
+            continue
+        pris = np.concatenate([pris, t["pri"].to_numpy(zero_copy_only=False)])
+        for c in cols:
+            vals[c] = np.concatenate(
+                [vals[c], t[c].to_numpy(zero_copy_only=False)]
+            )
+        if len(pris) > k:
+            # total order for partition invariance: pri, then columns
+            keys = [vals[c] for c in reversed(cols)] + [pris]
+            order = np.lexsort(keys)[:k]
+            pris = pris[order]
+            for c in cols:
+                vals[c] = vals[c][order]
+    qs = [float(q) for q in qs]
+    out_c, out_q, out_v = [], [], []
+    for c in cols:
+        v = np.sort(vals[c][~np.isnan(vals[c])])
+        for q in qs:
+            out_c.append(c)
+            out_q.append(q)
+            out_v.append(
+                float(v[min(int(q * len(v)), len(v) - 1)]) if len(v) else None
+            )
+    return pa.table(
+        {
+            "column": pa.array(out_c, pa.string()),
+            "q": pa.array(out_q, pa.float64()),
+            "value": pa.array(out_v, pa.float64()),
+        }
+    )

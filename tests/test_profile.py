@@ -68,3 +68,52 @@ def test_profile_column_subset_and_all_null(ray_session):
     assert prof.iloc[0]["null_count"] == 3
     assert prof.iloc[0]["approx_distinct"] == 0
     assert prof.iloc[0]["min"] is None or prof.iloc[0]["min"] != prof.iloc[0]["min"]
+
+
+def test_profile_quantiles_envelope_and_exact_small(ray_session):
+    import ray.data as rd
+
+    from email_address_parser_ray.stages.profile import profile_quantiles
+
+    rng = np.random.RandomState(3)
+    n = 30_000
+    t = pa.table(
+        {
+            "rid": pa.array(range(n), pa.int64()),
+            "a": pa.array(rng.normal(100, 15, n), pa.float64()),
+            "b": pa.array(rng.randint(0, 1000, n), pa.int64()),
+            "s": pa.array(["x"] * n, pa.string()),  # non-numeric: skipped
+        }
+    )
+    ds = rd.from_arrow(t).repartition(6)
+    out = profile_quantiles(ds, "rid", qs=(0.1, 0.5, 0.9), k=4096).to_pandas()
+    assert set(out["column"]) == {"rid", "a", "b"}
+    for c in ("a", "b"):
+        vals = np.sort(t[c].to_numpy())
+        for q in (0.1, 0.5, 0.9):
+            got = float(out[(out["column"] == c) & (out["q"] == q)]["value"])
+            rank = np.searchsorted(vals, got, side="right") / n
+            assert abs(rank - q) <= 3.5 * np.sqrt(q * (1 - q) / 4096) + 2 / n
+    # small dataset: the sample IS the data → exact
+    small = rd.from_arrow(t.slice(0, 500)).repartition(3)
+    out2 = profile_quantiles(small, "rid", qs=(0.5,), k=4096).to_pandas()
+    va = np.sort(t["a"].to_numpy()[:500])
+    got = float(out2[(out2["column"] == "a")]["value"])
+    assert got == va[min(int(0.5 * 500), 499)]
+
+
+def test_profile_quantiles_partition_invariant(ray_session):
+    import ray.data as rd
+
+    from email_address_parser_ray.stages.profile import profile_quantiles
+
+    rng = np.random.RandomState(9)
+    t = pa.table(
+        {
+            "rid": pa.array(range(5000), pa.int64()),
+            "v": pa.array(rng.exponential(3.0, 5000), pa.float64()),
+        }
+    )
+    a = profile_quantiles(rd.from_arrow(t).repartition(1), "rid", k=512).to_pandas()
+    b = profile_quantiles(rd.from_arrow(t).repartition(9), "rid", k=512).to_pandas()
+    assert a.values.tolist() == b.values.tolist()
