@@ -86,6 +86,40 @@ class BpeModel:
             ids.setdefault(a + b, len(ids))
         return ids
 
+    # --- persistence (ship the model with the shards — token ids are
+    # meaningless without it) ------------------------------------------------
+
+    def to_json(self) -> str:
+        import json
+
+        return json.dumps(
+            {"merges": [list(p) for p in self.merges],
+             "alphabet": list(self.alphabet)}
+        )
+
+    @classmethod
+    def from_json(cls, s: str) -> "BpeModel":
+        import json
+
+        d = json.loads(s)
+        return cls(
+            merges=tuple(tuple(p) for p in d["merges"]),
+            alphabet=tuple(d["alphabet"]),
+        )
+
+    def save(self, path: str) -> None:
+        import os
+
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(self.to_json())
+        os.replace(tmp, path)
+
+    @classmethod
+    def load(cls, path: str) -> "BpeModel":
+        with open(path) as f:
+            return cls.from_json(f.read())
+
 
 def train_bpe_from_counts(
     words: List[str], counts: List[int], num_merges: int, min_count: int = 2

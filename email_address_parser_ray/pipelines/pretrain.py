@@ -139,10 +139,14 @@ def pretrain_prep(
     packed = pack_bins_over_counts(encoded, cap=cap).materialize()
     counters["packed_docs"] = packed.count()
 
-    # 7. resumable hash-partitioned export
+    # 7. resumable hash-partitioned export; the tokenizer ships with
+    # the shards (ids are meaningless without it)
     manifests = write_partitioned(
         packed, out_dir, key="doc_id", n_partitions=n_partitions,
         partitioner="mix64",
     )
+    import os
+
+    model.save(os.path.join(out_dir, "bpe_model.json"))
     counters["exported_rows"] = sum(m["rows"] for m in manifests)
     return manifests, counters, model

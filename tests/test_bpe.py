@@ -236,3 +236,16 @@ def test_bpe_encode_unk_for_unseen_char(ray_session):
     out = bpe_encode_ds(ds, model, concurrency=1).to_pandas()
     ids = list(out["token_ids"][0])
     assert 0 in ids  # x/y/z never seen in training → <unk>
+
+
+def test_bpe_model_persistence_roundtrip(tmp_path):
+    words, counts = _rand_corpus(19)
+    model = train_bpe_from_counts(words, counts, num_merges=40)
+    path = str(tmp_path / "bpe_model.json")
+    model.save(path)
+    back = BpeModel.load(path)
+    assert back == model
+    assert back.token_ids() == model.token_ids()
+    t1, t2 = BpeTokenizer(model), BpeTokenizer(back)
+    for w in words[:20]:
+        assert t1.encode_word(w) == t2.encode_word(w)

@@ -90,6 +90,10 @@ def test_pretrain_prep_end_to_end(ray_session, tmp_path):
     starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
     assert df["bin"].tolist() == (starts // 64).tolist()
     assert sum(m["rows"] for m in manifests) == t.num_rows
+    # the tokenizer ships with the shards
+    from email_address_parser_ray.functions.bpe import BpeModel
+
+    assert BpeModel.load(os.path.join(out, "bpe_model.json")) == model
 
 
 def test_pretrain_prep_partition_invariant(ray_session, tmp_path):
