@@ -249,3 +249,36 @@ def test_bpe_model_persistence_roundtrip(tmp_path):
     t1, t2 = BpeTokenizer(model), BpeTokenizer(back)
     for w in words[:20]:
         assert t1.encode_word(w) == t2.encode_word(w)
+
+
+# --- hypothesis property pins ---------------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+_word = st.text(alphabet="abcd", min_size=1, max_size=8)
+_corpus_strategy = st.lists(
+    st.tuples(_word, st.integers(min_value=1, max_value=30)),
+    min_size=1, max_size=40, unique_by=lambda t: t[0],
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(_corpus_strategy, st.integers(min_value=1, max_value=30))
+def test_property_incremental_equals_naive(corpus, n_merges):
+    words = [w for w, _ in corpus]
+    counts = [c for _, c in corpus]
+    got = train_bpe_from_counts(words, counts, n_merges)
+    assert got.merges == naive_train(words, counts, n_merges)
+
+
+@settings(max_examples=60, deadline=None)
+@given(_corpus_strategy, st.lists(_word, min_size=1, max_size=10))
+def test_property_encode_roundtrip_any_input(corpus, probes):
+    words = [w for w, _ in corpus]
+    counts = [c for _, c in corpus]
+    tok = BpeTokenizer(train_bpe_from_counts(words, counts, 20))
+    for w in probes:
+        sym = tok.encode_word(w)
+        assert "".join(sym).replace(END, "") == w
+        # encoding is idempotent through the cache
+        assert tok.encode_word(w) == sym
