@@ -287,12 +287,23 @@ def bpe_word_counts(ds, col: str = "text", max_words: int = DEFAULT_MAX_WORDS):
         return t.take(pc.sort_indices(t, sort_keys=sort_keys)[:max_words])
 
     parts = []
+    acc_rows = 0
     for ref in folded.map_batches(
         block_topk, batch_format="pyarrow", batch_size=None
     ).to_arrow_refs():
         t = ray.get(ref)
         if "word" in t.schema.names and t.num_rows:
             parts.append(t)
+            acc_rows += t.num_rows
+            # running cap: the driver never holds more than ~4x
+            # max_words rows no matter the block count
+            if acc_rows > 4 * max_words:
+                merged = pa.concat_tables(parts).combine_chunks()
+                merged = merged.take(
+                    pc.sort_indices(merged, sort_keys=sort_keys)[:max_words]
+                )
+                parts = [merged]
+                acc_rows = merged.num_rows
     n_distinct = folded.count()
     if not parts:
         return [], [], 0

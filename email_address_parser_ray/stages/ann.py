@@ -917,6 +917,8 @@ def ivf_build(
         if not os.path.exists(os.path.join(out_dir, f"cell={c}", "manifest.json"))
     }
     if todo:
+        import shutil
+
         todo_arr = pa.array(sorted(todo), pa.int64())
         cent_ref = ray.put(cents_e6)
 
@@ -927,12 +929,21 @@ def ivf_build(
             out = batch.append_column("cell", pa.array(cell, pa.int64()))
             return out.filter(pc.is_in(out["cell"], value_set=todo_arr))
 
+        # stage-then-publish (the ivf_add discipline): a crashed build
+        # must not leave orphan fragments that a rerun would APPEND to
+        stage = os.path.join(out_dir, ".build_stage")
+        shutil.rmtree(stage, ignore_errors=True)
         embeddings_ds.map_batches(add_cell, batch_format="pyarrow").write_parquet(
-            out_dir, partition_cols=["cell"]
+            stage, partition_cols=["cell"]
         )
         for c in sorted(todo):
             cell_dir = os.path.join(out_dir, f"cell={c}")
+            # clear unmanifested leftovers from a crashed attempt
+            shutil.rmtree(cell_dir, ignore_errors=True)
             os.makedirs(cell_dir, exist_ok=True)
+            staged = os.path.join(stage, f"cell={c}")
+            for frag in glob.glob(os.path.join(staged, "*.parquet")):
+                os.replace(frag, os.path.join(cell_dir, os.path.basename(frag)))
             rows = sum(
                 pq.ParquetFile(p).metadata.num_rows
                 for p in glob.glob(os.path.join(cell_dir, "*.parquet"))
@@ -941,6 +952,7 @@ def ivf_build(
             with open(tmp, "w") as f:
                 json.dump({"cell": c, "rows": rows}, f)
             os.replace(tmp, os.path.join(cell_dir, "manifest.json"))
+        shutil.rmtree(stage, ignore_errors=True)
     out = []
     for c in range(k):
         with open(os.path.join(out_dir, f"cell={c}", "manifest.json")) as f:

@@ -170,3 +170,27 @@ def test_ivf_add_incremental_equals_rebuild(index, tmp_path):
     again = ivf_add(new_ds, out, add_tag="day1")
     assert again == manifests
     assert _rows(ivf_probe_topk(out, q, k=10, nprobe=5)) == exact
+
+
+def test_ivf_build_clears_crashed_attempt_orphans(ray_session, tmp_path):
+    """A crashed build leaves fragments in an unmanifested cell dir; a
+    rerun must REPLACE them (stage-then-publish), never append."""
+    import pyarrow.parquet as pq
+
+    m = _blob_embeddings(seed=21)
+    ds = _emb_ds(m)
+    out = str(tmp_path / "ivf")
+    ivf_build(ds, out, k=4, iters=1)
+    # simulate the crash: fabricate an orphan fragment + drop the manifest
+    victim = os.path.join(out, "cell=1")
+    orphan = pa.table(
+        {"vec_id": pa.array([999999], pa.int64()),
+         "embedding": pa.array([m[0].tolist()])}
+    )
+    pq.write_table(orphan, os.path.join(victim, "orphan.parquet"))
+    os.remove(os.path.join(victim, "manifest.json"))
+    manifests = ivf_build(ds, out, k=4, iters=1)
+    assert sum(man["rows"] for man in manifests) == len(m)
+    frags = glob.glob(os.path.join(victim, "*.parquet"))
+    t = pa.concat_tables([pq.read_table(f) for f in frags])
+    assert 999999 not in t["vec_id"].to_pylist()
