@@ -111,15 +111,26 @@ def read_parquet_clean(path: str, columns=None, **kwargs):
 def read_transcripts_any(path: str, fmt: str = "parquet", columns=None):
     """Read transcripts from parquet (default), csv, or json-lines, cast
     to the canonical schema.  Column pruning applies after the format
-    decode for csv/json (parquet prunes at the read)."""
+    decode for csv/json (parquet prunes at the read).
+
+    ``.gz``-suffixed csv/json paths decode transparently (web corpora
+    ship as .jsonl.gz): the compression is passed to Arrow's stream
+    opener, so decompression happens inside each read task — streamed,
+    never driver-side."""
     import ray.data as rd
 
+    gz = {}
+    if str(path).endswith(".gz") or str(path).endswith(".gzip"):
+        gz = {
+            "arrow_open_stream_args": {"compression": "gzip"},
+            "file_extensions": None,
+        }
     if fmt == "parquet":
         ds = rd.read_parquet(path, columns=columns)
     elif fmt == "csv":
-        ds = rd.read_csv(path)
+        ds = rd.read_csv(path, **gz)
     elif fmt == "json":
-        ds = rd.read_json(path)
+        ds = rd.read_json(path, **gz)
     else:
         raise ValueError(f"unknown transcript format: {fmt}")
     if fmt != "parquet":

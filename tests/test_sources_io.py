@@ -134,3 +134,33 @@ def test_write_partitioned_mix64_fast_path(ray_session, tmp_path):
     assert sum(m["rows"] for m in m3) == t.num_rows
     assert os.path.getmtime(os.path.join(out1, "part=0", "manifest.json")) == mt0
     assert _partition_layout(out1, 8) == _partition_layout(out2, 8)
+
+
+def test_read_transcripts_gzip_csv_json(ray_session, tmp_path):
+    """Web corpora ship compressed: .csv.gz / .jsonl.gz must decode
+    transparently (inside the read tasks) and match the parquet read."""
+    from email_address_parser_ray.sources.io import read_transcripts_any
+
+    t = _small_transcripts()
+    pq.write_table(t, str(tmp_path / "t.parquet"))
+    df = t.to_pandas()
+    df.to_csv(str(tmp_path / "t.csv.gz"), index=False, compression="gzip")
+    df.to_json(str(tmp_path / "t.jsonl.gz"), orient="records", lines=True,
+               date_format="iso", compression="gzip")
+
+    base = (
+        read_transcripts_any(str(tmp_path / "t.parquet"))
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    for fmt, fn in (("csv", "t.csv.gz"), ("json", "t.jsonl.gz")):
+        got = (
+            read_transcripts_any(str(tmp_path / fn), fmt=fmt)
+            .to_pandas()
+            .sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True)
+        )
+        assert got["conv_id"].equals(base["conv_id"]), fmt
+        assert got["turn_idx"].equals(base["turn_idx"]), fmt
+        assert got["text"].equals(base["text"]), fmt
