@@ -78,6 +78,7 @@ def pretrain_prep(
     max_top_tok_ppm: int = 500_000,
     n_partitions: int = 16,
     jaccard: float = 0.7,
+    langs=None,
 ):
     """Run the full prep over a (doc_id, text) dataset against an eval
     corpus.  Returns (manifests, counters, bpe_model): the resumable
@@ -117,12 +118,18 @@ def pretrain_prep(
     counters["after_decontaminate"] = docs.count()
 
     # 4. quality filter — whitespace token floor + Gopher top-word ppm
+    # (+ optional language allow-list, e.g. langs=("en",))
     def quality(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return t
         toks = token_stats(t)["n_tokens"].to_numpy(zero_copy_only=False)
         rep = repetition_stats(t)["top_tok_ppm"].to_numpy(zero_copy_only=False)
         keep = (toks >= min_tokens) & (rep <= max_top_tok_ppm)
+        if langs is not None:
+            from ..functions.textstats import lang_id
+
+            pred = np.array(lang_id(t)["lang_pred"].to_pylist(), dtype=object)
+            keep &= np.isin(pred, np.array(list(langs), dtype=object))
         return t.filter(pa.array(keep))
 
     docs = docs.map_batches(quality, batch_format="pyarrow").materialize()
