@@ -95,27 +95,12 @@ def _bench_queries(sf_dir: str) -> dict:
 
         from email_address_parser_ray.stages.dedup import decontaminate
 
+        from email_address_parser_ray.sources.io import eval_train_split
+
         docs = rd.read_parquet(
             f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
         )
-
-        def part(keep_eval):
-            def f(t):
-                m = pc.equal(
-                    pc.subtract(
-                        t["doc_id"],
-                        pc.multiply(
-                            pc.divide(t["doc_id"], 97), pa.scalar(97, pa.int64())
-                        ),
-                    ),
-                    pa.scalar(0, pa.int64()),
-                )
-                return t.filter(m if keep_eval else pc.invert(m))
-
-            return f
-
-        train = docs.map_batches(part(False), batch_format="pyarrow")
-        ev = docs.map_batches(part(True), batch_format="pyarrow")
+        train, ev = eval_train_split(docs)
         return decontaminate(train, ev).count()
 
     timed("decontaminate", run_decontaminate)
@@ -160,33 +145,15 @@ def _bench_queries(sf_dir: str) -> dict:
 
         from email_address_parser_ray.pipelines.pretrain import pretrain_prep
 
+        from email_address_parser_ray.sources.io import eval_train_split
+
         docs = rd.read_parquet(
             f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
         )
-
-        def part(keep_eval):
-            def f(t):
-                m = pc.equal(
-                    pc.subtract(
-                        t["doc_id"],
-                        pc.multiply(
-                            pc.divide(t["doc_id"], 97), pa.scalar(97, pa.int64())
-                        ),
-                    ),
-                    pa.scalar(0, pa.int64()),
-                )
-                return t.filter(m if keep_eval else pc.invert(m))
-
-            return f
-
+        train, ev = eval_train_split(docs)
         out = "/tmp/eap_ray_pretrain_bench"
         shutil.rmtree(out, ignore_errors=True)
-        _, counters, _ = pretrain_prep(
-            docs.map_batches(part(False), batch_format="pyarrow"),
-            docs.map_batches(part(True), batch_format="pyarrow"),
-            out,
-            num_merges=128,
-        )
+        _, counters, _ = pretrain_prep(train, ev, out, num_merges=128)
         return counters["exported_rows"]
 
     timed("pretrain_prep", run_pretrain_prep)

@@ -355,14 +355,9 @@ class BpeCountStage:
 
 
 def _pool(concurrency):
-    """score_pairs' pool policy: an autoscaling (cpus//2, cpus) pool so
-    a downstream sort/shuffle is never starved of CPUs by idle actors."""
-    if concurrency is not None:
-        return (1, concurrency) if isinstance(concurrency, int) else concurrency
-    import ray
+    from ..stages.pools import autoscaling_pool
 
-    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    return (max(1, cpus // 2), cpus)
+    return autoscaling_pool(concurrency)
 
 
 def bpe_token_count_ds(ds, model: BpeModel, concurrency=None):

@@ -218,3 +218,34 @@ def write_partitioned(
             with open(mp) as f:
                 manifests.append(json.load(f))
     return manifests
+
+
+def eval_train_split(docs_ds, modulus: int = 97):
+    """Deterministic (train, eval) split by ``doc_id % modulus == 0`` —
+    the bench/stress convention for synthesizing an eval corpus from
+    the documents table (content-keyed: partitioning cannot move a doc
+    across the split).  One definition so the three harnesses that
+    need it cannot drift."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def part(keep_eval):
+        def f(t):
+            m = pc.equal(
+                pc.subtract(
+                    t["doc_id"],
+                    pc.multiply(
+                        pc.divide(t["doc_id"], modulus),
+                        pa.scalar(modulus, pa.int64()),
+                    ),
+                ),
+                pa.scalar(0, pa.int64()),
+            )
+            return t.filter(m if keep_eval else pc.invert(m))
+
+        return f
+
+    return (
+        docs_ds.map_batches(part(False), batch_format="pyarrow"),
+        docs_ds.map_batches(part(True), batch_format="pyarrow"),
+    )

@@ -985,12 +985,22 @@ def ivf_probe_topk(index_dir: str, query: np.ndarray, k: int = 10, nprobe: int =
 
     import ray.data as rd
 
+    import glob
+
     cells = ivf_probe_cells(index_dir, query, nprobe)
+    # only dirs that actually hold fragments: an empty k-means cell is
+    # a manifest-only dir, and read_parquet raises on zero input files
     dirs = [
-        os.path.join(index_dir, f"cell={c}")
+        d
         for c in cells
-        if os.path.isdir(os.path.join(index_dir, f"cell={c}"))
+        for d in [os.path.join(index_dir, f"cell={c}")]
+        if glob.glob(os.path.join(d, "*.parquet"))
     ]
+    if not dirs:
+        schema = pa.schema([("vec_id", pa.int64()), ("cos_e4", pa.int64())])
+        return rd.range(1).map_batches(
+            lambda _t, s=schema: s.empty_table(), batch_format="pyarrow"
+        )
     ds = rd.read_parquet(
         dirs,
         columns=["vec_id", "embedding"],
@@ -1045,7 +1055,14 @@ def ivf_add(embeddings_ds, index_dir: str, add_tag: str):
             stage, partition_cols=["cell"]
         )
         # publish: move fragments into the live cell dirs (same fs →
-        # rename), recount manifests, then the marker
+        # rename), recount manifests, then the marker.  A retry after a
+        # crash MID-publish must first clear this tag's partially-
+        # published fragments (Ray names fragments randomly, so the
+        # rerun's names differ — without the sweep the cell would hold
+        # both copies and the recount would bless the duplicates)
+        for live in glob.glob(os.path.join(index_dir, "cell=*")):
+            for frag in glob.glob(os.path.join(live, f"add-{add_tag}-*.parquet")):
+                os.remove(frag)
         for cell_dir in sorted(glob.glob(os.path.join(stage, "cell=*"))):
             c = int(cell_dir.rsplit("=", 1)[1])
             live = os.path.join(index_dir, f"cell={c}")

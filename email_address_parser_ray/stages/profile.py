@@ -171,11 +171,17 @@ def profile_quantiles(ds, key_col: str, qs=(0.5, 0.95, 0.99),
         if t.num_rows == 0:
             return out_schema.empty_table()
         h = mix64(hash64_column(t[key_col]) ^ seed_h)
-        order = np.argsort(h, kind="stable")[:k]
+        vs = {
+            c: pc.cast(t[c], pa.float64()).to_numpy(zero_copy_only=False)
+            for c in cols
+        }
+        # the SAME total order as the driver fold (pri, then columns):
+        # with duplicate keys the cutoff tie must resolve identically
+        # on both sides or the sample depends on partitioning
+        order = np.lexsort([vs[c] for c in reversed(cols)] + [h])[:k]
         arrays = {"pri": pa.array(h[order], pa.uint64())}
         for c in cols:
-            v = pc.cast(t[c], pa.float64()).to_numpy(zero_copy_only=False)
-            arrays[c] = pa.array(v[order], pa.float64())
+            arrays[c] = pa.array(vs[c][order], pa.float64())
         return pa.table(arrays)
 
     pris = np.zeros(0, np.uint64)

@@ -227,13 +227,9 @@ def score_pairs(pairs_ds, concurrency=None, batch_size: int = 32768):
     2 × cpus//2 = every CPU and deadlock the streaming executor
     (observed at sf0.01/16 CPUs in incremental_resolve before it
     materialized the delta edges) — materialize one branch first."""
-    if concurrency is None:
-        import ray
+    from .pools import autoscaling_pool
 
-        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-        concurrency = (max(1, cpus // 2), cpus)
-    if isinstance(concurrency, int):
-        concurrency = (1, concurrency)
+    concurrency = autoscaling_pool(concurrency)
     return pairs_ds.map_batches(
         PairScorer,
         batch_format="pyarrow",

@@ -821,17 +821,21 @@ def grouped_approx_quantiles(ds, group_col: str, value_col: str, key_col: str,
         )
         for s, e in zip(starts[:-1], starts[1:]):
             g = garr[s]
-            pv = np.stack([pris[s:e].astype(np.uint64), vals[s:e]])
+            # keep priorities and values as SEPARATE lexsort keys —
+            # np.stack would promote uint64 to float64 and round away
+            # the low ~11 priority bits, breaking partition invariance
+            # at the k cutoff
+            p_new = pris[s:e].astype(np.uint64)
+            v_new = vals[s:e]
             if g in folded:
                 op, ov = folded[g]
-                mp = np.concatenate([op, pv[0]])
-                mv = np.concatenate([ov, pv[1]])
-                o = np.lexsort((mv, mp))[:k]
+                mp = np.concatenate([op, p_new])
+                mv = np.concatenate([ov, v_new])
                 budget -= len(op)
-                folded[g] = (mp[o], mv[o])
             else:
-                o = np.lexsort((pv[1], pv[0]))[:k]
-                folded[g] = (pv[0][o], pv[1][o])
+                mp, mv = p_new, v_new
+            o = np.lexsort((mv, mp))[:k]
+            folded[g] = (mp[o], mv[o])
             budget += len(folded[g][0])
             if budget > GROUPED_QUANTILE_MAX_SAMPLES:
                 raise ValueError(

@@ -69,18 +69,6 @@ def stress_decontaminate(tiles: int) -> None:
             docs = rd.from_arrow(pa.concat_tables(parts)).repartition(num_cpus * 2)
         return docs
 
-    def split(docs, keep_eval):
-        def f(t):
-            m = pc.equal(
-                pc.subtract(
-                    t["doc_id"],
-                    pc.multiply(pc.divide(t["doc_id"], 97), pa.scalar(97, pa.int64())),
-                ),
-                pa.scalar(0, pa.int64()),
-            )
-            return t.filter(m if keep_eval else pc.invert(m))
-
-        return docs.map_batches(f, batch_format="pyarrow")
 
     out = {"metric": "stress_decontaminate", "tiles": tiles, "num_cpus": num_cpus}
     results = {}
@@ -89,9 +77,12 @@ def stress_decontaminate(tiles: int) -> None:
         if gate is not None:
             dedup_mod.DECONTAM_MAX_EVAL_SHINGLES = gate
         try:
+            from email_address_parser_ray.sources.io import eval_train_split
+
             docs = load()
+            train_side, eval_side = eval_train_split(docs)
             t0 = time.time()
-            res = dedup_mod.decontaminate(split(docs, False), split(docs, True))
+            res = dedup_mod.decontaminate(train_side, eval_side)
             df = res.to_pandas().sort_values("doc_id").reset_index(drop=True)
             out[f"{name}_sec"] = round(time.time() - t0, 3)
             out[f"{name}_rows"] = len(df)

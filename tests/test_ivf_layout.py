@@ -194,3 +194,31 @@ def test_ivf_build_clears_crashed_attempt_orphans(ray_session, tmp_path):
     frags = glob.glob(os.path.join(victim, "*.parquet"))
     t = pa.concat_tables([pq.read_table(f) for f in frags])
     assert 999999 not in t["vec_id"].to_pylist()
+
+
+def test_ivf_add_retry_after_crash_mid_publish(index):
+    """Crash AFTER fragments were published but BEFORE the done-marker:
+    the retry must sweep this tag's partially-published fragments and
+    republish — never append duplicates (Ray names fragments randomly,
+    so a blind republish would double-count)."""
+    from email_address_parser_ray.stages.ann import ivf_add, ivf_probe_topk
+
+    m, ds, out, _ = index
+    new_t = pa.table(
+        {
+            "vec_id": pa.array(range(len(m), len(m) + 10), pa.int64()),
+            "embedding": pa.array([(m[i] + 0.01).tolist() for i in range(10)]),
+        }
+    )
+    import ray.data as rd
+
+    new_ds = rd.from_arrow(new_t).repartition(2)
+    manifests = ivf_add(new_ds, out, add_tag="crashy")
+    total = sum(man["rows"] for man in manifests)
+    assert total == len(m) + 10
+    # simulate the crash: fragments live, marker missing
+    os.remove(os.path.join(out, "add_crashy.done"))
+    retried = ivf_add(new_ds, out, add_tag="crashy")
+    assert sum(man["rows"] for man in retried) == total  # no duplicates
+    got = ivf_probe_topk(out, m[0], k=10, nprobe=5).to_pandas()
+    assert got["vec_id"].is_unique
