@@ -89,13 +89,10 @@ def _bench_queries(sf_dir: str) -> dict:
     )
 
     def run_decontaminate():
-        import pyarrow as pa
-        import pyarrow.compute as pc
         import ray.data as rd
 
-        from email_address_parser_ray.stages.dedup import decontaminate
-
         from email_address_parser_ray.sources.io import eval_train_split
+        from email_address_parser_ray.stages.dedup import decontaminate
 
         docs = rd.read_parquet(
             f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
@@ -139,12 +136,9 @@ def _bench_queries(sf_dir: str) -> dict:
     def run_pretrain_prep():
         import shutil
 
-        import pyarrow as pa
-        import pyarrow.compute as pc
         import ray.data as rd
 
         from email_address_parser_ray.pipelines.pretrain import pretrain_prep
-
         from email_address_parser_ray.sources.io import eval_train_split
 
         docs = rd.read_parquet(
