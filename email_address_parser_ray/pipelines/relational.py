@@ -65,14 +65,18 @@ def q1_lineitem(sf_dir: str):
     """TPC-H Q1-style pricing summary (groupby-agg with partial combine)."""
     import ray.data as rd
 
+    cutoff = pa.scalar(pd.Timestamp("1998-09-02"), pa.timestamp("us"))
+    # the shipdate predicate is PUSHED INTO the read (row-group pruning
+    # + non-matching rows never leave the scan; the filter column must
+    # stay in the projection for Ray's schema validation)
     ds = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=[
             "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
             "l_discount", "l_shipdate",
         ],
+        filter=(pc.field("l_shipdate") <= cutoff),
     )
-    cutoff = pa.scalar(pd.Timestamp("1998-09-02"), pa.timestamp("us"))
 
     def partial(t: pa.Table) -> pa.Table:
         # money is quantized PER ROW to integers before any summation:
@@ -84,7 +88,6 @@ def q1_lineitem(sf_dir: str):
         # group's ROUND(sum)*100 differed from DuckDB by one cent purely
         # from summation order).  The oracle mirrors the same per-row
         # quantization.
-        t = t.filter(pc.less_equal(t["l_shipdate"], cutoff))
         t = t.append_column("disc_e4", _money_e4(t["l_extendedprice"], t["l_discount"])).append_column(
             "base_e2", _cents(t["l_extendedprice"])
         )
@@ -239,13 +242,14 @@ def q5_region_revenue(
 
     lo = pa.scalar(pd.Timestamp(date_lo), pa.timestamp("us"))
     hi = pa.scalar(pd.Timestamp(date_hi), pa.timestamp("us"))
+    # date range pushed into the read (row-group pruning; non-matching
+    # rows never leave the scan), then the date column is dropped
     orders_f = read_parquet_clean(
-        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(pc.field("o_orderdate") >= lo) & (pc.field("o_orderdate") < hi),
     ).map_batches(
-        lambda t: t.filter(
-            pc.and_(pc.greater_equal(t["o_orderdate"], lo), pc.less(t["o_orderdate"], hi))
-        ).select(["o_orderkey", "o_custkey"]),
-        batch_format="pyarrow",
+        lambda t: t.select(["o_orderkey", "o_custkey"]), batch_format="pyarrow"
     )
     cust = read_parquet_clean(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
