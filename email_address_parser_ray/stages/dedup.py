@@ -1300,3 +1300,129 @@ def simhash_near_dups(docs_ds, max_hamming: int = 3):
         lambda g: _simhash_pairs(g, max_hamming), batch_format="pandas"
     )
     return sorted_pair_dedup(pairs, ["doc_a", "doc_b"], [("hamming", "min")])
+
+
+# --- cross-document duplicated-window statistics ---------------------------
+
+
+def dup_window_stats(docs_ds, window: int = 8):
+    """Per-doc duplicated-window statistics — the exact-substring
+    duplication signal of Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better" (ACL), at fixed k-token window
+    granularity instead of a suffix array: a window is DUPLICATED when
+    its token sequence occurs >= 2 times corpus-wide (within or across
+    docs).  Docs with a high duplicated fraction are boilerplate /
+    template / license text the paper shows should be dropped or
+    trimmed.
+
+    Distributed shape (two streaming passes, only 16 B window rows
+    ever shuffle — the minhash band-row discipline):
+
+    1. per batch, ``word_shingles_flat`` hashes every k-token window
+       vectorized; (h, 1) partials fold to corpus-wide window counts
+       with ``sorted_group_agg`` (window hashes are the unbounded key
+       — exactly the policy's case); hashes with count >= 2 become the
+       duplicated set, kept DISTRIBUTED;
+    2. a second pass re-emits (doc_id, h) rows, ``bucketed_semi_join``
+       keeps the duplicated ones (sparse-safe — a clean corpus has a
+       nearly-empty sliver), and one union + ``sorted_group_agg`` fold
+       sums per-doc totals and duplicate counts WITHOUT a doc-grain
+       join (totals rows carry (n_windows, 0), duplicate rows carry
+       (0, 1)).
+
+    64-bit fold hashes stand in for the token sequences, so a
+    cross-sequence collision could overcount by ~n²/2⁶⁴ windows —
+    approximate in the same sense as the minhash candidate stage;
+    pytest pins exact agreement with a brute-force reference on
+    collision-free corpora.  Returns (doc_id, n_windows,
+    n_dup_windows, dup_win_ppm), one row per doc."""
+    from ..functions.hashing import word_shingles_flat
+    from .joins import bucketed_semi_join
+
+    def window_counts(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"h": pa.array([], pa.uint64()), "n": pa.array([], pa.int64())}
+            )
+        hs, _ = word_shingles_flat(t["text"].to_pylist(), window)
+        uniq, cnt = np.unique(hs, return_counts=True)
+        return pa.table(
+            {"h": pa.array(uniq, pa.uint64()), "n": pa.array(cnt, pa.int64())}
+        )
+
+    counts = sorted_group_agg(
+        docs_ds.map_batches(window_counts, batch_format="pyarrow"),
+        keys=["h"],
+        aggs=[("n", "sum")],
+    )
+    dup_h = counts.map_batches(
+        lambda t: t.filter(pa.compute.greater_equal(t["n"], 2)).select(["h"]),
+        batch_format="pyarrow",
+    )
+
+    row_schema = pa.schema(
+        [("doc_id", pa.int64()), ("h", pa.uint64())]
+    )
+
+    def doc_windows(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return row_schema.empty_table()
+        hs, slens = word_shingles_flat(t["text"].to_pylist(), window)
+        dids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.repeat(dids, slens), pa.int64()),
+                "h": pa.array(hs, pa.uint64()),
+            }
+        )
+
+    agg_schema = pa.schema(
+        [("doc_id", pa.int64()), ("n_windows", pa.int64()),
+         ("n_dup_windows", pa.int64())]
+    )
+
+    def totals(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return agg_schema.empty_table()
+        _, slens = word_shingles_flat(t["text"].to_pylist(), window)
+        return pa.table(
+            {
+                "doc_id": pa.compute.cast(t["doc_id"], pa.int64()),
+                "n_windows": pa.array(slens, pa.int64()),
+                "n_dup_windows": pa.array(np.zeros(len(slens), np.int64), pa.int64()),
+            }
+        )
+
+    def dup_ones(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return agg_schema.empty_table()
+        return pa.table(
+            {
+                "doc_id": pa.compute.cast(t["doc_id"], pa.int64()),
+                "n_windows": pa.array(np.zeros(t.num_rows, np.int64), pa.int64()),
+                "n_dup_windows": pa.array(np.ones(t.num_rows, np.int64), pa.int64()),
+            }
+        )
+
+    dup_rows = bucketed_semi_join(
+        docs_ds.map_batches(doc_windows, batch_format="pyarrow"), dup_h, on="h"
+    ).map_batches(dup_ones, batch_format="pyarrow")
+    total_rows = docs_ds.map_batches(totals, batch_format="pyarrow")
+    folded = sorted_group_agg(
+        total_rows.union(dup_rows),
+        keys=["doc_id"],
+        aggs=[("n_windows", "sum"), ("n_dup_windows", "sum")],
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema(
+                [("doc_id", pa.int64()), ("n_windows", pa.int64()),
+                 ("n_dup_windows", pa.int64()), ("dup_win_ppm", pa.int64())]
+            ).empty_table()
+        nw = t["n_windows"].to_numpy(zero_copy_only=False)
+        nd = t["n_dup_windows"].to_numpy(zero_copy_only=False)
+        ppm = nd * 1_000_000 // np.maximum(nw, 1)
+        return t.append_column("dup_win_ppm", pa.array(ppm, pa.int64()))
+
+    return folded.map_batches(finish, batch_format="pyarrow")
