@@ -79,6 +79,8 @@ def pretrain_prep(
     n_partitions: int = 16,
     jaccard: float = 0.7,
     langs=None,
+    quality_lm=None,
+    max_nll_e6: int = 0,
 ):
     """Run the full prep over a (doc_id, text) dataset against an eval
     corpus.  Returns (manifests, counters, bpe_model): the resumable
@@ -134,6 +136,24 @@ def pretrain_prep(
 
     docs = docs.map_batches(quality, batch_format="pyarrow").materialize()
     counters["after_quality"] = docs.count()
+
+    # 4b. optional LM-perplexity filter (the CCNet rule): a caller-
+    # provided trusted-text BigramLM scores every survivor; docs above
+    # the nll budget drop.  The LM is trained on TRUSTED text, not this
+    # corpus — pass it in.
+    if quality_lm is not None and max_nll_e6:
+        from ..stages.ngram_lm import score_docs_nll
+
+        flagged_lm = score_docs_nll(docs, quality_lm).map_batches(
+            lambda t: t.filter(
+                pc.greater(t["nll_e6"], pa.scalar(max_nll_e6, pa.int64()))
+            ).select(["doc_id"]),
+            batch_format="pyarrow",
+        ).materialize()
+        n_lm = flagged_lm.count()
+        counters["lm_filtered"] = n_lm
+        docs = _anti_ids(docs, flagged_lm, n_lm).materialize()
+        counters["after_lm_filter"] = docs.count()
 
     # 5-6. BPE training, id encoding, token-exact packing — the bin
     # scan runs directly over the encoded rows (token_ids ride along;

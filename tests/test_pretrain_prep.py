@@ -111,3 +111,38 @@ def test_pretrain_prep_partition_invariant(ray_session, tmp_path):
     assert outs[1][0] == outs[6][0]          # identical lineage counters
     assert outs[1][1] == outs[6][1]          # identical BPE model
     assert outs[1][2].equals(outs[6][2])     # identical packed rows
+
+
+def test_pretrain_prep_lm_filter(ray_session, tmp_path):
+    """The optional CCNet-style LM gate: gibberish docs exceed the nll
+    budget and drop; clean docs survive; counters account for it."""
+    from email_address_parser_ray.stages.ngram_lm import train_bigram_lm
+
+    docs, ev = _corpus()
+    rng = np.random.RandomState(99)
+    gibberish = [
+        " ".join(f"g{rng.randint(10**9)}" for _ in range(15)) for _ in range(4)
+    ]
+    all_docs = docs + gibberish
+    trusted = _ds(docs[:40], 2)  # LM trained on trusted text only
+    lm = train_bigram_lm(trusted, max_vocab=2000, max_bigrams=20_000)
+    # derive the gate empirically: midpoint between the groups' scores
+    from email_address_parser_ray.stages.ngram_lm import score_docs_nll
+
+    sc = score_docs_nll(_ds(docs[:20] + gibberish, 2), lm).to_pandas()
+    sc = sc.sort_values("doc_id").reset_index(drop=True)
+    clean_max = int(sc["nll_e6"][:20].max())
+    gib_min = int(sc["nll_e6"][20:].min())
+    assert gib_min > clean_max  # the LM separates the groups at all
+    gate = (clean_max + gib_min) // 2
+    out = str(tmp_path / "exp_lm")
+    _, counters, _ = pretrain_prep(
+        _ds(all_docs, 4), _ds(ev, 1), out, num_merges=25, cap=64,
+        quality_lm=lm, max_nll_e6=gate,
+    )
+    assert counters["lm_filtered"] >= 4  # all gibberish docs flagged
+    assert (
+        counters["after_lm_filter"]
+        == counters["after_quality"] - counters["lm_filtered"]
+    )
+    assert counters["exported_rows"] == counters["after_lm_filter"]
