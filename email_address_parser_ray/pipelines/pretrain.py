@@ -172,8 +172,25 @@ def pretrain_prep(
         packed, out_dir, key="doc_id", n_partitions=n_partitions,
         partitioner="mix64",
     )
+    import json
     import os
 
     model.save(os.path.join(out_dir, "bpe_model.json"))
     counters["exported_rows"] = sum(m["rows"] for m in manifests)
+    # the audit trail ships with the data (the pipeline_counters
+    # discipline): per-stage row counts + the knobs that produced them
+    lineage = {
+        "counters": counters,
+        "params": {
+            "num_merges": num_merges, "cap": cap, "min_tokens": min_tokens,
+            "max_top_tok_ppm": max_top_tok_ppm, "jaccard": jaccard,
+            "langs": list(langs) if langs else None,
+            "max_nll_e6": max_nll_e6 if quality_lm is not None else None,
+            "n_partitions": n_partitions,
+        },
+    }
+    tmp = os.path.join(out_dir, "lineage.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(lineage, f, indent=1)
+    os.replace(tmp, os.path.join(out_dir, "lineage.json"))
     return manifests, counters, model

@@ -94,6 +94,10 @@ def test_pretrain_prep_end_to_end(ray_session, tmp_path):
     from email_address_parser_ray.functions.bpe import BpeModel
 
     assert BpeModel.load(os.path.join(out, "bpe_model.json")) == model
+    # the audit trail ships with the shards
+    lineage = json.load(open(os.path.join(out, "lineage.json")))
+    assert lineage["counters"] == counters
+    assert lineage["params"]["cap"] == 64
 
 
 def test_pretrain_prep_partition_invariant(ray_session, tmp_path):
