@@ -168,10 +168,76 @@ def stress_ivf(tiles: int, k: int = 64, nprobe: int = 4) -> None:
     ray.shutdown()
 
 
+def stress_pretrain(tiles: int) -> None:
+    """The composed pretraining prep end-to-end over a tiled sf0.1
+    documents corpus (tiling multiplies exact-dup mass, so every stage
+    does real work); reports the wall and the full lineage counters."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+
+    from email_address_parser_ray.pipelines.pretrain import pretrain_prep
+
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             logging_level="ERROR")
+    src = "/root/testdata/sf0.1/documents.parquet"
+    import pyarrow.parquet as pq
+
+    base = pq.read_table(src, columns=["doc_id", "text"])
+    n = base.num_rows
+    texts = base["text"].to_pylist()
+    # tile k > 0 prepends a marker token: cross-tile copies are NEAR
+    # dups (exercising the minhash stage), tile 0 keeps the exact-dup
+    # mass the corpus already carries
+    parts = [
+        pa.table(
+            {
+                "doc_id": pc.add(base["doc_id"], pa.scalar(t * n, pa.int64())),
+                "text": base["text"] if t == 0 else pa.array(
+                    [f"cp{t} " + x for x in texts], pa.string()
+                ),
+            }
+        )
+        for t in range(tiles)
+    ]
+    train_side = rd.from_arrow(pa.concat_tables(parts)).repartition(num_cpus * 2)
+    # eval is an EXTERNAL corpus (the real decontamination shape):
+    # mostly disjoint text, plus train 3-gram splices in a minority so
+    # the stage flags a real (bounded) sliver
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    ev = [
+        " ".join(f"ev{rng.randint(10**9)}" for _ in range(14)) for _ in range(150)
+    ]
+    for i in range(50):
+        toks = texts[rng.randint(len(texts))].split()[:3]
+        ev.append(" ".join(f"ev{rng.randint(10**9)}" for _ in range(10))
+                  + " " + " ".join(toks))
+    eval_side = rd.from_arrow(
+        pa.table({"doc_id": pa.array(range(10**9, 10**9 + len(ev)), pa.int64()),
+                  "text": pa.array(ev, pa.string())})
+    ).repartition(4)
+    out_dir = f"/tmp/eap_ray_cache/stress_pretrain_x{tiles}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.time()
+    _, counters, _ = pretrain_prep(train_side, eval_side, out_dir, num_merges=128)
+    wall = round(time.time() - t0, 3)
+    print(json.dumps({"metric": "stress_pretrain", "tiles": tiles,
+                      "num_cpus": num_cpus, "wall_sec": wall,
+                      "docs_per_sec": round(counters["input_docs"] / wall, 1),
+                      **counters}))
+    ray.shutdown()
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--family", required=True,
-                    choices=sorted(_SCRIPTED) + ["decontaminate", "ivf"])
+                    choices=sorted(_SCRIPTED) + ["decontaminate", "ivf", "pretrain"])
     ap.add_argument("args", nargs="*", help="family-specific positional args")
     ns = ap.parse_args()
     if ns.family == "decontaminate":
@@ -179,6 +245,9 @@ def main() -> None:
         return
     if ns.family == "ivf":
         stress_ivf(int(ns.args[0]) if ns.args else 40)
+        return
+    if ns.family == "pretrain":
+        stress_pretrain(int(ns.args[0]) if ns.args else 4)
         return
     path = _SCRIPTED[ns.family]
     sys.argv = [path] + ns.args
