@@ -246,6 +246,44 @@ class BpeTokenizer:
 _WC_SCHEMA = pa.schema([("word", pa.string()), ("cnt", pa.int64())])
 
 
+def capped_topk(folded, sort_keys, max_rows: int, key_col: str):
+    """Driver-side top-``max_rows`` fold of a dataset whose keys are
+    already globally unique (post ``sorted_group_agg``): each block
+    ships at most ``max_rows`` rows, and a running merge keeps driver
+    state bounded at ~4x ``max_rows`` no matter the block count.
+    Returns an Arrow table (None when every block is empty).  Shared
+    by ``bpe_word_counts`` and ``train_bigram_lm`` — the two capped
+    vocab-style folds must stay in lockstep."""
+    import ray
+    import pyarrow.compute as pc
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows <= max_rows:
+            return t
+        return t.take(pc.sort_indices(t, sort_keys=sort_keys)[:max_rows])
+
+    parts, acc_rows = [], 0
+    for ref in folded.map_batches(
+        block_topk, batch_format="pyarrow", batch_size=None
+    ).to_arrow_refs():
+        t = ray.get(ref)
+        # schema check guards Ray's empty-block schema loss (RefBundle
+        # warnings): schema-less empties simply don't participate
+        if key_col in t.schema.names and t.num_rows:
+            parts.append(t)
+            acc_rows += t.num_rows
+            if acc_rows > 4 * max_rows:
+                merged = pa.concat_tables(parts).combine_chunks()
+                merged = merged.take(
+                    pc.sort_indices(merged, sort_keys=sort_keys)[:max_rows]
+                )
+                parts, acc_rows = [merged], merged.num_rows
+    if not parts:
+        return None
+    all_t = pa.concat_tables(parts).combine_chunks()
+    return all_t.take(pc.sort_indices(all_t, sort_keys=sort_keys)[:max_rows])
+
+
 def bpe_word_counts(ds, col: str = "text", max_words: int = DEFAULT_MAX_WORDS):
     """Distributed exact word counting, capped for the driver: ONE
     pass of per-batch ``np.unique`` partials, folded with
@@ -253,8 +291,6 @@ def bpe_word_counts(ds, col: str = "text", max_words: int = DEFAULT_MAX_WORDS):
     partial top-k (each block ships <= max_words rows) + a driver
     final top-k.  Returns (words, counts, n_distinct) with counts
     sorted desc, word asc."""
-    import ray
-
     from ..stages.dedup import sorted_group_agg
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -277,38 +313,12 @@ def bpe_word_counts(ds, col: str = "text", max_words: int = DEFAULT_MAX_WORDS):
         aggs=[("cnt", "sum")],
     )
 
-    import pyarrow.compute as pc
-
-    sort_keys = [("cnt", "descending"), ("word", "ascending")]
-
-    def block_topk(t: pa.Table) -> pa.Table:
-        if t.num_rows <= max_words:
-            return t
-        return t.take(pc.sort_indices(t, sort_keys=sort_keys)[:max_words])
-
-    parts = []
-    acc_rows = 0
-    for ref in folded.map_batches(
-        block_topk, batch_format="pyarrow", batch_size=None
-    ).to_arrow_refs():
-        t = ray.get(ref)
-        if "word" in t.schema.names and t.num_rows:
-            parts.append(t)
-            acc_rows += t.num_rows
-            # running cap: the driver never holds more than ~4x
-            # max_words rows no matter the block count
-            if acc_rows > 4 * max_words:
-                merged = pa.concat_tables(parts).combine_chunks()
-                merged = merged.take(
-                    pc.sort_indices(merged, sort_keys=sort_keys)[:max_words]
-                )
-                parts = [merged]
-                acc_rows = merged.num_rows
+    top = capped_topk(
+        folded, [("cnt", "descending"), ("word", "ascending")], max_words, "word"
+    )
     n_distinct = folded.count()
-    if not parts:
+    if top is None:
         return [], [], 0
-    all_t = pa.concat_tables(parts).combine_chunks()
-    top = all_t.take(pc.sort_indices(all_t, sort_keys=sort_keys)[:max_words])
     if n_distinct > max_words:
         print(
             f"bpe_word_counts: vocabulary {n_distinct} truncated to top "

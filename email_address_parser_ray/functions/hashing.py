@@ -121,6 +121,16 @@ def word_shingles_flat(texts: Sequence[str], k: int = 3):
     return out, slens
 
 
+def word_shingle_counts(texts: Sequence[str], k: int = 3) -> np.ndarray:
+    """Per-doc shingle COUNTS only — exactly the ``slens`` that
+    ``word_shingles_flat`` returns, without computing any hashes
+    (same tokenization, same short-doc rule: docs with < k tokens
+    count 1).  For callers that need window totals but not window
+    identities (e.g. ``dup_window_stats``' totals pass)."""
+    tlens = np.fromiter((len(t.split()) for t in texts), np.int64, len(texts))
+    return np.where(tlens >= k, tlens - k + 1, 1).astype(np.int64)
+
+
 def word_shingle_set(text: str, k: int = 3) -> set:
     """Exact k-word shingle STRING set (no hashing — collision-free, and
     reproducible in SQL via list_transform/array_to_string).  Same

@@ -184,7 +184,9 @@ def pretrain_prep(
         "params": {
             "num_merges": num_merges, "cap": cap, "min_tokens": min_tokens,
             "max_top_tok_ppm": max_top_tok_ppm, "jaccard": jaccard,
-            "langs": list(langs) if langs else None,
+            # langs=() is an ACTIVE filter (drops everything); only
+            # None means "no language filter ran"
+            "langs": list(langs) if langs is not None else None,
             "max_nll_e6": max_nll_e6 if quality_lm is not None else None,
             "n_partitions": n_partitions,
         },

@@ -1336,7 +1336,7 @@ def dup_window_stats(docs_ds, window: int = 8):
     pytest pins exact agreement with a brute-force reference on
     collision-free corpora.  Returns (doc_id, n_windows,
     n_dup_windows, dup_win_ppm), one row per doc."""
-    from ..functions.hashing import word_shingles_flat
+    from ..functions.hashing import word_shingle_counts, word_shingles_flat
     from .joins import bucketed_semi_join
 
     def window_counts(t: pa.Table) -> pa.Table:
@@ -1382,9 +1382,11 @@ def dup_window_stats(docs_ds, window: int = 8):
     )
 
     def totals(t: pa.Table) -> pa.Table:
+        # counts only — re-running the full crc32+mix64 window-hash
+        # pipeline here would be a redundant third hashing pass
         if t.num_rows == 0:
             return agg_schema.empty_table()
-        _, slens = word_shingles_flat(t["text"].to_pylist(), window)
+        slens = word_shingle_counts(t["text"].to_pylist(), window)
         return pa.table(
             {
                 "doc_id": pa.compute.cast(t["doc_id"], pa.int64()),

@@ -30,24 +30,40 @@ separation, and training partition invariance."""
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Tuple
 
 import numpy as np
 import pyarrow as pa
 
-from ..functions.bpe import PRETOK, bpe_word_counts
+from ..functions.bpe import PRETOK, bpe_word_counts, capped_topk
 
 DEFAULT_ALPHA = 0.5
 
 
-@dataclass(frozen=True)
+@dataclass(frozen=True, eq=False)
 class BigramLM:
-    vocab: Tuple[str, ...]          # sorted — searchsorted domain
-    uni_counts: Tuple[int, ...]     # aligned with vocab
-    bigram_keys: Tuple[int, ...]    # sorted packed (a << 32 | b)
-    bigram_counts: Tuple[int, ...]
+    """Model state stays in numpy end-to-end (a 1M-bigram cap as
+    Python int tuples would box ~60 MB on the driver and get rebuilt
+    as arrays by the scorer anyway); equality is by value for the
+    partition-invariance pins."""
+
+    vocab: np.ndarray          # sorted object array — searchsorted domain
+    uni_counts: np.ndarray     # int64, aligned with vocab
+    bigram_keys: np.ndarray    # int64, sorted packed (a << 32 | b)
+    bigram_counts: np.ndarray  # int64
     total_tokens: int
     alpha: float = DEFAULT_ALPHA
+
+    def __eq__(self, other):
+        if not isinstance(other, BigramLM):
+            return NotImplemented
+        return (
+            self.total_tokens == other.total_tokens
+            and self.alpha == other.alpha
+            and np.array_equal(self.vocab, other.vocab)
+            and np.array_equal(self.uni_counts, other.uni_counts)
+            and np.array_equal(self.bigram_keys, other.bigram_keys)
+            and np.array_equal(self.bigram_counts, other.bigram_counts)
+        )
 
 
 def _token_ids(texts, vocab_arr: np.ndarray):
@@ -58,6 +74,8 @@ def _token_ids(texts, vocab_arr: np.ndarray):
     flat = np.array([w for r in rows for w in r], dtype=object)
     if not len(flat):
         return np.zeros(0, np.int64), lens
+    if not len(vocab_arr):  # empty vocab: every token is <unk> (id 0)
+        return np.zeros(len(flat), np.int64), lens
     pos = np.searchsorted(vocab_arr, flat)
     pos = np.minimum(pos, len(vocab_arr) - 1)
     ids = np.where(vocab_arr[pos] == flat, pos, len(vocab_arr)).astype(np.int64)
@@ -72,7 +90,6 @@ def train_bigram_lm(
     alpha: float = DEFAULT_ALPHA,
 ) -> BigramLM:
     import ray
-    import pyarrow.compute as pc
 
     from .dedup import sorted_group_agg
 
@@ -110,30 +127,10 @@ def train_bigram_lm(
         keys=["key"],
         aggs=[("n", "sum")],
     )
-    sort_keys = [("n", "descending"), ("key", "ascending")]
-
-    def block_topk(t: pa.Table) -> pa.Table:
-        if t.num_rows <= max_bigrams:
-            return t
-        return t.take(pc.sort_indices(t, sort_keys=sort_keys)[:max_bigrams])
-
-    parts, acc = [], 0
-    for ref in folded.map_batches(
-        block_topk, batch_format="pyarrow", batch_size=None
-    ).to_arrow_refs():
-        t = ray.get(ref)
-        if "key" in t.schema.names and t.num_rows:
-            parts.append(t)
-            acc += t.num_rows
-            if acc > 4 * max_bigrams:
-                merged = pa.concat_tables(parts).combine_chunks()
-                merged = merged.take(
-                    pc.sort_indices(merged, sort_keys=sort_keys)[:max_bigrams]
-                )
-                parts, acc = [merged], merged.num_rows
-    if parts:
-        all_t = pa.concat_tables(parts).combine_chunks()
-        top = all_t.take(pc.sort_indices(all_t, sort_keys=sort_keys)[:max_bigrams])
+    top = capped_topk(
+        folded, [("n", "descending"), ("key", "ascending")], max_bigrams, "key"
+    )
+    if top is not None and top.num_rows:
         keys = np.asarray(top["key"].to_numpy(zero_copy_only=False), np.int64)
         ns = np.asarray(top["n"].to_numpy(zero_copy_only=False), np.int64)
         ko = np.argsort(keys)
@@ -142,10 +139,10 @@ def train_bigram_lm(
         keys = np.zeros(0, np.int64)
         ns = np.zeros(0, np.int64)
     return BigramLM(
-        vocab=tuple(vocab_arr.tolist()),
-        uni_counts=tuple(int(c) for c in uni),
-        bigram_keys=tuple(int(k) for k in keys),
-        bigram_counts=tuple(int(c) for c in ns),
+        vocab=vocab_arr,
+        uni_counts=uni,
+        bigram_keys=keys,
+        bigram_counts=ns,
         total_tokens=total,
         alpha=alpha,
     )
@@ -183,10 +180,10 @@ def score_docs_nll(docs_ds, lm: BigramLM, col: str = "text"):
     quantized to 1e-6 bits.  Model broadcast once; fully vectorized."""
     import ray
 
-    va = np.array(lm.vocab, dtype=object)
-    uni = np.array(lm.uni_counts, np.int64)
-    bkeys = np.array(lm.bigram_keys, np.int64)
-    bcnts = np.array(lm.bigram_counts, np.int64)
+    va = np.asarray(lm.vocab, dtype=object)
+    uni = np.asarray(lm.uni_counts, np.int64)
+    bkeys = np.asarray(lm.bigram_keys, np.int64)
+    bcnts = np.asarray(lm.bigram_counts, np.int64)
     model_ref = ray.put((va, uni, bkeys, bcnts, lm.total_tokens, lm.alpha))
     schema = pa.schema(
         [("doc_id", pa.int64()), ("n_tokens", pa.int64()), ("nll_e6", pa.int64())]
@@ -202,7 +199,11 @@ def score_docs_nll(docs_ds, lm: BigramLM, col: str = "text"):
         n_docs = len(texts)
         out_nll = np.zeros(n_docs, np.float64)
         if len(ids):
-            ucnt = np.where(ids < V, uni[np.minimum(ids, V - 1)], 0)
+            ucnt = (
+                np.where(ids < V, uni[np.minimum(ids, V - 1)], 0)
+                if V
+                else np.zeros(len(ids), np.int64)
+            )
             p_u = (ucnt + 1.0) / (total + V + 1.0)
             doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
             # bigram probabilities for within-doc adjacencies
@@ -214,7 +215,11 @@ def score_docs_nll(docs_ds, lm: BigramLM, col: str = "text"):
             cb = np.where(
                 (len(bkeys) > 0) & (bkeys[pos] == key) & (b < V), bcnts[pos], 0
             ) if len(bkeys) else np.zeros(len(key), np.int64)
-            ua = np.where(a < V, uni[np.minimum(a, V - 1)], 0)
+            ua = (
+                np.where(a < V, uni[np.minimum(a, V - 1)], 0)
+                if V
+                else np.zeros(len(a), np.int64)
+            )
             p_bi = np.where(
                 a < V, (cb + alpha * p_u[1:]) / (ua + alpha), p_u[1:]
             )
@@ -224,11 +229,14 @@ def score_docs_nll(docs_ds, lm: BigramLM, col: str = "text"):
             nll_tok[soffs[has]] = -np.log2(p_u[soffs[has]])  # doc-first tokens
             inner = same  # positions i+1 inside the same doc
             nll_tok[1:][inner] = -np.log2(p_bi[inner])
-            # per-doc sums via prefix-sum differences: empty docs make
-            # reduceat indices non-increasing (its clamp silently
-            # truncated the PRECEDING doc's segment)
-            csum = np.concatenate([[0.0], np.cumsum(nll_tok)])
-            sums = csum[soffs + lens] - csum[soffs]
+            # per-doc-LOCAL sums (reduceat over the non-empty docs'
+            # start offsets, strictly increasing by construction): a
+            # batch-wide prefix sum would couple each doc's float sum
+            # to the docs before it in the batch, breaking the
+            # partition-invariance guarantee at rounding boundaries
+            sums = np.zeros(n_docs, np.float64)
+            if has.any():
+                sums[has] = np.add.reduceat(nll_tok, soffs[has])
             out_nll = sums / np.maximum(lens, 1)
         return pa.table(
             {

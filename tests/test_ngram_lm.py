@@ -91,6 +91,35 @@ def test_training_partition_invariant(ray_session):
     assert a == b
 
 
+def test_empty_vocab_scores_all_unk(ray_session):
+    # a token-free trusted corpus trains an empty model; scoring must
+    # treat every token as <unk> (not IndexError inside a Ray task)
+    lm = train_bigram_lm(_ds(["", "   "]), max_vocab=10, max_bigrams=10)
+    assert len(lm.vocab) == 0
+    got = score_docs_nll(_ds(["some text here"]), lm).to_pandas()
+    n, nll = score_nll_scalar(lm, "some text here")
+    assert got["n_tokens"][0] == n == 3
+    assert got["nll_e6"][0] == round(nll * 1_000_000)
+
+
+def test_scoring_partition_invariant(ray_session):
+    # per-doc sums are segment-local: a doc's nll must not depend on
+    # which other docs share its batch
+    corpus = _english_ish(seed=5, n=60)
+    lm = train_bigram_lm(_ds(corpus), max_vocab=500, max_bigrams=5000)
+    probes = corpus[:30] + ["", "the cat", "zzz unseen"]
+    a = (
+        score_docs_nll(_ds(probes, blocks=1), lm)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    b = (
+        score_docs_nll(_ds(probes, blocks=11), lm)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert (a["nll_e6"] == b["nll_e6"]).all()
+    assert (a["n_tokens"] == b["n_tokens"]).all()
+
+
 def test_caps_keep_the_head(ray_session):
     corpus = _english_ish(seed=21)
     full = train_bigram_lm(_ds(corpus), max_vocab=1000, max_bigrams=100_000)
@@ -100,5 +129,4 @@ def test_caps_keep_the_head(ray_session):
         zip(full.bigram_counts, [-k for k in full.bigram_keys]), reverse=True
     )[:5]
     want = sorted(-k for _, k in pairs)
-    want = sorted([-k for _, k in pairs])
     assert sorted(capped.bigram_keys) == sorted(want)
