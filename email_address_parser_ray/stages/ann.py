@@ -858,6 +858,143 @@ def embedding_retract_pairs(old_pairs_ds, removed_ids_ds):
 
 
 # ---------------------------------------------------------------------------
+# SemDeDup: k-means cells → per-cell cosine duplicate groups → keep rule
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_MAX_CELL_ROWS = 100_000  # per-cell O(n_c^2) guard — raise k instead
+
+
+def semantic_dedup(
+    embeddings_ds,
+    k: int = 8,
+    iters: int = 2,
+    eps: float = 0.03,
+    sample_mod: Optional[int] = None,
+    max_cell_rows: int = SEMDEDUP_MAX_CELL_ROWS,
+):
+    """SemDeDup semantic deduplication (Abbas et al. 2023, "SemDeDup:
+    Data-efficient learning at web-scale through semantic
+    deduplication", arXiv:2303.09540): k-means the embedding space,
+    call two vectors semantic duplicates when their cosine similarity
+    INSIDE a cluster is >= 1 - eps, and keep exactly ONE
+    representative per duplicate group — the member with the LOWEST
+    cosine similarity to its cluster centroid (the paper's
+    best-performing keep rule), ties to the smallest vec_id.
+
+    Distributed shape (the paper's own scale argument): the fit is the
+    integer-exact Lloyd of ``stages/kmeans.py`` (centroids broadcast,
+    tree-folded partials), and the ONLY all-to-all exchange is one
+    shuffle of the vectors partitioned by cell
+    (``groupby(cell).map_groups``); each cell then runs one local
+    block matmul plus the ``minlabel_components`` pointer-jumping
+    kernel.  O(n_c^2) inside a cell is the algorithm's intended cost
+    — ``max_cell_rows`` guards it (the engine's unguarded-O(n^2)
+    policy: raise with "increase k", never silently degrade).
+    Duplicate groups never span cells BY CONSTRUCTION — a documented
+    property of the algorithm, not an approximation this engine adds.
+    At 10^12 rows, build the cell layout once with ``ivf_build`` and
+    run the per-cell step over each cell's parquet files.
+
+    Determinism: cell assignment is a pure function of (vector, fitted
+    centroids) and the fit is partition-invariant; per-pair cosines
+    and per-vector centroid cosines are pure float64 functions of the
+    float32 inputs with no batch-order coupling (each cell is always
+    processed whole).  The result is therefore partition-invariant
+    (pytest-pinned).
+
+    Returns one row per input vector: (vec_id, cell, cent_sim_e6,
+    keep) with cent_sim_e6 = floor(cos(v, centroid) * 1e6).  Corpus
+    drop rate = 1 - mean(keep)."""
+    import ray
+
+    from .clustering import minlabel_components
+    from .kmeans import GRID, _assign_cells, kmeans_fit
+
+    cents_e6 = np.asarray(
+        kmeans_fit(embeddings_ds, k=k, iters=iters, sample_mod=sample_mod),
+        np.int64,
+    )
+    cent_ref = ray.put(cents_e6)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "cell": pa.array([], pa.int64()),
+                    "cent_sim_e6": pa.array([], pa.int64()),
+                    "embedding": batch["embedding"],
+                }
+            )
+        ce6 = ray.get(cent_ref)
+        cents = ce6.astype(np.float64) / GRID
+        m = _batch_matrix(batch)
+        cell = _assign_cells(m, cents).astype(np.int64)
+        sim = (_normalize(m) * _normalize(cents)[cell]).sum(axis=1)
+        return pa.table(
+            {
+                "vec_id": pa.compute.cast(batch["vec_id"], pa.int64()),
+                "cell": pa.array(cell, pa.int64()),
+                "cent_sim_e6": pa.array(
+                    np.floor(sim * 1_000_000.0).astype(np.int64), pa.int64()
+                ),
+                "embedding": batch["embedding"],
+            }
+        )
+
+    out_schema = pa.schema(
+        [
+            ("vec_id", pa.int64()),
+            ("cell", pa.int64()),
+            ("cent_sim_e6", pa.int64()),
+            ("keep", pa.bool_()),
+        ]
+    )
+    thr = 1.0 - eps
+
+    def cell_dedup(df: pd.DataFrame) -> pa.Table:
+        n = len(df)
+        if n == 0:
+            return out_schema.empty_table()
+        if n > max_cell_rows:
+            raise ValueError(
+                f"semantic_dedup cell has {n} rows > max_cell_rows="
+                f"{max_cell_rows}; the per-cell step is O(n_c^2) by design "
+                f"— increase k so cells shrink (or raise max_cell_rows "
+                f"deliberately)"
+            )
+        ids = df["vec_id"].to_numpy().astype(np.int64)
+        sims_c = df["cent_sim_e6"].to_numpy().astype(np.int64)
+        cell_id = np.full(n, int(df["cell"].iloc[0]), np.int64)
+        keep = np.ones(n, bool)
+        if n > 1:
+            mn = _normalize(np.stack(df["embedding"].to_numpy()).astype(np.float64))
+            ia, ib = np.nonzero(np.triu(mn @ mn.T >= thr, k=1))
+            if len(ia):
+                comp = minlabel_components(n, ia, ib)
+                # keep rule: within each duplicate group, the member
+                # with min (cent_sim_e6, vec_id); singletons keep
+                order = np.lexsort((ids, sims_c))  # sim asc, id asc
+                _, first_pos = np.unique(comp[order], return_index=True)
+                keep = np.zeros(n, bool)
+                keep[order[first_pos]] = True
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "cell": pa.array(cell_id, pa.int64()),
+                "cent_sim_e6": pa.array(sims_c, pa.int64()),
+                "keep": pa.array(keep, pa.bool_()),
+            }
+        )
+
+    return (
+        embeddings_ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("cell")
+        .map_groups(cell_dedup, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
 # IVF index layout: k-means cells → cell-partitioned parquet → pruned probe
 # ---------------------------------------------------------------------------
 

@@ -62,22 +62,14 @@ SMALL_CC_LIMIT = 4_000_000
 SMALL_CC_BYTE_LIMIT = 256 * 1024 * 1024
 
 
-def _driver_components(addresses: np.ndarray, ea: np.ndarray, eb: np.ndarray) -> pa.Table:
-    """Union-find on the driver: exact connected components with the same
-    deterministic labeling as the distributed rounds (component label =
-    lexicographic-min member address)."""
-    order = np.sort(np.asarray(addresses, dtype=object))
-    index = pd.Index(order)
-    ca = index.get_indexer(ea)
-    cb = index.get_indexer(eb)
-    ok = (ca >= 0) & (cb >= 0)  # defensive: drop edges outside the node set
-    ca, cb = ca[ok], cb[ok]
-    n = len(order)
-    # vectorized min-label propagation with pointer jumping: each round
-    # relaxes every edge (np.minimum.at) then halves chains (lab[lab]),
-    # converging in O(log n) rounds — ~10ms/round at 1M edges vs seconds
-    # for a per-edge Python union-find loop.  `order` is sorted, so the
-    # min INDEX of a component is its lex-min address.
+def minlabel_components(n: int, ca: np.ndarray, cb: np.ndarray) -> np.ndarray:
+    """Vectorized min-label propagation with pointer jumping over an
+    edge list on integer node ids [0, n): each round relaxes every edge
+    (np.minimum.at) then halves chains (lab[lab]), converging in
+    O(log n) rounds — ~10ms/round at 1M edges vs seconds for a
+    per-edge Python union-find loop.  Returns the component label
+    (min member index) per node.  Shared by the driver CC fold and
+    the per-cell SemDeDup grouping (``ann.semantic_dedup``)."""
     lab = np.arange(n, dtype=np.int64)
     for _ in range(64):  # 2^64 nodes worth of halving — never binds
         new = lab.copy()
@@ -88,6 +80,20 @@ def _driver_components(addresses: np.ndarray, ea: np.ndarray, eb: np.ndarray) ->
         if np.array_equal(new, lab):
             break
         lab = new
+    return lab
+
+
+def _driver_components(addresses: np.ndarray, ea: np.ndarray, eb: np.ndarray) -> pa.Table:
+    """Union-find on the driver: exact connected components with the same
+    deterministic labeling as the distributed rounds (component label =
+    lexicographic-min member address).  `order` is sorted, so the min
+    INDEX of a component is its lex-min address."""
+    order = np.sort(np.asarray(addresses, dtype=object))
+    index = pd.Index(order)
+    ca = index.get_indexer(ea)
+    cb = index.get_indexer(eb)
+    ok = (ca >= 0) & (cb >= 0)  # defensive: drop edges outside the node set
+    lab = minlabel_components(len(order), ca[ok], cb[ok])
     return pa.table(
         {
             "address": pa.array(order, pa.string()),

@@ -168,6 +168,83 @@ def stress_ivf(tiles: int, k: int = 64, nprobe: int = 4) -> None:
     ray.shutdown()
 
 
+def stress_semdedup(tiles: int, k: int = 128) -> None:
+    """SemDeDup at scale: tile the sf0.1 embeddings T times, each tile
+    under its own random ROTATION (rotations preserve within-tile
+    cosine geometry — distinct vectors stay distinct — while
+    decorrelating tiles; an additive shift would make a whole tile
+    near-parallel and degenerate the test), plant a near-identical
+    copy of every 10th vector, and measure the wall plus how many
+    planted duplicate pairs the cluster-then-pairwise pass resolves
+    (exactly one member kept)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from email_address_parser_ray.stages.ann import semantic_dedup
+
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             logging_level="ERROR")
+    src = "/root/testdata/sf0.1/embeddings.parquet"
+    base = pq.read_table(src, columns=["vec_id", "embedding"])
+    n = base.num_rows
+    d = len(base["embedding"][0])
+    m0 = np.asarray(base["embedding"].combine_chunks().flatten()).reshape(n, d)
+    rng = np.random.RandomState(23)
+    mats, ids = [], []
+    dup_of = []  # (orig_id, dup_id) planted pairs
+    next_dup = tiles * n
+    for t in range(tiles):
+        q, _ = np.linalg.qr(rng.normal(size=(d, d)))
+        tm = m0 @ q
+        tid = np.arange(n, dtype=np.int64) + t * n
+        mats.append(tm)
+        ids.append(tid)
+        dm = tm[::10] + rng.normal(scale=1e-3, size=tm[::10].shape)
+        did = np.arange(len(dm), dtype=np.int64) + next_dup
+        next_dup += len(dm)
+        mats.append(dm)
+        ids.append(did)
+        dup_of.extend(zip(tid[::10].tolist(), did.tolist()))
+    all_m = np.concatenate(mats).astype(np.float32)
+    all_id = np.concatenate(ids)
+    emb = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(all_id, pa.int64()),
+                "embedding": pa.array(
+                    list(all_m), pa.list_(pa.float32())
+                ),
+            }
+        )
+    ).repartition(num_cpus * 2).materialize()
+
+    t0 = time.time()
+    df = (
+        semantic_dedup(emb, k=k, iters=2, eps=0.03)
+        .to_pandas()
+        .set_index("vec_id")
+    )
+    wall = round(time.time() - t0, 3)
+    keep = df["keep"]
+    resolved = sum(
+        1 for a, b in dup_of if not (keep.loc[a] and keep.loc[b])
+    )
+    print(json.dumps({
+        "metric": "stress_semdedup", "tiles": tiles, "num_cpus": num_cpus,
+        "vectors": int(len(all_id)), "k_cells": k, "wall_sec": wall,
+        "vectors_per_sec": round(len(all_id) / wall, 1),
+        "dropped": int((~keep).sum()),
+        "planted_pairs": len(dup_of),
+        "planted_resolved_fraction": round(resolved / len(dup_of), 4),
+        "cells_used": int(df["cell"].nunique()),
+    }))
+    ray.shutdown()
+
+
 def stress_pretrain(tiles: int) -> None:
     """The composed pretraining prep end-to-end over a tiled sf0.1
     documents corpus (tiling multiplies exact-dup mass, so every stage
@@ -237,7 +314,8 @@ def stress_pretrain(tiles: int) -> None:
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--family", required=True,
-                    choices=sorted(_SCRIPTED) + ["decontaminate", "ivf", "pretrain"])
+                    choices=sorted(_SCRIPTED)
+                    + ["decontaminate", "ivf", "pretrain", "semdedup"])
     ap.add_argument("args", nargs="*", help="family-specific positional args")
     ns = ap.parse_args()
     if ns.family == "decontaminate":
@@ -248,6 +326,9 @@ def main() -> None:
         return
     if ns.family == "pretrain":
         stress_pretrain(int(ns.args[0]) if ns.args else 4)
+        return
+    if ns.family == "semdedup":
+        stress_semdedup(int(ns.args[0]) if ns.args else 100)
         return
     path = _SCRIPTED[ns.family]
     sys.argv = [path] + ns.args

@@ -1,0 +1,143 @@
+"""SemDeDup semantic dedup: matches a pure-numpy reference end-to-end
+(same integer-grid centroids), keeps exactly one representative per
+planted duplicate group via the lowest-centroid-sim rule, is
+partition-invariant, and the per-cell O(n^2) guard raises."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from email_address_parser_ray.stages.ann import semantic_dedup
+from email_address_parser_ray.stages.kmeans import kmeans_fit
+
+
+def _emb_table(vecs):
+    return pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array(
+                [np.asarray(v, np.float32) for v in vecs],
+                pa.list_(pa.float32()),
+            ),
+        }
+    )
+
+
+def _ds(vecs, blocks=4):
+    import ray.data as rd
+
+    return rd.from_arrow(_emb_table(vecs)).repartition(blocks)
+
+
+def _planted(seed=7, d=16, groups=6, dup_sizes=(3, 3, 2, 1, 1, 1)):
+    """Well-separated base directions; the first few get near-identical
+    copies (semantic duplicates), the rest are singletons."""
+    rng = np.random.RandomState(seed)
+    bases = rng.normal(size=(groups, d))
+    bases /= np.linalg.norm(bases, axis=1, keepdims=True)
+    vecs, gid = [], []
+    for g, sz in enumerate(dup_sizes):
+        for _ in range(sz):
+            v = bases[g] + rng.normal(scale=1e-3, size=d)  # cos ~ 0.999998
+            vecs.append(v.astype(np.float32))
+            gid.append(g)
+    return vecs, np.array(gid)
+
+
+def _norm(m):
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def _ref_semdedup(vecs, cents_e6, eps):
+    """Numpy reference of the whole algorithm given fitted centroids."""
+    M = np.stack([np.asarray(v, np.float32) for v in vecs]).astype(np.float64)
+    cents = np.asarray(cents_e6, np.int64).astype(np.float64) / 1e6
+    d2 = (
+        (M * M).sum(1)[:, None] - 2.0 * (M @ cents.T) + (cents * cents).sum(1)[None, :]
+    )
+    cell = d2.argmin(1)
+    mn_all, cn = _norm(M), _norm(cents)
+    cent_sim_e6 = np.floor((mn_all * cn[cell]).sum(1) * 1e6).astype(np.int64)
+    n = len(vecs)
+    keep = np.ones(n, bool)
+    for c in np.unique(cell):
+        idx = np.where(cell == c)[0]
+        mn = mn_all[idx]
+        adj = (mn @ mn.T) >= 1.0 - eps
+        # components by repeated boolean closure (tiny n)
+        comp = np.arange(len(idx))
+        for _ in range(len(idx)):
+            prev = comp.copy()
+            for i in range(len(idx)):
+                comp[i] = comp[adj[i]].min()
+            if np.array_equal(prev, comp):
+                break
+        for g in np.unique(comp):
+            mem = idx[comp == g]
+            if len(mem) > 1:
+                order = sorted(mem, key=lambda i: (cent_sim_e6[i], i))
+                keep[order[1:]] = False
+    return cell, cent_sim_e6, keep
+
+
+def test_matches_numpy_reference(ray_session):
+    vecs, _ = _planted()
+    cents = kmeans_fit(_ds(vecs), k=4, iters=2)
+    cell_r, sim_r, keep_r = _ref_semdedup(vecs, cents, eps=0.03)
+    got = (
+        semantic_dedup(_ds(vecs), k=4, iters=2, eps=0.03)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert (got["cell"].to_numpy() == cell_r).all()
+    assert (got["cent_sim_e6"].to_numpy() == sim_r).all()
+    assert (got["keep"].to_numpy() == keep_r).all()
+
+
+def test_drops_planted_duplicates_keeps_singletons(ray_session):
+    vecs, gid = _planted()
+    # k=2: cells coarser than the planted groups, so no duplicate group
+    # straddles a cell boundary (at k>=3 this seed splits group 0 across
+    # two cells and both halves keep a member — the documented
+    # duplicates-don't-span-cells property, not a bug)
+    got = (
+        semantic_dedup(_ds(vecs), k=2, iters=2, eps=0.03)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    # one survivor per planted group (groups are far apart: cosine of
+    # distinct random directions in d=16 is << 1-eps)
+    for g in np.unique(gid):
+        assert got["keep"][gid == g].sum() == 1, g
+    # and the survivor of each multi-member group has the group's
+    # lowest (cent_sim_e6, vec_id)
+    for g in np.unique(gid):
+        mem = np.where(gid == g)[0]
+        if len(mem) > 1:
+            kept = mem[got["keep"][mem].to_numpy()][0]
+            best = min(mem, key=lambda i: (got["cent_sim_e6"][i], i))
+            assert kept == best
+
+
+def test_partition_invariant(ray_session):
+    vecs, _ = _planted(seed=11, dup_sizes=(4, 2, 2, 1, 1, 1))
+    a = (
+        semantic_dedup(_ds(vecs, blocks=1), k=3, iters=2)
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    b = (
+        semantic_dedup(_ds(vecs, blocks=7), k=3, iters=2)
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    for col in ("cell", "cent_sim_e6", "keep"):
+        assert (a[col] == b[col]).all(), col
+
+
+def test_cell_guard_raises(ray_session):
+    vecs, _ = _planted()
+    with pytest.raises(Exception, match="max_cell_rows"):
+        semantic_dedup(_ds(vecs), k=1, iters=1, max_cell_rows=3).materialize()
