@@ -4,6 +4,8 @@ engine's training-data operators exist for, as ONE pipeline:
     raw documents
       → exact dedup            (content-hash, sorted_group_agg fold)
       → near-dedup             (MinHash+LSH clusters, keep min-id rep)
+      → semantic dedup (opt)   (SemDeDup over a caller-supplied
+                                vec_id==doc_id embedding table)
       → decontamination        (eval n-gram overlap, Bloom path above
                                 the broadcast gate)
       → quality filter         (token count + Gopher top-word ppm)
@@ -81,6 +83,9 @@ def pretrain_prep(
     langs=None,
     quality_lm=None,
     max_nll_e6: int = 0,
+    embeddings_ds=None,
+    semdedup_eps: float = 0.03,
+    semdedup_k: int = 128,
 ):
     """Run the full prep over a (doc_id, text) dataset against an eval
     corpus.  Returns (manifests, counters, bpe_model): the resumable
@@ -112,6 +117,35 @@ def pretrain_prep(
     )
     docs = _semi(docs, reps).materialize()
     counters["after_near_dedup"] = docs.count()
+
+    # 2b. optional SemDeDup semantic dedup stage (Abbas et al. 2023)
+    # when the caller supplies a (vec_id == doc_id, embedding) table:
+    # duplicate groups among the SURVIVING docs resolve to their
+    # lowest-centroid-sim member; docs without an embedding row pass
+    # through untouched (they cannot be semantically compared)
+    if embeddings_ds is not None:
+        from ..stages.ann import semantic_dedup
+        from ..stages.joins import bucketed_semi_join
+
+        ids_as_vec = docs.select_columns(["doc_id"]).map_batches(
+            lambda t: t.rename_columns(["vec_id"]), batch_format="pyarrow"
+        )
+        emb_surv = bucketed_semi_join(
+            embeddings_ds.select_columns(["vec_id", "embedding"]),
+            ids_as_vec,
+            on="vec_id",
+        )
+        sd = semantic_dedup(emb_surv, k=semdedup_k, eps=semdedup_eps)
+        drop_sem = sd.map_batches(
+            lambda t: t.filter(pc.invert(t["keep"]))
+            .select(["vec_id"])
+            .rename_columns(["doc_id"]),
+            batch_format="pyarrow",
+        ).materialize()
+        n_sem = drop_sem.count()
+        counters["semdedup_dropped"] = n_sem
+        docs = _anti_ids(docs, drop_sem, n_sem).materialize()
+        counters["after_semdedup"] = docs.count()
 
     # 3. decontamination — drop flagged docs
     flagged = decontaminate(docs, eval_ds).materialize()
@@ -188,6 +222,8 @@ def pretrain_prep(
             # None means "no language filter ran"
             "langs": list(langs) if langs is not None else None,
             "max_nll_e6": max_nll_e6 if quality_lm is not None else None,
+            "semdedup_eps": semdedup_eps if embeddings_ds is not None else None,
+            "semdedup_k": semdedup_k if embeddings_ds is not None else None,
             "n_partitions": n_partitions,
         },
     }

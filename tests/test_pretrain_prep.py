@@ -117,6 +117,56 @@ def test_pretrain_prep_partition_invariant(ray_session, tmp_path):
     assert outs[1][2].equals(outs[6][2])     # identical packed rows
 
 
+def test_pretrain_prep_semdedup_stage(ray_session, tmp_path):
+    """The optional SemDeDup stage: docs that are textually distinct
+    but embedding-near-identical collapse to one representative; docs
+    without an embedding row pass through untouched."""
+    docs, ev = _corpus()
+    rng = np.random.RandomState(31)
+    d = 16
+    # embeddings ONLY for doc_ids 0..30 (the rest have none and must
+    # pass through); docs 10/11/12 are textually distinct but get
+    # near-identical vectors — a planted semantic-duplicate trio
+    ids = list(range(31))
+    vecs = rng.normal(size=(len(ids), d))
+    base = rng.normal(size=d)
+    for i in (10, 11, 12):
+        vecs[i] = base + rng.normal(scale=1e-3, size=d)
+    import ray.data as rd
+
+    emb = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(
+                    [v.astype(np.float32) for v in vecs], pa.list_(pa.float32())
+                ),
+            }
+        )
+    ).repartition(3)
+    out = str(tmp_path / "exp_sem")
+    _, counters, _ = pretrain_prep(
+        _ds(docs, 4), _ds(ev, 1), out, num_merges=25, cap=64,
+        embeddings_ds=emb, semdedup_k=2, semdedup_eps=0.03,
+    )
+    assert counters["semdedup_dropped"] == 2  # trio keeps one member
+    assert (
+        counters["after_semdedup"] == counters["after_near_dedup"] - 2
+    )
+    assert counters["exported_rows"] == counters["packed_docs"]
+    lineage = json.load(open(os.path.join(out, "lineage.json")))
+    assert lineage["params"]["semdedup_eps"] == 0.03
+    assert lineage["params"]["semdedup_k"] == 2
+    # without the embeddings the stage does not run at all
+    out2 = str(tmp_path / "exp_nosem")
+    _, c2, _ = pretrain_prep(
+        _ds(docs, 4), _ds(ev, 1), out2, num_merges=25, cap=64
+    )
+    assert "semdedup_dropped" not in c2
+    lineage2 = json.load(open(os.path.join(out2, "lineage.json")))
+    assert lineage2["params"]["semdedup_eps"] is None
+
+
 def test_pretrain_prep_lm_filter(ray_session, tmp_path):
     """The optional CCNet-style LM gate: gibberish docs exceed the nll
     budget and drop; clean docs survive; counters account for it."""
