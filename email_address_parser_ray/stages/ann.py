@@ -863,6 +863,35 @@ def embedding_retract_pairs(old_pairs_ds, removed_ids_ds):
 
 SEMDEDUP_MAX_CELL_ROWS = 100_000  # per-cell O(n_c^2) guard — raise k instead
 
+_SEMDEDUP_SCHEMA = pa.schema(
+    [
+        ("vec_id", pa.int64()),
+        ("cell", pa.int64()),
+        ("cent_sim_e6", pa.int64()),
+        ("keep", pa.bool_()),
+    ]
+)
+
+
+def _semdedup_resolve(ids, sims_c, mn, thr: float):
+    """Keep mask for ONE cell: pairwise-cosine duplicate groups via
+    ``minlabel_components``, keep the (cent_sim_e6, vec_id)-min member
+    per group.  Shared by the in-memory and the persisted-IVF paths —
+    their semantics must stay identical."""
+    from .clustering import minlabel_components
+
+    n = len(ids)
+    keep = np.ones(n, bool)
+    if n > 1:
+        ia, ib = np.nonzero(np.triu(mn @ mn.T >= thr, k=1))
+        if len(ia):
+            comp = minlabel_components(n, ia, ib)
+            order = np.lexsort((ids, sims_c))  # sim asc, id asc
+            _, first_pos = np.unique(comp[order], return_index=True)
+            keep = np.zeros(n, bool)
+            keep[order[first_pos]] = True
+    return keep
+
 
 def semantic_dedup(
     embeddings_ds,
@@ -907,7 +936,6 @@ def semantic_dedup(
     drop rate = 1 - mean(keep)."""
     import ray
 
-    from .clustering import minlabel_components
     from .kmeans import GRID, _assign_cells, kmeans_fit
 
     cents_e6 = np.asarray(
@@ -942,20 +970,12 @@ def semantic_dedup(
             }
         )
 
-    out_schema = pa.schema(
-        [
-            ("vec_id", pa.int64()),
-            ("cell", pa.int64()),
-            ("cent_sim_e6", pa.int64()),
-            ("keep", pa.bool_()),
-        ]
-    )
     thr = 1.0 - eps
 
     def cell_dedup(df: pd.DataFrame) -> pa.Table:
         n = len(df)
         if n == 0:
-            return out_schema.empty_table()
+            return _SEMDEDUP_SCHEMA.empty_table()
         if n > max_cell_rows:
             raise ValueError(
                 f"semantic_dedup cell has {n} rows > max_cell_rows="
@@ -966,18 +986,11 @@ def semantic_dedup(
         ids = df["vec_id"].to_numpy().astype(np.int64)
         sims_c = df["cent_sim_e6"].to_numpy().astype(np.int64)
         cell_id = np.full(n, int(df["cell"].iloc[0]), np.int64)
-        keep = np.ones(n, bool)
         if n > 1:
             mn = _normalize(np.stack(df["embedding"].to_numpy()).astype(np.float64))
-            ia, ib = np.nonzero(np.triu(mn @ mn.T >= thr, k=1))
-            if len(ia):
-                comp = minlabel_components(n, ia, ib)
-                # keep rule: within each duplicate group, the member
-                # with min (cent_sim_e6, vec_id); singletons keep
-                order = np.lexsort((ids, sims_c))  # sim asc, id asc
-                _, first_pos = np.unique(comp[order], return_index=True)
-                keep = np.zeros(n, bool)
-                keep[order[first_pos]] = True
+            keep = _semdedup_resolve(ids, sims_c, mn, thr)
+        else:
+            keep = np.ones(n, bool)
         return pa.table(
             {
                 "vec_id": pa.array(ids, pa.int64()),
@@ -991,6 +1004,94 @@ def semantic_dedup(
         embeddings_ds.map_batches(tag, batch_format="pyarrow")
         .groupby("cell")
         .map_groups(cell_dedup, batch_format="pandas")
+    )
+
+
+def semantic_dedup_ivf(
+    index_dir: str,
+    eps: float = 0.03,
+    max_cell_rows: int = SEMDEDUP_MAX_CELL_ROWS,
+):
+    """SemDeDup over an already-PERSISTED IVF layout (``ivf_build``):
+    the shuffle-free variant.  The layout's ``cell=K/`` directories
+    ARE the cluster partitioning, so this pass is an embarrassingly
+    parallel map — one task per cell, each reading only its own
+    cell's parquet fragments (column-pruned to vec_id + embedding)
+    and resolving duplicate groups with the SAME kernel as
+    ``semantic_dedup`` (``_semdedup_resolve``; centroid sims come
+    from the persisted ``centroids.json``).  No k-means refit, no
+    vector exchange: at 100 TB this turns semantic dedup into a
+    read-compute-write pass over an index that similarity search
+    already paid for.  Output rows are identical to
+    ``semantic_dedup`` run with the same fitted centroids
+    (pytest-pinned)."""
+    import glob
+    import json
+    import os
+
+    import ray
+    import ray.data as rd
+
+    from .kmeans import GRID
+
+    with open(os.path.join(index_dir, "centroids.json")) as f:
+        cents_e6 = np.asarray(json.load(f)["cents_e6"], np.int64)
+    cn_ref = ray.put(_normalize(cents_e6.astype(np.float64) / GRID))
+    cells = sorted(
+        int(os.path.basename(p).split("=")[1])
+        for p in glob.glob(os.path.join(index_dir, "cell=*"))
+        if os.path.isdir(p)
+    )
+    thr = 1.0 - eps
+
+    def run_cells(batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        out = []
+        for c in batch["cell"].to_pylist():
+            files = sorted(
+                glob.glob(os.path.join(index_dir, f"cell={c}", "*.parquet"))
+            )
+            if not files:
+                continue  # empty cell: manifest-only directory
+            t = pa.concat_tables(
+                [pq.read_table(f, columns=["vec_id", "embedding"]) for f in files]
+            )
+            n = t.num_rows
+            if n == 0:
+                continue
+            if n > max_cell_rows:
+                raise ValueError(
+                    f"semantic_dedup_ivf cell {c} has {n} rows > "
+                    f"max_cell_rows={max_cell_rows}; rebuild the index "
+                    f"with more cells (or raise max_cell_rows deliberately)"
+                )
+            ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            mn = _normalize(_batch_matrix(t))
+            sims_c = np.floor(
+                (mn * ray.get(cn_ref)[c]).sum(axis=1) * 1_000_000.0
+            ).astype(np.int64)
+            keep = (
+                _semdedup_resolve(ids, sims_c, mn, thr)
+                if n > 1
+                else np.ones(n, bool)
+            )
+            out.append(
+                pa.table(
+                    {
+                        "vec_id": pa.array(ids, pa.int64()),
+                        "cell": pa.array(np.full(n, c, np.int64), pa.int64()),
+                        "cent_sim_e6": pa.array(sims_c, pa.int64()),
+                        "keep": pa.array(keep, pa.bool_()),
+                    }
+                )
+            )
+        if not out:
+            return _SEMDEDUP_SCHEMA.empty_table()
+        return pa.concat_tables(out)
+
+    return rd.from_items([{"cell": c} for c in cells]).map_batches(
+        run_cells, batch_format="pyarrow", batch_size=1
     )
 
 

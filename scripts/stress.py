@@ -233,6 +233,21 @@ def stress_semdedup(tiles: int, k: int = 128) -> None:
     resolved = sum(
         1 for a, b in dup_of if not (keep.loc[a] and keep.loc[b])
     )
+    # the shuffle-free variant over a persisted IVF layout of the same
+    # fit must produce the identical result
+    import shutil
+
+    from email_address_parser_ray.stages.ann import ivf_build, semantic_dedup_ivf
+
+    idx = f"/tmp/eap_ray_cache/stress_semdedup_ivf_x{tiles}"
+    shutil.rmtree(idx, ignore_errors=True)
+    t0 = time.time()
+    ivf_build(emb, idx, k=k, iters=2)
+    build_sec = round(time.time() - t0, 3)
+    t0 = time.time()
+    df_ivf = semantic_dedup_ivf(idx).to_pandas().set_index("vec_id")
+    ivf_sec = round(time.time() - t0, 3)
+    assert df.sort_index().equals(df_ivf.sort_index()), "ivf variant diverges!"
     print(json.dumps({
         "metric": "stress_semdedup", "tiles": tiles, "num_cpus": num_cpus,
         "vectors": int(len(all_id)), "k_cells": k, "wall_sec": wall,
@@ -241,6 +256,9 @@ def stress_semdedup(tiles: int, k: int = 128) -> None:
         "planted_pairs": len(dup_of),
         "planted_resolved_fraction": round(resolved / len(dup_of), 4),
         "cells_used": int(df["cell"].nunique()),
+        "ivf_build_sec": build_sec,
+        "ivf_variant_sec": ivf_sec,
+        "ivf_variant_identical": True,
     }))
     ray.shutdown()
 

@@ -137,6 +137,36 @@ def test_partition_invariant(ray_session):
         assert (a[col] == b[col]).all(), col
 
 
+def test_ivf_variant_matches_inmemory(ray_session, tmp_path):
+    """The shuffle-free persisted-IVF path returns exactly the
+    in-memory result when the index was built with the same fit."""
+    from email_address_parser_ray.stages.ann import ivf_build, semantic_dedup_ivf
+
+    vecs, _ = _planted(seed=13, dup_sizes=(3, 2, 2, 1, 1, 1))
+    idx = str(tmp_path / "ivf")
+    ivf_build(_ds(vecs), idx, k=3, iters=2)
+    a = (
+        semantic_dedup(_ds(vecs), k=3, iters=2, eps=0.03)
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    b = (
+        semantic_dedup_ivf(idx, eps=0.03)
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    assert a.equals(b)
+    assert (~b["keep"]).sum() > 0  # the fixture really has duplicates
+
+
+def test_ivf_variant_guard_raises(ray_session, tmp_path):
+    from email_address_parser_ray.stages.ann import ivf_build, semantic_dedup_ivf
+
+    vecs, _ = _planted()
+    idx = str(tmp_path / "ivf_g")
+    ivf_build(_ds(vecs), idx, k=1, iters=1)
+    with pytest.raises(Exception, match="max_cell_rows"):
+        semantic_dedup_ivf(idx, max_cell_rows=3).materialize()
+
+
 def test_cell_guard_raises(ray_session):
     vecs, _ = _planted()
     with pytest.raises(Exception, match="max_cell_rows"):
