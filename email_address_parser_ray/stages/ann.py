@@ -1011,6 +1011,7 @@ def semantic_dedup_ivf(
     index_dir: str,
     eps: float = 0.03,
     max_cell_rows: int = SEMDEDUP_MAX_CELL_ROWS,
+    cells: Optional[List[int]] = None,
 ):
     """SemDeDup over an already-PERSISTED IVF layout (``ivf_build``):
     the shuffle-free variant.  The layout's ``cell=K/`` directories
@@ -1024,7 +1025,8 @@ def semantic_dedup_ivf(
     read-compute-write pass over an index that similarity search
     already paid for.  Output rows are identical to
     ``semantic_dedup`` run with the same fitted centroids
-    (pytest-pinned)."""
+    (pytest-pinned).  ``cells`` restricts the pass to a subset of
+    cell ids (the incremental path re-resolves only touched cells)."""
     import glob
     import json
     import os
@@ -1037,11 +1039,18 @@ def semantic_dedup_ivf(
     with open(os.path.join(index_dir, "centroids.json")) as f:
         cents_e6 = np.asarray(json.load(f)["cents_e6"], np.int64)
     cn_ref = ray.put(_normalize(cents_e6.astype(np.float64) / GRID))
-    cells = sorted(
-        int(os.path.basename(p).split("=")[1])
-        for p in glob.glob(os.path.join(index_dir, "cell=*"))
-        if os.path.isdir(p)
-    )
+    if cells is None:
+        cells = sorted(
+            int(os.path.basename(p).split("=")[1])
+            for p in glob.glob(os.path.join(index_dir, "cell=*"))
+            if os.path.isdir(p)
+        )
+    else:
+        cells = sorted(int(c) for c in cells)
+    if not cells:
+        return rd.range(1).map_batches(
+            lambda _t: _SEMDEDUP_SCHEMA.empty_table(), batch_format="pyarrow"
+        )
     thr = 1.0 - eps
 
     def run_cells(batch: pa.Table) -> pa.Table:
@@ -1054,9 +1063,15 @@ def semantic_dedup_ivf(
             )
             if not files:
                 continue  # empty cell: manifest-only directory
-            t = pa.concat_tables(
-                [pq.read_table(f, columns=["vec_id", "embedding"]) for f in files]
-            )
+            parts = [pq.read_table(f, columns=["vec_id", "embedding"]) for f in files]
+            # fragments written by different producers can disagree on
+            # the list child FIELD NAME (parquet "element" vs Arrow
+            # "item") — same storage, concat_tables still refuses
+            parts = [
+                p if p.schema.equals(parts[0].schema) else p.cast(parts[0].schema)
+                for p in parts
+            ]
+            t = pa.concat_tables(parts)
             n = t.num_rows
             if n == 0:
                 continue
@@ -1093,6 +1108,56 @@ def semantic_dedup_ivf(
     return rd.from_items([{"cell": c} for c in cells]).map_batches(
         run_cells, batch_format="pyarrow", batch_size=1
     )
+
+
+def semantic_dedup_ivf_add(
+    embeddings_ds,
+    index_dir: str,
+    add_tag: str,
+    prev_result_ds,
+    eps: float = 0.03,
+    max_cell_rows: int = SEMDEDUP_MAX_CELL_ROWS,
+):
+    """INCREMENTAL SemDeDup on a persisted IVF layout (the add/retract
+    family's delta discipline): grow the index with ``ivf_add`` (new
+    vectors assign to the FROZEN centroids, idempotent per tag), then
+    re-resolve ONLY the cells the add touched; every untouched cell's
+    rows carry forward from ``prev_result_ds`` unchanged — their input
+    fragments are bit-identical, so recomputing them would produce the
+    identical rows (add==fresh pinned in pytest).  At a 1/16-new delta
+    this suppresses the per-cell O(n_c^2) work of every cold cell.
+
+    Returns the full refreshed (vec_id, cell, cent_sim_e6, keep)
+    result for the GROWN index."""
+    import glob
+    import os
+
+    ivf_add(embeddings_ds, index_dir, add_tag)  # idempotent per tag
+    # published fragments keep the tag in their name — the touched-cell
+    # set survives crashes and retries
+    touched = sorted(
+        {
+            int(p.split("cell=")[1].split(os.sep)[0])
+            for p in glob.glob(
+                os.path.join(index_dir, "cell=*", f"add-{add_tag}-*.parquet")
+            )
+        }
+    )
+    if not touched:  # the add contributed no rows — previous result stands
+        return prev_result_ds
+    fresh = semantic_dedup_ivf(
+        index_dir, eps=eps, max_cell_rows=max_cell_rows, cells=touched
+    )
+    touched_arr = pa.array(touched, pa.int64())
+
+    def keep_untouched(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.invert(pc.is_in(t["cell"], value_set=touched_arr)))
+
+    return prev_result_ds.map_batches(
+        keep_untouched, batch_format="pyarrow"
+    ).union(fresh)
 
 
 # ---------------------------------------------------------------------------
@@ -1282,11 +1347,22 @@ def ivf_add(embeddings_ds, index_dir: str, add_tag: str):
         stage = os.path.join(index_dir, f".add_{add_tag}")
         shutil.rmtree(stage, ignore_errors=True)  # crashed attempt: rebuild
         cent_ref = ray.put(cents_e6)
+        # pin new fragments to the live fragments' schema: Arrow list
+        # child field names differ by producer (parquet "element" vs
+        # Arrow "item"), and a mixed index breaks concat-based readers
+        live_frags = glob.glob(os.path.join(index_dir, "cell=*", "*.parquet"))
+        live_schema = (
+            pq.ParquetFile(live_frags[0]).schema_arrow.remove_metadata()
+            if live_frags
+            else None
+        )
 
         def add_cell(batch: pa.Table) -> pa.Table:
             ce6 = ray.get(cent_ref)
             m = _batch_matrix(batch)
             cell = _assign_cells(m, ce6.astype(np.float64) / GRID).astype(np.int64)
+            if live_schema is not None:
+                batch = batch.select(live_schema.names).cast(live_schema)
             return batch.append_column("cell", pa.array(cell, pa.int64()))
 
         embeddings_ds.map_batches(add_cell, batch_format="pyarrow").write_parquet(

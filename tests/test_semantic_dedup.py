@@ -157,6 +157,85 @@ def test_ivf_variant_matches_inmemory(ray_session, tmp_path):
     assert (~b["keep"]).sum() > 0  # the fixture really has duplicates
 
 
+def test_ivf_incremental_add_matches_fresh(ray_session, tmp_path):
+    """Incremental add re-resolves only touched cells and equals the
+    fresh full resolve on the grown index."""
+    import ray.data as rd
+
+    from email_address_parser_ray.stages.ann import (
+        ivf_build,
+        semantic_dedup_ivf,
+        semantic_dedup_ivf_add,
+    )
+
+    vecs, _ = _planted(seed=29, dup_sizes=(3, 2, 2, 1, 1, 1))
+    base, delta_vecs = vecs[:7], vecs[7:]
+    idx = str(tmp_path / "ivf_inc")
+    ivf_build(_ds(base), idx, k=3, iters=2)
+    prev = semantic_dedup_ivf(idx).materialize()
+    delta = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(7, 7 + len(delta_vecs)), pa.int64()),
+                "embedding": pa.array(
+                    [np.asarray(v, np.float32) for v in delta_vecs],
+                    pa.list_(pa.float32()),
+                ),
+            }
+        )
+    )
+    inc = (
+        semantic_dedup_ivf_add(delta, idx, "t1", prev)
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    fresh = (
+        semantic_dedup_ivf(idx)
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    assert inc.equals(fresh)
+    assert len(inc) == len(vecs)
+    # a retried add with the same tag is a no-op and still matches
+    inc2 = (
+        semantic_dedup_ivf_add(delta, idx, "t1", prev)
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    assert inc2.equals(fresh)
+
+
+def test_ivf_add_mixed_producer_schema(ray_session, tmp_path):
+    """An index built from parquet (list child field "element") grown
+    with a Ray-rebuilt delta (child field "item") must stay readable:
+    ivf_add pins new fragments to the live schema."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from email_address_parser_ray.stages.ann import (
+        ivf_build,
+        semantic_dedup_ivf,
+        semantic_dedup_ivf_add,
+    )
+
+    vecs, _ = _planted(seed=41)
+    src = str(tmp_path / "src.parquet")
+    # parquet round-trip renames the list child to "element"
+    pq.write_table(_emb_table(vecs[:7]), src)
+    idx = str(tmp_path / "ivf_mixed")
+    ivf_build(rd.read_parquet(src), idx, k=2, iters=1)
+    prev = semantic_dedup_ivf(idx).materialize()
+    # a Ray row-filter rebuilds blocks with the Arrow-default "item"
+    delta = _ds(vecs, blocks=2).filter(lambda r: r["vec_id"] >= 7)
+    inc = (
+        semantic_dedup_ivf_add(delta, idx, "mix", prev)
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    fresh = (
+        semantic_dedup_ivf(idx)
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    assert inc.equals(fresh)
+    assert len(inc) == len(vecs)
+
+
 def test_ivf_variant_guard_raises(ray_session, tmp_path):
     from email_address_parser_ray.stages.ann import ivf_build, semantic_dedup_ivf
 
