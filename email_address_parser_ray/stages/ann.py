@@ -1406,3 +1406,203 @@ def ivf_add(embeddings_ds, index_dir: str, add_tag: str):
         with open(os.path.join(index_dir, f"cell={c}", "manifest.json")) as f:
             out.append(json.load(f))
     return out
+
+
+IVF_RETRACT_BROADCAST_ROWS = 2_000_000  # removed-id broadcast gate
+
+
+def ivf_retract(removed_ids_ds, index_dir: str, retract_tag: str):
+    """RETRACTION from a persisted IVF index (right-to-be-forgotten,
+    the add/retract family's discipline): drop the removed vec_ids
+    from every cell that holds one, rewriting ONLY touched cells.
+
+    Shape: the removed-id set broadcasts once (retraction sets are
+    small by nature; above ``IVF_RETRACT_BROADCAST_ROWS`` this raises
+    — at that volume rebuild the index); touched cells are found by a
+    distributed column-pruned vec_id scan (one task per cell, nothing
+    else read); each touched cell is rewritten by one task into a
+    staged consolidated fragment.
+
+    Crash safety is a per-cell directory SWAP: the staged dir replaces
+    the live dir via two renames with a ``.pre-<tag>`` intermediate;
+    a rerun first heals half-finished swaps (live missing → rename
+    back; live present → drop the leftover), so no crash point loses
+    rows.  Idempotent per ``retract_tag`` (marker file).  Returns the
+    refreshed per-cell manifests."""
+    import glob
+    import json
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    marker = os.path.join(index_dir, f"retract_{retract_tag}.done")
+    k = len(json.load(open(os.path.join(index_dir, "centroids.json")))["cents_e6"])
+
+    def manifests():
+        out = []
+        for c in range(k):
+            with open(os.path.join(index_dir, f"cell={c}", "manifest.json")) as f:
+                out.append(json.load(f))
+        return out
+
+    # heal half-finished swaps from a crashed attempt (any tag)
+    for leftover in glob.glob(os.path.join(index_dir, "cell=*.pre-*")):
+        live = leftover.rsplit(".pre-", 1)[0]
+        if os.path.isdir(live):
+            shutil.rmtree(leftover)  # swap completed — drop the old copy
+        else:
+            os.rename(leftover, live)  # swap half-done — restore the old
+    if os.path.exists(marker):
+        return manifests()
+
+    n_rem = removed_ids_ds.count()
+    if n_rem > IVF_RETRACT_BROADCAST_ROWS:
+        raise ValueError(
+            f"ivf_retract: {n_rem} removed ids > broadcast gate "
+            f"{IVF_RETRACT_BROADCAST_ROWS}; at this volume rebuild the "
+            f"index with ivf_build instead"
+        )
+    parts = []
+    for r in removed_ids_ds.select_columns(["vec_id"]).to_arrow_refs():
+        t = ray.get(r)
+        if "vec_id" in t.schema.names and t.num_rows:
+            parts.append(t["vec_id"].to_numpy(zero_copy_only=False))
+    rem = (
+        np.unique(np.concatenate(parts).astype(np.int64))
+        if parts
+        else np.zeros(0, np.int64)
+    )
+    if not len(rem):
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"touched": []}, f)
+        os.replace(tmp, marker)
+        return manifests()
+    rem_ref = ray.put(rem)
+    stage = os.path.join(index_dir, f".retract_{retract_tag}")
+    shutil.rmtree(stage, ignore_errors=True)
+    cells = sorted(
+        int(os.path.basename(p).split("=")[1])
+        for p in glob.glob(os.path.join(index_dir, "cell=*"))
+        if os.path.isdir(p) and "pre-" not in os.path.basename(p)
+    )
+
+    def rewrite(batch: pa.Table) -> pa.Table:
+        """One task per cell: column-pruned touch scan, full rewrite
+        only when the cell actually holds a removed id."""
+        out_c, out_touched = [], []
+        rset = ray.get(rem_ref)
+        for c in batch["cell"].to_pylist():
+            files = sorted(
+                glob.glob(os.path.join(index_dir, f"cell={c}", "*.parquet"))
+            )
+            touched = False
+            if files:
+                ids = np.concatenate(
+                    [
+                        pq.read_table(f, columns=["vec_id"])["vec_id"]
+                        .to_numpy(zero_copy_only=False)
+                        .astype(np.int64)
+                        for f in files
+                    ]
+                )
+                if np.isin(ids, rset).any():
+                    touched = True
+                    frag_parts = [pq.read_table(f) for f in files]
+                    frag_parts = [
+                        p
+                        if p.schema.equals(frag_parts[0].schema)
+                        else p.cast(frag_parts[0].schema)
+                        for p in frag_parts
+                    ]
+                    t = pa.concat_tables(frag_parts)
+                    keep = ~np.isin(
+                        t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+                        rset,
+                    )
+                    kept = t.filter(pa.array(keep))
+                    cdir = os.path.join(stage, f"cell={c}")
+                    os.makedirs(cdir, exist_ok=True)
+                    if kept.num_rows:
+                        pq.write_table(
+                            kept,
+                            os.path.join(
+                                cdir, f"retract-{retract_tag}-0.parquet"
+                            ),
+                        )
+                    with open(os.path.join(cdir, "manifest.json"), "w") as f:
+                        json.dump({"cell": c, "rows": kept.num_rows}, f)
+            out_c.append(c)
+            out_touched.append(touched)
+        return pa.table(
+            {
+                "cell": pa.array(out_c, pa.int64()),
+                "touched": pa.array(out_touched, pa.bool_()),
+            }
+        )
+
+    scan = (
+        rd.from_items([{"cell": c} for c in cells])
+        .map_batches(rewrite, batch_format="pyarrow", batch_size=1)
+        .to_pandas()
+    )
+    touched_cells = sorted(scan[scan["touched"]]["cell"].astype(int).tolist())
+    # publish: per-cell two-rename swap (heal logic above covers every
+    # crash point between them)
+    for c in touched_cells:
+        live = os.path.join(index_dir, f"cell={c}")
+        pre = live + f".pre-{retract_tag}"
+        os.rename(live, pre)
+        os.rename(os.path.join(stage, f"cell={c}"), live)
+        shutil.rmtree(pre)
+    shutil.rmtree(stage, ignore_errors=True)
+    # the marker records WHICH cells changed — retries of downstream
+    # incremental consumers need it after the manifests stop moving
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"touched": touched_cells}, f)
+    os.replace(tmp, marker)
+    return manifests()
+
+
+def semantic_dedup_ivf_retract(
+    removed_ids_ds,
+    index_dir: str,
+    retract_tag: str,
+    prev_result_ds,
+    eps: float = 0.03,
+    max_cell_rows: int = SEMDEDUP_MAX_CELL_ROWS,
+):
+    """Incremental SemDeDup RETRACTION on a persisted IVF layout:
+    ``ivf_retract`` drops the removed vectors (rewriting only touched
+    cells), then ONLY those cells re-resolve — retracting a duplicate
+    group's kept member promotes the group's next (cent_sim_e6,
+    vec_id)-min member, exactly as a fresh resolve would
+    (retract(add(X)) == never-added, pinned).  Untouched cells' rows
+    carry forward from ``prev_result_ds``."""
+    import json
+    import os
+
+    ivf_retract(removed_ids_ds, index_dir, retract_tag)  # idempotent per tag
+    # the marker persists the touched-cell list, so a RETRY (when the
+    # manifests no longer move) still re-resolves the right cells
+    with open(os.path.join(index_dir, f"retract_{retract_tag}.done")) as f:
+        touched = sorted(int(c) for c in json.load(f)["touched"])
+    if not touched:
+        return prev_result_ds
+    fresh = semantic_dedup_ivf(
+        index_dir, eps=eps, max_cell_rows=max_cell_rows, cells=touched
+    )
+    touched_arr = pa.array(touched, pa.int64())
+
+    def keep_untouched(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.invert(pc.is_in(t["cell"], value_set=touched_arr)))
+
+    return prev_result_ds.map_batches(
+        keep_untouched, batch_format="pyarrow"
+    ).union(fresh)

@@ -202,6 +202,87 @@ def test_ivf_incremental_add_matches_fresh(ray_session, tmp_path):
     assert inc2.equals(fresh)
 
 
+def test_ivf_retract_promotes_and_matches_fresh(ray_session, tmp_path):
+    """Retracting a duplicate group's KEPT member promotes the next
+    member, identically to a fresh resolve of the shrunken index."""
+    import ray.data as rd
+
+    from email_address_parser_ray.stages.ann import (
+        ivf_build,
+        semantic_dedup_ivf,
+        semantic_dedup_ivf_retract,
+    )
+
+    vecs, gid = _planted(seed=47)
+    idx = str(tmp_path / "ivf_ret")
+    ivf_build(_ds(vecs), idx, k=2, iters=2)
+    prev = semantic_dedup_ivf(idx).materialize()
+    pdf = prev.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    group0 = np.where(gid == 0)[0]  # a 3-member duplicate group
+    kept0 = int(group0[pdf["keep"][group0].to_numpy()][0])
+    removed = rd.from_arrow(
+        pa.table({"vec_id": pa.array([kept0], pa.int64())})
+    )
+    inc = (
+        semantic_dedup_ivf_retract(removed, idx, "r1", prev)
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    fresh = (
+        semantic_dedup_ivf(idx)
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    assert inc.equals(fresh)
+    assert kept0 not in set(inc["vec_id"])
+    remaining = [i for i in group0 if i != kept0]
+    sub = inc[inc["vec_id"].isin(remaining)]
+    assert sub["keep"].sum() == 1  # the group still keeps exactly one
+    # a retried retract with the same tag is a no-op and still matches
+    inc2 = (
+        semantic_dedup_ivf_retract(removed, idx, "r1", prev)
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    assert inc2.equals(fresh)
+
+
+def test_ivf_add_then_retract_equals_never_added(ray_session, tmp_path):
+    import ray.data as rd
+
+    from email_address_parser_ray.stages.ann import (
+        ivf_build,
+        semantic_dedup_ivf,
+        semantic_dedup_ivf_add,
+        semantic_dedup_ivf_retract,
+    )
+
+    vecs, _ = _planted(seed=53)
+    base, delta_vecs = vecs[:7], vecs[7:]
+    idx = str(tmp_path / "ivf_rt")
+    ivf_build(_ds(base), idx, k=2, iters=2)
+    prev = semantic_dedup_ivf(idx).materialize()
+    base_df = prev.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    delta_ids = list(range(7, 7 + len(delta_vecs)))
+    delta = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(delta_ids, pa.int64()),
+                "embedding": pa.array(
+                    [np.asarray(v, np.float32) for v in delta_vecs],
+                    pa.list_(pa.float32()),
+                ),
+            }
+        )
+    )
+    grown = semantic_dedup_ivf_add(delta, idx, "t1", prev).materialize()
+    removed = rd.from_arrow(
+        pa.table({"vec_id": pa.array(delta_ids, pa.int64())})
+    )
+    back = (
+        semantic_dedup_ivf_retract(removed, idx, "r1", grown)
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    assert back.equals(base_df)  # retract(add(X)) == never-added
+
+
 def test_ivf_add_mixed_producer_schema(ray_session, tmp_path):
     """An index built from parquet (list child field "element") grown
     with a Ray-rebuilt delta (child field "item") must stay readable:
