@@ -178,3 +178,75 @@ def mixture_sample(
         return batch.filter(pa.array(mask, pa.bool_()))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def temperature_mixture_rates(ds, source_col: str, alpha: float = 0.3):
+    """Temperature-based mixture rates — the multilingual sampling rule
+    of Lample & Conneau 2019 (XLM) / Conneau et al. 2020 (XLM-R):
+    resample sources to q_i ∝ p_i^alpha (p_i the corpus share), which
+    upweights small sources and flattens the head as alpha → 0.
+
+    One streaming pass of per-batch ``value_counts`` partials (source
+    is a low-cardinality key — the driver fold holds O(sources ×
+    blocks) tiny rows, never row data; nulls are dropped before
+    counting).  The per-source Bernoulli keep rates realize the q
+    mixture at the LARGEST feasible size: r_i ∝ n_i^(alpha-1),
+    normalized so the most-upweighted (smallest) source keeps 100%.
+
+    Returns ``(rates_ppm, counts)`` — the {source: keep-rate ppm} dict
+    ready for ``fast_mixture_sample`` and the exact per-source counts
+    (ship both in the run's lineage)."""
+    import ray
+
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha {alpha} outside [0, 1]")
+    import pyarrow.compute as pc
+
+    part_schema = pa.schema([("src", pa.string()), ("n", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        vc = pc.value_counts(pc.drop_null(t[source_col]))
+        if len(vc) == 0:
+            return part_schema.empty_table()
+        return pa.table(
+            {
+                "src": pc.cast(vc.field("values"), pa.string()),
+                "n": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    counts: dict = {}
+    for ref in (
+        ds.select_columns([source_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_arrow_refs()
+    ):
+        t = ray.get(ref)
+        if "src" in t.schema.names and t.num_rows:
+            for s, n in zip(t["src"].to_pylist(), t["n"].to_pylist()):
+                counts[s] = counts.get(s, 0) + int(n)
+    if not counts:
+        return {}, {}
+    srcs = sorted(counts)
+    n = np.array([counts[s] for s in srcs], np.float64)
+    ratio = n ** (alpha - 1.0)  # q_i / n_i up to a constant
+    rates = np.floor(1_000_000.0 * ratio / ratio.max()).astype(np.int64)
+    return {s: int(r) for s, r in zip(srcs, rates)}, counts
+
+
+def temperature_mixture_sample(
+    ds, source_col: str, key_col: str, alpha: float = 0.3, seed: int = 7
+):
+    """Derive temperature rates from the data and apply them in one
+    call: ``fast_mixture_sample`` with ``temperature_mixture_rates``.
+    Returns ``(sampled_ds, rates_ppm, counts)`` so the realized mix and
+    its inputs can ship in lineage.  Content-keyed on ``key_col`` —
+    partition/retry/cluster-size invariant like every sampler here."""
+    rates, counts = temperature_mixture_rates(ds, source_col, alpha)
+    return (
+        fast_mixture_sample(ds, source_col, rates, key_col, seed=seed),
+        rates,
+        counts,
+    )

@@ -103,3 +103,70 @@ def test_md5_cutoffs_normalized_to_lowercase(ray_session):
         hash_sample(ds, ["doc_id"], cutoff_hex="0d", seed=7).count()
     with pytest.raises(ValueError):
         mixture_sample(ds, "source", {"s": "zz"}, ["doc_id"]).count()
+
+
+def test_temperature_mixture_rates_match_reference(ray_session):
+    from email_address_parser_ray.stages.sampling import (
+        temperature_mixture_rates,
+    )
+
+    sizes = {"web": 8000, "books": 1000, "code": 250}
+    src = np.concatenate([[s] * k for s, k in sizes.items()])
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(src)), pa.int64()),
+            "source": pa.array(src, pa.string()),
+        }
+    )
+    rates, counts = temperature_mixture_rates(
+        rd.from_arrow(tbl).repartition(6), "source", alpha=0.5
+    )
+    assert counts == sizes
+    n = np.array([sizes[s] for s in sorted(sizes)], np.float64)
+    ratio = n ** (0.5 - 1.0)
+    want = np.floor(1e6 * ratio / ratio.max()).astype(int)
+    assert rates == dict(zip(sorted(sizes), (int(w) for w in want)))
+    assert rates["code"] == 1_000_000  # smallest source keeps 100%
+    # nulls in the source column are ignored, not counted
+    tbl_null = pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(src) + 5), pa.int64()),
+            "source": pa.array(list(src) + [None] * 5, pa.string()),
+        }
+    )
+    rates2, counts2 = temperature_mixture_rates(
+        rd.from_arrow(tbl_null).repartition(4), "source", alpha=0.5
+    )
+    assert counts2 == sizes and rates2 == rates
+
+
+def test_temperature_mixture_sample_realizes_q(ray_session):
+    from email_address_parser_ray.stages.sampling import (
+        temperature_mixture_sample,
+    )
+
+    sizes = {"web": 24_000, "books": 3_000}
+    src = np.concatenate([[s] * k for s, k in sizes.items()])
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(src)), pa.int64()),
+            "source": pa.array(src, pa.string()),
+        }
+    )
+    ds = rd.from_arrow(tbl).repartition(8)
+    out, rates, counts = temperature_mixture_sample(
+        ds, "source", "doc_id", alpha=0.5
+    )
+    df = out.to_pandas()
+    # realized mixture ≈ q_i ∝ p_i^alpha (binomial noise at these n)
+    p = np.array([24_000, 3_000], np.float64)
+    q = p**0.5 / (p**0.5).sum()  # web, books order
+    got = df.groupby("source").size()
+    frac_web = got["web"] / len(df)
+    assert abs(frac_web - q[0]) < 0.03
+    assert got["books"] == 3_000  # smallest source keeps every row
+    # partition invariance: identical kept rows at a different layout
+    out2, _, _ = temperature_mixture_sample(
+        rd.from_arrow(tbl).repartition(1), "source", "doc_id", alpha=0.5
+    )
+    assert sorted(df["doc_id"]) == sorted(out2.to_pandas()["doc_id"])
