@@ -21,6 +21,8 @@ from __future__ import annotations
 
 from typing import List, Optional
 
+import re
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -863,6 +865,24 @@ def embedding_retract_pairs(old_pairs_ds, removed_ids_ds):
 
 SEMDEDUP_MAX_CELL_ROWS = 100_000  # per-cell O(n_c^2) guard — raise k instead
 
+_CELL_DIR_RE = re.compile(r"^cell=(\d+)$")
+
+
+def _live_cells(index_dir: str):
+    """Cell ids of an IVF layout by directory listing, tolerating
+    swap intermediates (``cell=N.pre-<tag>`` from a crashed
+    ``ivf_retract``) and any other non-cell entries."""
+    import glob
+    import os
+
+    out = []
+    for p in glob.glob(os.path.join(index_dir, "cell=*")):
+        m = _CELL_DIR_RE.match(os.path.basename(p))
+        if m and os.path.isdir(p):
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
 _SEMDEDUP_SCHEMA = pa.schema(
     [
         ("vec_id", pa.int64()),
@@ -873,23 +893,52 @@ _SEMDEDUP_SCHEMA = pa.schema(
 )
 
 
+SEMDEDUP_PAIR_CHUNK = 1024  # rows per pairwise block: memory O(chunk·n)
+SEMDEDUP_MAX_EDGES = 50_000_000  # duplicate-pair budget per cell
+
+
 def _semdedup_resolve(ids, sims_c, mn, thr: float):
     """Keep mask for ONE cell: pairwise-cosine duplicate groups via
     ``minlabel_components``, keep the (cent_sim_e6, vec_id)-min member
     per group.  Shared by the in-memory and the persisted-IVF paths —
-    their semantics must stay identical."""
+    their semantics must stay identical.
+
+    The n×n similarity scan runs in row CHUNKS (a full float64 n×n at
+    the 100k guard would be ~80 GB — the guard must be reachable
+    before the allocation kills the worker), and the edge list is
+    budgeted: a degenerate cell of near-identical vectors has ~n²/2
+    edges, which no downstream pass should eat silently."""
     from .clustering import minlabel_components
 
     n = len(ids)
     keep = np.ones(n, bool)
-    if n > 1:
-        ia, ib = np.nonzero(np.triu(mn @ mn.T >= thr, k=1))
-        if len(ia):
-            comp = minlabel_components(n, ia, ib)
-            order = np.lexsort((ids, sims_c))  # sim asc, id asc
-            _, first_pos = np.unique(comp[order], return_index=True)
-            keep = np.zeros(n, bool)
-            keep[order[first_pos]] = True
+    if n <= 1:
+        return keep
+    ia_parts, ib_parts, n_edges = [], [], 0
+    for s in range(0, n, SEMDEDUP_PAIR_CHUNK):
+        e = min(s + SEMDEDUP_PAIR_CHUNK, n)
+        sims = mn[s:e] @ mn.T  # (chunk, n)
+        li, gj = np.nonzero(sims >= thr)
+        gi = li + s
+        m = gi < gj  # strict upper triangle only
+        if m.any():
+            ia_parts.append(gi[m])
+            ib_parts.append(gj[m])
+            n_edges += int(m.sum())
+            if n_edges > SEMDEDUP_MAX_EDGES:
+                raise ValueError(
+                    f"semantic dedup cell produced > {SEMDEDUP_MAX_EDGES} "
+                    f"duplicate pairs at n={n} — a near-degenerate cell; "
+                    f"tighten eps or increase k"
+                )
+    if n_edges:
+        comp = minlabel_components(
+            n, np.concatenate(ia_parts), np.concatenate(ib_parts)
+        )
+        order = np.lexsort((ids, sims_c))  # sim asc, id asc
+        _, first_pos = np.unique(comp[order], return_index=True)
+        keep = np.zeros(n, bool)
+        keep[order[first_pos]] = True
     return keep
 
 
@@ -1040,11 +1089,7 @@ def semantic_dedup_ivf(
         cents_e6 = np.asarray(json.load(f)["cents_e6"], np.int64)
     cn_ref = ray.put(_normalize(cents_e6.astype(np.float64) / GRID))
     if cells is None:
-        cells = sorted(
-            int(os.path.basename(p).split("=")[1])
-            for p in glob.glob(os.path.join(index_dir, "cell=*"))
-            if os.path.isdir(p)
-        )
+        cells = _live_cells(index_dir)
     else:
         cells = sorted(int(c) for c in cells)
     if not cells:
@@ -1134,21 +1179,33 @@ def semantic_dedup_ivf_add(
 
     ivf_add(embeddings_ds, index_dir, add_tag)  # idempotent per tag
     # published fragments keep the tag in their name — the touched-cell
-    # set survives crashes and retries
-    touched = sorted(
-        {
-            int(p.split("cell=")[1].split(os.sep)[0])
-            for p in glob.glob(
-                os.path.join(index_dir, "cell=*", f"add-{add_tag}-*.parquet")
-            )
-        }
+    # set survives crashes and retries (pre-swap leftovers of a crashed
+    # retract are skipped by the regex)
+    touched = set()
+    for p in glob.glob(
+        os.path.join(index_dir, "cell=*", f"add-{add_tag}-*.parquet")
+    ):
+        m = _CELL_DIR_RE.match(os.path.basename(os.path.dirname(p)))
+        if m:
+            touched.add(int(m.group(1)))
+    touched = sorted(touched)
+    return _resolve_touched_and_carry(
+        index_dir, touched, prev_result_ds, eps, max_cell_rows
     )
-    if not touched:  # the add contributed no rows — previous result stands
+
+
+def _resolve_touched_and_carry(
+    index_dir: str, touched, prev_result_ds, eps: float, max_cell_rows: int
+):
+    """Re-resolve only ``touched`` cells and union with the previous
+    result's untouched rows — the incremental add AND retract paths
+    must apply the identical carry-forward rule."""
+    if not touched:
         return prev_result_ds
     fresh = semantic_dedup_ivf(
         index_dir, eps=eps, max_cell_rows=max_cell_rows, cells=touched
     )
-    touched_arr = pa.array(touched, pa.int64())
+    touched_arr = pa.array(sorted(touched), pa.int64())
 
     def keep_untouched(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -1427,8 +1484,11 @@ def ivf_retract(removed_ids_ds, index_dir: str, retract_tag: str):
     the live dir via two renames with a ``.pre-<tag>`` intermediate;
     a rerun first heals half-finished swaps (live missing → rename
     back; live present → drop the leftover), so no crash point loses
-    rows.  Idempotent per ``retract_tag`` (marker file).  Returns the
-    refreshed per-cell manifests."""
+    rows.  The full touched-cell PLAN is persisted before the first
+    swap — a retry after a partial publish cannot under-report which
+    cells changed (the rescan alone would miss already-swapped ones).
+    Idempotent per ``retract_tag`` (marker file records the plan).
+    Returns the refreshed per-cell manifests."""
     import glob
     import json
     import os
@@ -1457,6 +1517,16 @@ def ivf_retract(removed_ids_ds, index_dir: str, retract_tag: str):
             os.rename(leftover, live)  # swap half-done — restore the old
     if os.path.exists(marker):
         return manifests()
+    # the PLAN file persists the touched-cell set BEFORE any swap: a
+    # crash after some swaps but before the marker would otherwise make
+    # the retry's rescan miss the already-swapped cells (their removed
+    # ids are gone), and downstream incremental consumers would carry
+    # stale rows forward
+    plan_path = os.path.join(index_dir, f"retract_{retract_tag}.plan")
+    prior_plan: list = []
+    if os.path.exists(plan_path):
+        with open(plan_path) as f:
+            prior_plan = [int(c) for c in json.load(f)["touched"]]
 
     n_rem = removed_ids_ds.count()
     if n_rem > IVF_RETRACT_BROADCAST_ROWS:
@@ -1478,17 +1548,15 @@ def ivf_retract(removed_ids_ds, index_dir: str, retract_tag: str):
     if not len(rem):
         tmp = marker + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"touched": []}, f)
+            json.dump({"touched": prior_plan}, f)
         os.replace(tmp, marker)
+        if os.path.exists(plan_path):
+            os.remove(plan_path)
         return manifests()
     rem_ref = ray.put(rem)
     stage = os.path.join(index_dir, f".retract_{retract_tag}")
     shutil.rmtree(stage, ignore_errors=True)
-    cells = sorted(
-        int(os.path.basename(p).split("=")[1])
-        for p in glob.glob(os.path.join(index_dir, "cell=*"))
-        if os.path.isdir(p) and "pre-" not in os.path.basename(p)
-    )
+    cells = _live_cells(index_dir)
 
     def rewrite(batch: pa.Table) -> pa.Table:
         """One task per cell: column-pruned touch scan, full rewrite
@@ -1550,6 +1618,13 @@ def ivf_retract(removed_ids_ds, index_dir: str, retract_tag: str):
         .to_pandas()
     )
     touched_cells = sorted(scan[scan["touched"]]["cell"].astype(int).tolist())
+    # commit the full plan (this run's finds ∪ any crashed prior run's)
+    # atomically BEFORE the first swap
+    plan = sorted(set(prior_plan) | set(touched_cells))
+    tmp = plan_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"touched": plan}, f)
+    os.replace(tmp, plan_path)
     # publish: per-cell two-rename swap (heal logic above covers every
     # crash point between them)
     for c in touched_cells:
@@ -1563,8 +1638,9 @@ def ivf_retract(removed_ids_ds, index_dir: str, retract_tag: str):
     # incremental consumers need it after the manifests stop moving
     tmp = marker + ".tmp"
     with open(tmp, "w") as f:
-        json.dump({"touched": touched_cells}, f)
+        json.dump({"touched": plan}, f)
     os.replace(tmp, marker)
+    os.remove(plan_path)
     return manifests()
 
 
@@ -1591,18 +1667,6 @@ def semantic_dedup_ivf_retract(
     # manifests no longer move) still re-resolves the right cells
     with open(os.path.join(index_dir, f"retract_{retract_tag}.done")) as f:
         touched = sorted(int(c) for c in json.load(f)["touched"])
-    if not touched:
-        return prev_result_ds
-    fresh = semantic_dedup_ivf(
-        index_dir, eps=eps, max_cell_rows=max_cell_rows, cells=touched
+    return _resolve_touched_and_carry(
+        index_dir, touched, prev_result_ds, eps, max_cell_rows
     )
-    touched_arr = pa.array(touched, pa.int64())
-
-    def keep_untouched(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        return t.filter(pc.invert(pc.is_in(t["cell"], value_set=touched_arr)))
-
-    return prev_result_ds.map_batches(
-        keep_untouched, batch_format="pyarrow"
-    ).union(fresh)

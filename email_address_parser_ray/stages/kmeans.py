@@ -56,39 +56,74 @@ def _trunc_div(s: np.ndarray, n: np.ndarray) -> np.ndarray:
     return np.sign(s) * (np.abs(s) // n)
 
 
+def _seed_rows(embeddings_ds, k: int) -> pa.Table:
+    """The k smallest-vec_id rows, by per-block bottom-k partials with
+    a running driver cap (~4k rows held, never the table).  Ids need
+    NOT be contiguous or start at 0 — any id set works (a
+    survivor-filtered table is the common caller)."""
+    import ray
+
+    sort_keys = [("vec_id", "ascending")]
+
+    def part(t: pa.Table) -> pa.Table:
+        if t.num_rows <= k:
+            return t
+        return t.take(pc.sort_indices(t, sort_keys=sort_keys)[:k])
+
+    parts, acc = [], 0
+    for ref in embeddings_ds.map_batches(
+        part, batch_format="pyarrow", batch_size=None
+    ).to_arrow_refs():
+        t = ray.get(ref)
+        if "vec_id" in t.schema.names and t.num_rows:
+            t = t.select(["vec_id", "embedding"])
+            if parts and not t.schema.equals(parts[0].schema):
+                t = t.cast(parts[0].schema)  # mixed list child field names
+            parts.append(t)
+            acc += t.num_rows
+            if acc > 4 * k:
+                merged = pa.concat_tables(parts).combine_chunks()
+                merged = merged.take(pc.sort_indices(merged, sort_keys=sort_keys)[:k])
+                parts, acc = [merged], merged.num_rows
+    if not parts:
+        raise ValueError("kmeans_fit: empty embeddings table")
+    all_t = pa.concat_tables(parts).combine_chunks()
+    out = all_t.take(pc.sort_indices(all_t, sort_keys=sort_keys)[:k])
+    if out.num_rows != k:
+        raise ValueError(
+            f"kmeans_fit: k={k} but the table has only {out.num_rows} vectors"
+        )
+    return out
+
+
 def kmeans_fit(embeddings_ds, k: int = 8, iters: int = 2, sample_mod: int | None = None):
     """Fit k centroids with ``iters`` Lloyd updates; returns (k, d) int64
     centroid components on the 1e-6 grid.
 
-    Seeds are the embeddings of the k smallest vec_ids (deterministic,
-    no RNG).  ``sample_mod``: fit on the seeded hash-sample
-    ``vec_id % sample_mod == 0`` (plus the seeds) instead of the full
-    table — the 100-TB path.
+    Seeds are the embeddings of the k SMALLEST PRESENT vec_ids
+    (deterministic, no RNG; ids need not be contiguous — cell label i
+    is the i-th seed in ascending vec_id order).  ``sample_mod``: fit
+    on the seeded hash-sample ``vec_id % sample_mod == 0`` (plus the
+    seeds) instead of the full table — the 100-TB path.
     """
     import ray
 
+    seed_t = _seed_rows(embeddings_ds, k)
+    seed_ids = pc.cast(seed_t["vec_id"], pa.int64()).combine_chunks()
     emb = embeddings_ds
     if sample_mod is not None:
 
         def keep_sample(t: pa.Table) -> pa.Table:
             v = pc.cast(t["vec_id"], pa.int64())
             mod = pc.subtract(v, pc.multiply(pc.divide(v, sample_mod), sample_mod))
-            return t.filter(pc.or_(pc.equal(mod, 0), pc.less(v, k)))
+            return t.filter(
+                pc.or_(pc.equal(mod, 0), pc.is_in(v, value_set=seed_ids))
+            )
 
         emb = emb.map_batches(keep_sample, batch_format="pyarrow")
     emb = emb.materialize()
 
-    seeds = (
-        emb.map_batches(
-            lambda t: t.filter(pc.less(pc.cast(t["vec_id"], pa.int64()), k)),
-            batch_format="pyarrow",
-        )
-        .sort("vec_id")
-        .take_all()
-    )
-    if len(seeds) != k:
-        raise ValueError(f"need vec_ids 0..{k-1} as seeds, found {len(seeds)}")
-    seed_m = np.asarray([r["embedding"] for r in seeds], dtype=np.float64)
+    seed_m = _batch_matrix(seed_t)
     cents_e6 = np.floor(seed_m * GRID).astype(np.int64)
     d = cents_e6.shape[1]
 

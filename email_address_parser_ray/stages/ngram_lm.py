@@ -65,6 +65,11 @@ class BigramLM:
             and np.array_equal(self.bigram_counts, other.bigram_counts)
         )
 
+    def __hash__(self):  # defining __eq__ would otherwise unset it
+        return hash(
+            (self.total_tokens, self.alpha, len(self.vocab), len(self.bigram_keys))
+        )
+
 
 def _token_ids(texts, vocab_arr: np.ndarray):
     """Batch token-id stream: ids into the SORTED vocab, len(vocab)

@@ -124,13 +124,15 @@ def test_pretrain_prep_semdedup_stage(ray_session, tmp_path):
     docs, ev = _corpus()
     rng = np.random.RandomState(31)
     d = 16
-    # embeddings ONLY for doc_ids 0..30 (the rest have none and must
-    # pass through); docs 10/11/12 are textually distinct but get
-    # near-identical vectors — a planted semantic-duplicate trio
-    ids = list(range(31))
+    # embeddings ONLY for doc_ids 10..40 (the rest have none and must
+    # pass through; ids deliberately do NOT start at 0 — kmeans seeding
+    # must take the k smallest PRESENT ids, not demand 0..k-1); docs
+    # 10/11/12 are textually distinct but get near-identical vectors —
+    # a planted semantic-duplicate trio
+    ids = list(range(10, 41))
     vecs = rng.normal(size=(len(ids), d))
     base = rng.normal(size=d)
-    for i in (10, 11, 12):
+    for i in (0, 1, 2):  # rows for doc_ids 10/11/12
         vecs[i] = base + rng.normal(scale=1e-3, size=d)
     import ray.data as rd
 

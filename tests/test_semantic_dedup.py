@@ -327,6 +327,113 @@ def test_ivf_variant_guard_raises(ray_session, tmp_path):
         semantic_dedup_ivf(idx, max_cell_rows=3).materialize()
 
 
+def test_noncontiguous_vec_ids(ray_session):
+    """kmeans seeding (and so semantic_dedup) must work on any id set
+    — a survivor-filtered table has holes and need not start at 0."""
+    import ray.data as rd
+
+    vecs, gid = _planted(seed=61)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([100 + 3 * i for i in range(len(vecs))], pa.int64()),
+            "embedding": pa.array(
+                [np.asarray(v, np.float32) for v in vecs], pa.list_(pa.float32())
+            ),
+        }
+    )
+    got = (
+        semantic_dedup(rd.from_arrow(tbl).repartition(4), k=2, iters=2)
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    assert len(got) == len(vecs)
+    for g in np.unique(gid):
+        assert got["keep"][gid == g].sum() == 1, g
+
+
+def test_chunked_pairwise_matches_unchunked(monkeypatch):
+    """The row-chunked similarity scan is exact: forcing a tiny chunk
+    changes nothing (kernel-level — a Ray worker would not see the
+    monkeypatch)."""
+    from email_address_parser_ray.stages import ann as ann_mod
+
+    vecs, _ = _planted(seed=67)
+    mn = _norm(np.stack(vecs).astype(np.float64))
+    ids = np.arange(len(vecs), dtype=np.int64)
+    sims_c = np.arange(len(vecs), dtype=np.int64) % 5
+    a = ann_mod._semdedup_resolve(ids, sims_c, mn, 0.97)
+    monkeypatch.setattr(ann_mod, "SEMDEDUP_PAIR_CHUNK", 3)
+    b = ann_mod._semdedup_resolve(ids, sims_c, mn, 0.97)
+    assert (a == b).all()
+    assert (~a).sum() > 0  # the fixture really has duplicates
+
+
+def test_edge_budget_raises(monkeypatch):
+    from email_address_parser_ray.stages import ann as ann_mod
+
+    vecs, _ = _planted(seed=71, dup_sizes=(5, 1, 1, 1, 1, 1))
+    mn = _norm(np.stack(vecs).astype(np.float64))
+    ids = np.arange(len(vecs), dtype=np.int64)
+    monkeypatch.setattr(ann_mod, "SEMDEDUP_MAX_EDGES", 1)
+    with pytest.raises(ValueError, match="duplicate pairs"):
+        ann_mod._semdedup_resolve(ids, ids.copy(), mn, 0.97)
+
+
+def test_retract_retry_after_partial_publish(ray_session, tmp_path):
+    """A crash between the swaps and the marker must not lose the
+    touched-cell list: the plan file carries it to the retry."""
+    import json
+    import os
+
+    import ray.data as rd
+
+    from email_address_parser_ray.stages.ann import (
+        ivf_build,
+        semantic_dedup_ivf,
+        semantic_dedup_ivf_retract,
+    )
+
+    vecs, gid = _planted(seed=73)
+    idx = str(tmp_path / "ivf_crash")
+    ivf_build(_ds(vecs), idx, k=2, iters=2)
+    prev = semantic_dedup_ivf(idx).materialize()
+    removed = rd.from_arrow(pa.table({"vec_id": pa.array([0, 1], pa.int64())}))
+    # run the retract fully, then rewind to the mid-crash state: marker
+    # gone, plan (written before any swap) still present
+    semantic_dedup_ivf_retract(removed, idx, "cx", prev).materialize()
+    marker = os.path.join(idx, "retract_cx.done")
+    with open(marker) as f:
+        plan = json.load(f)["touched"]
+    assert plan  # the retract really touched cells
+    os.remove(marker)
+    with open(os.path.join(idx, "retract_cx.plan"), "w") as f:
+        json.dump({"touched": plan}, f)
+    retry = (
+        semantic_dedup_ivf_retract(removed, idx, "cx", prev)
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    fresh = (
+        semantic_dedup_ivf(idx)
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    assert retry.equals(fresh)
+    assert not set(retry["vec_id"]) & {0, 1}
+
+
+def test_pre_swap_leftover_tolerated(ray_session, tmp_path):
+    """A cell=N.pre-<tag> leftover from a crashed retract must not
+    crash a direct semantic_dedup_ivf pass."""
+    import os
+
+    from email_address_parser_ray.stages.ann import ivf_build, semantic_dedup_ivf
+
+    vecs, _ = _planted(seed=79)
+    idx = str(tmp_path / "ivf_leftover")
+    ivf_build(_ds(vecs), idx, k=2, iters=1)
+    os.makedirs(os.path.join(idx, "cell=0.pre-r9"), exist_ok=True)
+    got = semantic_dedup_ivf(idx).to_pandas()
+    assert len(got) == len(vecs)
+
+
 def test_cell_guard_raises(ray_session):
     vecs, _ = _planted()
     with pytest.raises(Exception, match="max_cell_rows"):
