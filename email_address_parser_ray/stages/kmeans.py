@@ -71,9 +71,11 @@ def _seed_rows(embeddings_ds, k: int) -> pa.Table:
         return t.take(pc.sort_indices(t, sort_keys=sort_keys)[:k])
 
     parts, acc = [], 0
-    for ref in embeddings_ds.map_batches(
-        part, batch_format="pyarrow", batch_size=None
-    ).to_arrow_refs():
+    for ref in (
+        embeddings_ds.select_columns(["vec_id", "embedding"])
+        .map_batches(part, batch_format="pyarrow", batch_size=None)
+        .to_arrow_refs()
+    ):
         t = ray.get(ref)
         if "vec_id" in t.schema.names and t.num_rows:
             t = t.select(["vec_id", "embedding"])
