@@ -1428,3 +1428,181 @@ def dup_window_stats(docs_ds, window: int = 8):
         return t.append_column("dup_win_ppm", pa.array(ppm, pa.int64()))
 
     return folded.map_batches(finish, batch_format="pyarrow")
+
+
+def dedup_cut_spans(docs_ds, window: int = 8, min_count: int = 2,
+                    n_buckets: int = 32):
+    """Exact-substring span REMOVAL — the rewrite step of Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better"
+    (ACL; their released ``deduplicate-text-datasets`` tool cuts EVERY
+    occurrence of any >= k-token window that appears ``min_count``+
+    times corpus-wide).  ``dup_window_stats`` computes the per-doc
+    signal; this operator applies the cut and returns the corpus with
+    duplicated spans excised.
+
+    Semantics (word-token grain, same tokenization as the signal op):
+    a window is duplicated when its k-token sequence occurs >=
+    ``min_count`` times corpus-wide (within OR across docs — an
+    intra-doc repeat counts).  Every token covered by ANY duplicated
+    window is dropped; overlapping windows merge into one span.  Docs
+    with < ``window`` tokens are a single whole-doc window, so exact
+    short-doc duplicates are cut to empty on BOTH sides — the public
+    tool's all-occurrences semantics (run exact dedup first if one
+    survivor per group should be kept).  Affected docs are re-joined
+    with single spaces (token-normalized whitespace); UNAFFECTED docs
+    pass through byte-identical.
+
+    Distributed shape (three streaming passes):
+    1. corpus-wide window counts — ``word_shingles_flat`` per batch,
+       (h, n) partials folded with ``sorted_group_agg`` (window hashes
+       are an unbounded key); hashes with n >= min_count become the
+       duplicated set, kept DISTRIBUTED;
+    2. per-doc (doc_id, pos, h) window-occurrence rows,
+       ``bucketed_semi_join``ed against the duplicated set (sparse-safe)
+       -> the hit-position sliver, 20 B rows;
+    3. ONE union-tag bucket shuffle co-locates each doc with its hit
+       positions (the ``bucketed_semi_join`` shape — doc text crosses
+       the wire exactly once); per bucket the cut is a diff-array
+       interval merge over affected docs only, clean docs never
+       re-tokenized.
+
+    64-bit window hashes stand in for token sequences (collision odds
+    ~n^2/2^64, the minhash-candidate caveat); pytest pins exact
+    agreement with a collision-free token-tuple reference.
+
+    Returns every input doc with the input column set, ``text``
+    rewritten, plus ``n_tokens_cut``."""
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import word_shingles_flat
+    from .joins import bucketed_semi_join
+    from .sketches import hash64_column
+
+    def window_counts(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"h": pa.array([], pa.uint64()), "n": pa.array([], pa.int64())}
+            )
+        hs, _ = word_shingles_flat(t["text"].to_pylist(), window)
+        uniq, cnt = np.unique(hs, return_counts=True)
+        return pa.table(
+            {"h": pa.array(uniq, pa.uint64()), "n": pa.array(cnt, pa.int64())}
+        )
+
+    counts = sorted_group_agg(
+        docs_ds.map_batches(window_counts, batch_format="pyarrow"),
+        keys=["h"],
+        aggs=[("n", "sum")],
+    )
+    dup_h = counts.map_batches(
+        lambda t: t.filter(
+            pa.compute.greater_equal(t["n"], min_count)
+        ).select(["h"]),
+        batch_format="pyarrow",
+    )
+
+    occ_schema = pa.schema(
+        [("doc_id", pa.int64()), ("pos", pa.int32()), ("h", pa.uint64())]
+    )
+
+    def doc_windows(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return occ_schema.empty_table()
+        hs, slens = word_shingles_flat(t["text"].to_pylist(), window)
+        dids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = np.cumsum(slens) - slens
+        pos = np.arange(len(hs), dtype=np.int64) - np.repeat(offs, slens)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.repeat(dids, slens), pa.int64()),
+                "pos": pa.array(pos.astype(np.int32), pa.int32()),
+                "h": pa.array(hs, pa.uint64()),
+            }
+        )
+
+    hits = bucketed_semi_join(
+        docs_ds.map_batches(doc_windows, batch_format="pyarrow"),
+        dup_h,
+        on="h",
+        n_buckets=n_buckets,
+    ).select_columns(["doc_id", "pos"])
+
+    ds_schema = docs_ds.schema()
+    doc_cols = list(ds_schema.names)
+    types = dict(zip(ds_schema.names, ds_schema.types))
+    out_schema = pa.schema(
+        [(c, types[c]) for c in doc_cols] + [("n_tokens_cut", pa.int64())]
+    )
+
+    def tag(is_doc):
+        def f(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            b = (hash64_column(t["doc_id"]) % np.uint64(n_buckets)).astype(
+                np.int64
+            )
+            arrays = {
+                "__bucket": pa.array(b, pa.int64()),
+                "__is_doc": pa.array([is_doc] * n, pa.bool_()),
+            }
+            for c in doc_cols:
+                arrays[c] = t[c] if c in t.schema.names else pa.nulls(n, types[c])
+            arrays["pos"] = (
+                pc.cast(t["pos"], pa.int32())
+                if "pos" in t.schema.names
+                else pa.nulls(n, pa.int32())
+            )
+            return pa.table(arrays)
+
+        return f
+
+    both = docs_ds.map_batches(tag(True), batch_format="pyarrow").union(
+        hits.map_batches(tag(False), batch_format="pyarrow")
+    )
+
+    def cut(t: pa.Table) -> pa.Table:
+        is_doc = pc.fill_null(t["__is_doc"], False)
+        dt = t.filter(is_doc)
+        if dt.num_rows == 0:
+            return out_schema.empty_table()
+        ht = t.filter(pc.invert(is_doc))
+        zeros = pa.array(np.zeros(dt.num_rows, np.int64), pa.int64())
+        if ht.num_rows == 0:
+            return dt.select(doc_cols).append_column("n_tokens_cut", zeros)
+        h_did = ht["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h_pos = ht["pos"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(h_did, kind="stable")
+        h_did, h_pos = h_did[order], h_pos[order]
+        starts = np.flatnonzero(np.r_[True, h_did[1:] != h_did[:-1]])
+        ends = np.r_[starts[1:], len(h_did)]
+        pos_by_doc = {
+            int(h_did[s]): h_pos[s:e] for s, e in zip(starts, ends)
+        }
+        d_ids = dt["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = dt["text"].to_pylist()
+        n_cut = np.zeros(len(texts), np.int64)
+        for i, did in enumerate(d_ids):
+            ps = pos_by_doc.get(int(did))
+            if ps is None:
+                continue
+            toks = texts[i].split()
+            tlen = len(toks)
+            if tlen < window:
+                # whole-doc window: the single pos-0 window covers all
+                n_cut[i] = tlen
+                texts[i] = ""
+                continue
+            # diff-array interval merge: +1 at pos, -1 at pos+window
+            diff = np.zeros(tlen + 1, np.int64)
+            np.add.at(diff, ps, 1)
+            np.add.at(diff, np.minimum(ps + window, tlen), -1)
+            covered = np.cumsum(diff[:-1]) > 0
+            n_cut[i] = int(covered.sum())
+            texts[i] = " ".join(
+                tok for tok, c in zip(toks, covered) if not c
+            )
+        arrays = {c: dt[c] for c in doc_cols}
+        arrays["text"] = pa.array(texts, types["text"])
+        arrays["n_tokens_cut"] = pa.array(n_cut, pa.int64())
+        return pa.table(arrays).cast(out_schema)
+
+    return both.groupby("__bucket").map_groups(cut, batch_format="pyarrow")
