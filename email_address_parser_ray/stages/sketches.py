@@ -446,7 +446,8 @@ def heavy_hitters(ds, col: str, phi: float):
 # ---------------------------------------------------------------------------
 
 
-def weighted_sample_k(ds, key_col: str, weight_col, k: int, seed: int = 7):
+def weighted_sample_k(ds, key_col: str, weight_col, k: int, seed: int = 7,
+                      log_weights: bool = False):
     """Deterministic weighted sample of exactly k rows WITHOUT
     replacement: every row gets the Efraimidis–Spirakis priority
     u^(1/w) (u = uniform from mix64(key ^ seed) — content-keyed, so
@@ -458,7 +459,13 @@ def weighted_sample_k(ds, key_col: str, weight_col, k: int, seed: int = 7):
     content-keyed sample — the bottom-k sketch ``approx_quantiles``
     builds on.
 
-    Works on the log scale (ln u / w) for numerical stability."""
+    Works on the log scale (ln u / w) for numerical stability.
+
+    ``log_weights=True`` reads ``weight_col`` as LOG weights lw and
+    ranks by lw - log(-log u) — the Gumbel-top-k form, order-identical
+    to Efraimidis–Spirakis with w = exp(lw) but stable when lw spans
+    hundreds of nats (the DSIR importance-weight case, ``stages/
+    dsir.py``).  -inf / NaN log weights never win."""
     import ray
 
     seed_h = mix64(np.uint64(seed))
@@ -471,6 +478,9 @@ def weighted_sample_k(ds, key_col: str, weight_col, k: int, seed: int = 7):
         u = ((mix64(h ^ seed_h) >> np.uint64(11)).astype(np.float64) + 0.5) / float(1 << 53)
         if weight_col is None:
             pri = np.log(u)
+        elif log_weights:
+            lw = batch[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
+            pri = np.where(np.isfinite(lw), lw - np.log(-np.log(u)), -np.inf)
         else:
             w = batch[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
             pri = np.where(w > 0, np.log(u) / np.maximum(w, 1e-300), -np.inf)
