@@ -3,12 +3,18 @@ engine's training-data operators exist for, as ONE pipeline:
 
     raw documents
       → exact dedup            (content-hash, sorted_group_agg fold)
+      → line dedup (opt)       (CCNet corpus-wide frequent-line scrub,
+                                keep-first — ``stages/lines.py``)
       → near-dedup             (MinHash+LSH clusters, keep min-id rep)
       → semantic dedup (opt)   (SemDeDup over a caller-supplied
                                 vec_id==doc_id embedding table)
+      → span cut (opt)         (Lee et al. exact-substring duplicated-
+                                span removal — ``dedup_cut_spans``)
       → decontamination        (eval n-gram overlap, Bloom path above
                                 the broadcast gate)
       → quality filter         (token count + Gopher top-word ppm)
+      → DSIR selection (opt)   (importance resampling toward a target
+                                corpus — ``stages/dsir.py``)
       → BPE training           (distributed word counts, capped driver)
       → token-exact packing    (prefix-scan bins over BPE counts)
       → resumable export       (hash-partitioned parquet + manifests)
@@ -86,6 +92,10 @@ def pretrain_prep(
     embeddings_ds=None,
     semdedup_eps: float = 0.03,
     semdedup_k: int = 128,
+    line_dedup: bool = False,
+    cut_spans_window: int = 0,
+    dsir_target_ds=None,
+    dsir_k: int = 0,
 ):
     """Run the full prep over a (doc_id, text) dataset against an eval
     corpus.  Returns (manifests, counters, bpe_model): the resumable
@@ -106,6 +116,21 @@ def pretrain_prep(
     keep_exact = exact_dedup(docs).select_columns(["doc_id"])
     docs = _semi(docs, keep_exact).materialize()
     counters["after_exact_dedup"] = docs.count()
+
+    # 1b. optional CCNet line dedup: frequent-line boilerplate scrubbed
+    # keep-first; docs whose every line was boilerplate drop entirely
+    if line_dedup:
+        from ..stages.lines import remove_frequent_lines
+
+        scrubbed = remove_frequent_lines(docs).materialize()
+        counters["lines_cut"] = int(scrubbed.sum("n_lines_cut") or 0)
+        docs = scrubbed.map_batches(
+            lambda t: t.filter(
+                pc.invert(pc.equal(t["text"], ""))
+            ).drop_columns(["n_lines_cut"]),
+            batch_format="pyarrow",
+        ).materialize()
+        counters["after_line_dedup"] = docs.count()
 
     # 2. near-dedup — keep each cluster's min-id representative
     clusters = minhash_dedup_clusters(docs, threshold=jaccard)
@@ -146,6 +171,22 @@ def pretrain_prep(
         counters["semdedup_dropped"] = n_sem
         docs = _anti_ids(docs, drop_sem, n_sem).materialize()
         counters["after_semdedup"] = docs.count()
+
+    # 2c. optional exact-substring span cut (Lee et al. 2022): windows
+    # duplicated corpus-wide among the SURVIVORS are excised from every
+    # doc; docs cut to nothing drop
+    if cut_spans_window:
+        from ..stages.dedup import dedup_cut_spans
+
+        cut = dedup_cut_spans(docs, window=cut_spans_window).materialize()
+        counters["tokens_cut"] = int(cut.sum("n_tokens_cut") or 0)
+        docs = cut.map_batches(
+            lambda t: t.filter(
+                pc.invert(pc.equal(t["text"], ""))
+            ).drop_columns(["n_tokens_cut"]),
+            batch_format="pyarrow",
+        ).materialize()
+        counters["after_cut_spans"] = docs.count()
 
     # 3. decontamination — drop flagged docs
     flagged = decontaminate(docs, eval_ds).materialize()
@@ -189,6 +230,20 @@ def pretrain_prep(
         docs = _anti_ids(docs, flagged_lm, n_lm).materialize()
         counters["after_lm_filter"] = docs.count()
 
+    # 4c. optional DSIR selection (Xie et al. 2023): resample dsir_k
+    # survivors toward the target corpus's hashed-ngram distribution
+    # (the driver holds the k winning ids — the weighted_sample_k
+    # contract; dsir_k is the selection budget, not the corpus size)
+    if dsir_target_ds is not None and dsir_k:
+        import ray
+
+        from ..stages.dsir import dsir_select_k
+
+        sel = dsir_select_k(docs, dsir_target_ds, k=dsir_k)
+        keep_ids = ray.data.from_arrow(sel.select(["doc_id"]))
+        docs = _semi(docs, keep_ids).materialize()
+        counters["after_dsir"] = docs.count()
+
     # 5-6. BPE training, id encoding, token-exact packing — the bin
     # scan runs directly over the encoded rows (token_ids ride along;
     # Acero joins cannot carry list columns, so no post-hoc join)
@@ -224,6 +279,9 @@ def pretrain_prep(
             "max_nll_e6": max_nll_e6 if quality_lm is not None else None,
             "semdedup_eps": semdedup_eps if embeddings_ds is not None else None,
             "semdedup_k": semdedup_k if embeddings_ds is not None else None,
+            "line_dedup": line_dedup,
+            "cut_spans_window": cut_spans_window or None,
+            "dsir_k": dsir_k if dsir_target_ds is not None else None,
             "n_partitions": n_partitions,
         },
     }

@@ -202,3 +202,65 @@ def test_pretrain_prep_lm_filter(ray_session, tmp_path):
         == counters["after_quality"] - counters["lm_filtered"]
     )
     assert counters["exported_rows"] == counters["after_lm_filter"]
+
+
+def test_pretrain_prep_line_dedup_and_cut_spans(ray_session, tmp_path):
+    """The optional line-dedup and span-cut stages: a boilerplate line
+    shared by many docs keeps one copy; a duplicated passage is excised
+    from the survivors; counters account for both."""
+    docs, ev = _corpus()
+    banner = "subscribe to our newsletter today please"
+    # append the banner as a second LINE to 5 clean docs — skipping
+    # docs 0/1, whose planted exact/near copies would otherwise turn
+    # the un-bannered first line into an extra corpus-wide dup
+    for i in range(2, 7):
+        docs[i] = docs[i] + "\n" + banner
+    # splice a 12-token passage into docs 20 and 21 (textually distinct
+    # docs otherwise, so near-dedup keeps both)
+    passage = " ".join(f"boiler{j}" for j in range(12))
+    docs[20] = docs[20] + " " + passage
+    docs[21] = passage + " " + docs[21]
+    out = str(tmp_path / "exp_cut")
+    _, counters, _ = pretrain_prep(
+        _ds(docs, 4), _ds(ev, 1), out, num_merges=25, cap=64,
+        line_dedup=True, cut_spans_window=8,
+    )
+    # 4 of the 5 banner copies cut (first survives)
+    assert counters["lines_cut"] == 4
+    assert counters["after_line_dedup"] == counters["after_exact_dedup"]
+    # both passage copies excised (12 tokens each, window 8), plus the
+    # "spam "*40 junk doc — every one of its 8-token windows repeats
+    # within the doc, so it cuts to nothing and drops here (one stage
+    # earlier than the quality filter would have caught it)
+    assert counters["tokens_cut"] >= 24 + 40
+    assert counters["after_cut_spans"] == counters["after_near_dedup"] - 1
+    lineage = json.load(open(os.path.join(out, "lineage.json")))
+    assert lineage["params"]["line_dedup"] is True
+    assert lineage["params"]["cut_spans_window"] == 8
+
+
+def test_pretrain_prep_dsir_stage(ray_session, tmp_path):
+    """The optional DSIR stage: survivors resample toward the target
+    corpus; the budget holds and target-like docs dominate."""
+    rng = np.random.RandomState(77)
+    tvocab = [f"targ{i}" for i in range(30)]
+    jvocab = [f"junkw{i}" for i in range(30)]
+    docs = []
+    for i in range(50):
+        v = tvocab if i % 2 == 0 else jvocab
+        docs.append(" ".join(rng.choice(v, 14)))
+    target = [" ".join(rng.choice(tvocab, 14)) for _ in range(8)]
+    ev = [" ".join(f"e{i}{j}" for j in range(12)) for i in range(3)]
+    out = str(tmp_path / "exp_dsir")
+    _, counters, _ = pretrain_prep(
+        _ds(docs, 4), _ds(ev, 1), out, num_merges=25, cap=64,
+        dsir_target_ds=_ds(target, 2), dsir_k=10,
+    )
+    assert counters["after_dsir"] == 10
+    assert counters["exported_rows"] == 10
+    # the selected docs are the target-vocab ones (even doc_ids)
+    frags = glob.glob(os.path.join(out, "part=*", "*.parquet"))
+    t = pa.concat_tables([pq.read_table(f) for f in frags])
+    assert all(d % 2 == 0 for d in t["doc_id"].to_pylist())
+    lineage = json.load(open(os.path.join(out, "lineage.json")))
+    assert lineage["params"]["dsir_k"] == 10
