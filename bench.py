@@ -151,6 +151,33 @@ def _bench_queries(sf_dir: str) -> dict:
         return counters["exported_rows"]
 
     timed("pretrain_prep", run_pretrain_prep)
+
+    def run_pretrain_full():
+        """The composed prep with EVERY optional stage on: CCNet line
+        dedup, exact-substring span cut, and DSIR selection toward the
+        eval split's distribution (kept separate from the plain
+        ``pretrain_prep`` entry so round history stays comparable)."""
+        import shutil
+
+        import ray.data as rd
+
+        from email_address_parser_ray.pipelines.pretrain import pretrain_prep
+        from email_address_parser_ray.sources.io import eval_train_split
+
+        docs = rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        train, ev = eval_train_split(docs)
+        out = "/tmp/eap_ray_pretrain_full_bench"
+        shutil.rmtree(out, ignore_errors=True)
+        _, counters, _ = pretrain_prep(
+            train, ev, out, num_merges=128,
+            line_dedup=True, cut_spans_window=16,
+            dsir_target_ds=ev, dsir_k=2000,
+        )
+        return counters["exported_rows"]
+
+    timed("pretrain_full", run_pretrain_full)
     return timings
 
 

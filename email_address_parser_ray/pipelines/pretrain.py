@@ -42,6 +42,19 @@ import pyarrow.compute as pc
 DROP_BROADCAST_ROWS = 2_000_000  # flagged-id broadcast gate
 
 
+def _mat(ds):
+    """Materialize a survivor set AND heal its block layout: each
+    bucket-shuffle stage leaves ~3x more (and proportionally smaller)
+    blocks than it read, and sort-based shuffles cost
+    O(blocks_in x blocks_out) object slices — chained stages go
+    quadratic on a fragmented layout (measured 28 s -> 377 s for the
+    all-options pipeline at sf0.1 before this).  ``coalesce_small_blocks``
+    is a no-op at production block sizes."""
+    from ..stages.pools import coalesce_small_blocks
+
+    return coalesce_small_blocks(ds.materialize())
+
+
 def _semi(docs, keep_ids):
     from ..stages.joins import bucketed_semi_join
 
@@ -109,12 +122,12 @@ def pretrain_prep(
     from ..stages.packing import pack_bins_over_counts
 
     counters = {}
-    docs = docs_ds.materialize()
+    docs = _mat(docs_ds)
     counters["input_docs"] = docs.count()
 
     # 1. exact dedup — cheap content-hash pre-pass shrinks everything after
     keep_exact = exact_dedup(docs).select_columns(["doc_id"])
-    docs = _semi(docs, keep_exact).materialize()
+    docs = _mat(_semi(docs, keep_exact))
     counters["after_exact_dedup"] = docs.count()
 
     # 1b. optional CCNet line dedup: frequent-line boilerplate scrubbed
@@ -122,14 +135,14 @@ def pretrain_prep(
     if line_dedup:
         from ..stages.lines import remove_frequent_lines
 
-        scrubbed = remove_frequent_lines(docs).materialize()
+        scrubbed = _mat(remove_frequent_lines(docs))
         counters["lines_cut"] = int(scrubbed.sum("n_lines_cut") or 0)
-        docs = scrubbed.map_batches(
+        docs = _mat(scrubbed.map_batches(
             lambda t: t.filter(
                 pc.invert(pc.equal(t["text"], ""))
             ).drop_columns(["n_lines_cut"]),
             batch_format="pyarrow",
-        ).materialize()
+        ))
         counters["after_line_dedup"] = docs.count()
 
     # 2. near-dedup — keep each cluster's min-id representative
@@ -140,7 +153,7 @@ def pretrain_prep(
         ),
         batch_format="pyarrow",
     )
-    docs = _semi(docs, reps).materialize()
+    docs = _mat(_semi(docs, reps))
     counters["after_near_dedup"] = docs.count()
 
     # 2b. optional SemDeDup semantic dedup stage (Abbas et al. 2023)
@@ -169,7 +182,7 @@ def pretrain_prep(
         ).materialize()
         n_sem = drop_sem.count()
         counters["semdedup_dropped"] = n_sem
-        docs = _anti_ids(docs, drop_sem, n_sem).materialize()
+        docs = _mat(_anti_ids(docs, drop_sem, n_sem))
         counters["after_semdedup"] = docs.count()
 
     # 2c. optional exact-substring span cut (Lee et al. 2022): windows
@@ -178,20 +191,20 @@ def pretrain_prep(
     if cut_spans_window:
         from ..stages.dedup import dedup_cut_spans
 
-        cut = dedup_cut_spans(docs, window=cut_spans_window).materialize()
+        cut = _mat(dedup_cut_spans(docs, window=cut_spans_window))
         counters["tokens_cut"] = int(cut.sum("n_tokens_cut") or 0)
-        docs = cut.map_batches(
+        docs = _mat(cut.map_batches(
             lambda t: t.filter(
                 pc.invert(pc.equal(t["text"], ""))
             ).drop_columns(["n_tokens_cut"]),
             batch_format="pyarrow",
-        ).materialize()
+        ))
         counters["after_cut_spans"] = docs.count()
 
     # 3. decontamination — drop flagged docs
     flagged = decontaminate(docs, eval_ds).materialize()
     counters["contaminated"] = n_flagged = flagged.count()
-    docs = _anti_ids(docs, flagged, n_flagged).materialize()
+    docs = _mat(_anti_ids(docs, flagged, n_flagged))
     counters["after_decontaminate"] = docs.count()
 
     # 4. quality filter — whitespace token floor + Gopher top-word ppm
@@ -209,7 +222,7 @@ def pretrain_prep(
             keep &= np.isin(pred, np.array(list(langs), dtype=object))
         return t.filter(pa.array(keep))
 
-    docs = docs.map_batches(quality, batch_format="pyarrow").materialize()
+    docs = _mat(docs.map_batches(quality, batch_format="pyarrow"))
     counters["after_quality"] = docs.count()
 
     # 4b. optional LM-perplexity filter (the CCNet rule): a caller-
@@ -227,7 +240,7 @@ def pretrain_prep(
         ).materialize()
         n_lm = flagged_lm.count()
         counters["lm_filtered"] = n_lm
-        docs = _anti_ids(docs, flagged_lm, n_lm).materialize()
+        docs = _mat(_anti_ids(docs, flagged_lm, n_lm))
         counters["after_lm_filter"] = docs.count()
 
     # 4c. optional DSIR selection (Xie et al. 2023): resample dsir_k
@@ -241,7 +254,7 @@ def pretrain_prep(
 
         sel = dsir_select_k(docs, dsir_target_ds, k=dsir_k)
         keep_ids = ray.data.from_arrow(sel.select(["doc_id"]))
-        docs = _semi(docs, keep_ids).materialize()
+        docs = _mat(_semi(docs, keep_ids))
         counters["after_dsir"] = docs.count()
 
     # 5-6. BPE training, id encoding, token-exact packing — the bin

@@ -1338,6 +1338,12 @@ def dup_window_stats(docs_ds, window: int = 8):
     n_dup_windows, dup_win_ppm), one row per doc."""
     from ..functions.hashing import word_shingle_counts, word_shingles_flat
     from .joins import bucketed_semi_join
+    from .pools import coalesce_small_blocks
+
+    # heal fragmented materialized inputs: this operator makes three
+    # passes over docs_ds and two sort-based shuffles — tiny-block
+    # layouts cost O(blocks_in x blocks_out) object slices per shuffle
+    docs_ds = coalesce_small_blocks(docs_ds)
 
     def window_counts(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -1477,6 +1483,9 @@ def dedup_cut_spans(docs_ds, window: int = 8, min_count: int = 2,
     from ..functions.hashing import word_shingles_flat
     from .joins import bucketed_semi_join
     from .sketches import hash64_column
+    from .pools import coalesce_small_blocks
+
+    docs_ds = coalesce_small_blocks(docs_ds)  # see dup_window_stats
 
     def window_counts(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:

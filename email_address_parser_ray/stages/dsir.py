@@ -90,6 +90,10 @@ def hashed_ngram_counts(ds, m: int = 8192, text_col: str = "text") -> np.ndarray
     total = np.zeros(m, np.int64)
     for ref in ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs():
         t = ray.get(ref)
+        # zero-row upstream blocks pass through map_batches unprocessed
+        # and surface schema-less — they carry no counts by definition
+        if "c" not in t.schema.names:
+            continue
         for buf in t["c"].to_pylist():
             total += np.frombuffer(buf, np.int64)
     return total

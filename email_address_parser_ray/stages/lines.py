@@ -92,6 +92,10 @@ def remove_frequent_lines(docs_ds, min_count: int = 2, keep_first: bool = True,
     from .dedup import sorted_group_agg
     from .joins import bucketed_semi_join
     from .sketches import hash64_column
+    from .pools import coalesce_small_blocks
+
+    # heal fragmented materialized inputs (three passes, two shuffles)
+    docs_ds = coalesce_small_blocks(docs_ds)
 
     def line_counts(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
