@@ -8,8 +8,8 @@ Distributed shape (the ``dedup_cut_spans`` discipline — only 16-24 B
 line-hash rows and the sparse hit sliver ever shuffle; doc text
 crosses the wire exactly once):
 
-1. per batch, every line normalizes + hashes (crc32→mix64 per UNIQUE
-   line); (h, n, first_ord) partials fold corpus-wide with
+1. per batch, every line normalizes + hashes (siphash→mix64 per
+   UNIQUE line); (h, n, first_ord) partials fold corpus-wide with
    ``sorted_group_agg`` (line hashes are an unbounded key) — ``n`` is
    the occurrence count, ``first_ord`` the min packed global ordinal
    (doc_id * 2^22 + line_idx), i.e. the canonical first occurrence;
@@ -23,12 +23,10 @@ crosses the wire exactly once):
    positions; affected docs drop those lines, clean docs pass through
    byte-identical.
 
-64-bit hashes stand in for line content (collision odds ~n²/2⁶⁴ — the
-minhash-candidate caveat); pytest pins a collision-free reference.
+Full-64-bit siphash line hashes stand in for line content (collision
+odds ~n²/2⁶⁴); pytest pins a collision-free reference.
 """
 from __future__ import annotations
-
-import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -63,10 +61,18 @@ def _line_rows(texts, doc_ids, normalize):
         return e, e, np.empty(0, np.uint64), e
     arr = np.array(flat, dtype=object)
     uniq, inv = np.unique(arr, return_inverse=True)
+    # full-64-bit line hash (pandas fixed-key siphash, C speed): a
+    # single crc32 carries only 32 bits of entropy, and corpus-wide
+    # line counts hit crc32 birthday collisions from ~10^5 unique
+    # lines on (one observed at the 50k-doc stress) — a collision
+    # here CUTS an innocent line, so the exactness bar is the line
+    # hash's, not a candidate stage's
+    import pandas as pd
+
     uh = mix64(
-        np.fromiter(
-            (zlib.crc32(u.encode("utf-8")) for u in uniq), np.uint64, len(uniq)
-        )
+        pd.util.hash_pandas_object(
+            pd.Series(uniq, dtype=object), index=False
+        ).to_numpy().astype(np.uint64)
     )
     hs = uh[inv]
     dids = np.asarray(doc_ids, np.int64)[didx]

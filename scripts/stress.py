@@ -329,11 +329,109 @@ def stress_pretrain(tiles: int) -> None:
     ray.shutdown()
 
 
+def stress_textrewrite(tiles: int) -> None:
+    """Scale evidence for the text-rewrite/selection tier: CCNet line
+    dedup (planted banner on every 10th doc — exactly one survivor),
+    exact-substring span cut (24-token passage spliced into every 37th
+    doc — every occurrence excised), and DSIR selection (bimodal vocab
+    — the target-distribution half must win the budget).  The corpus
+    is driver-synthesized from a ~10^9 vocab so no 16-token window
+    repeats by accident: every planted artifact is exactly accounted."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from email_address_parser_ray.stages.dedup import dedup_cut_spans
+    from email_address_parser_ray.stages.dsir import dsir_select_k
+    from email_address_parser_ray.stages.lines import remove_frequent_lines
+
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             logging_level="ERROR")
+    n_docs = tiles * 50_000
+    rng = np.random.RandomState(23)
+    vocab_a = np.array([f"ta{i}" for i in range(400)])
+    vocab_b = np.array([f"jb{i}" for i in range(400)])
+    banner = "subscribe to our mailing list for updates today"
+    passage = " ".join(f"boiler{j}" for j in range(24))
+    lens = rng.randint(30, 60, n_docs)
+    texts = []
+    for i in range(n_docs):
+        v = vocab_a if i % 2 == 0 else vocab_b
+        # unique per-doc salt tokens bracket the body so no two docs
+        # share a 16-token window outside the planted passage
+        body = " ".join(
+            f"u{rng.randint(10**9)}" if j % 3 == 0 else v[rng.randint(len(v))]
+            for j in range(lens[i])
+        )
+        # the two planted classes are DISJOINT: a doc carrying both
+        # would share a banner+passage suffix with every other such
+        # doc, widening the duplicated span beyond the passage and
+        # breaking the exact token accounting below
+        if i % 37 == 0 and i % 10 != 0:
+            # a unique salt guards the splice point: otherwise the
+            # window [last body token + first 15 passage tokens]
+            # duplicates whenever two passage docs end on the same
+            # vocab token, cutting a 25th token
+            body = body + f" u{rng.randint(10**9)} " + passage
+        if i % 10 == 0:
+            body = body + "\n" + banner
+        texts.append(body)
+    n_banner = len(range(0, n_docs, 10))
+    n_passage = sum(1 for i in range(0, n_docs, 37) if i % 10 != 0)
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(n_docs), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })).repartition(num_cpus * 2).materialize()
+
+    t0 = time.time()
+    scrubbed = remove_frequent_lines(docs).materialize()
+    lines_wall = round(time.time() - t0, 3)
+    lines_cut = int(scrubbed.sum("n_lines_cut") or 0)
+    assert lines_cut == n_banner - 1, (lines_cut, n_banner)
+
+    t0 = time.time()
+    cut = dedup_cut_spans(docs, window=16).materialize()
+    spans_wall = round(time.time() - t0, 3)
+    tokens_cut = int(cut.sum("n_tokens_cut") or 0)
+    assert tokens_cut == 24 * n_passage, (tokens_cut, 24 * n_passage)
+
+    target = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(10**9, 10**9 + 500), pa.int64()),
+        "text": pa.array(
+            [" ".join(vocab_a[rng.randint(len(vocab_a), size=20)])
+             for _ in range(500)], pa.string()),
+    })).repartition(4)
+    k = n_docs // 10
+    t0 = time.time()
+    sel = dsir_select_k(docs, target, k=k)
+    dsir_wall = round(time.time() - t0, 3)
+    sel_ids = np.asarray(sel["doc_id"])
+    frac_target = float((sel_ids % 2 == 0).mean())
+    assert len(sel_ids) == k
+    assert frac_target > 0.95, frac_target
+
+    print(json.dumps({
+        "metric": "stress_textrewrite", "tiles": tiles, "n_docs": n_docs,
+        "num_cpus": num_cpus,
+        "line_dedup_sec": lines_wall, "lines_cut": lines_cut,
+        "cut_spans_sec": spans_wall, "tokens_cut": tokens_cut,
+        "dsir_sec": dsir_wall, "dsir_k": k,
+        "dsir_target_fraction": round(frac_target, 4),
+        "docs_per_sec_line": round(n_docs / lines_wall, 1),
+        "docs_per_sec_spans": round(n_docs / spans_wall, 1),
+        "docs_per_sec_dsir": round(n_docs / dsir_wall, 1),
+    }))
+    ray.shutdown()
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--family", required=True,
                     choices=sorted(_SCRIPTED)
-                    + ["decontaminate", "ivf", "pretrain", "semdedup"])
+                    + ["decontaminate", "ivf", "pretrain", "semdedup",
+                       "textrewrite"])
     ap.add_argument("args", nargs="*", help="family-specific positional args")
     ns = ap.parse_args()
     if ns.family == "decontaminate":
@@ -347,6 +445,9 @@ def main() -> None:
         return
     if ns.family == "semdedup":
         stress_semdedup(int(ns.args[0]) if ns.args else 100)
+        return
+    if ns.family == "textrewrite":
+        stress_textrewrite(int(ns.args[0]) if ns.args else 4)
         return
     path = _SCRIPTED[ns.family]
     sys.argv = [path] + ns.args
