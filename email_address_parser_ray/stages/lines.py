@@ -41,11 +41,12 @@ def _norm_default(line: str) -> str:
     return line.strip().lower()
 
 
-def _line_rows(texts, doc_ids, normalize):
-    """(doc_idx_in_batch, line_idx, h) per NON-EMPTY normalized line,
-    plus the packed global ordinal.  Hashes computed once per unique
-    normalized line."""
-    per_doc = [t.split("\n") for t in texts]
+def _line_rows(texts, doc_ids, normalize, sep="\n"):
+    """(doc_idx_in_batch, line_idx, h) per NON-EMPTY normalized unit
+    (line by default; paragraphs with ``sep="\n\n"``), plus the packed
+    global ordinal.  Hashes computed once per unique normalized
+    unit."""
+    per_doc = [t.split(sep) for t in texts]
     lens = np.fromiter((len(r) for r in per_doc), np.int64, len(per_doc))
     flat = [normalize(ln) for r in per_doc for ln in r]
     lidx = (
@@ -85,15 +86,20 @@ def _line_rows(texts, doc_ids, normalize):
 
 
 def remove_frequent_lines(docs_ds, min_count: int = 2, keep_first: bool = True,
-                          normalize=_norm_default, n_buckets: int = 32):
+                          normalize=_norm_default, n_buckets: int = 32,
+                          sep: str = "\n"):
     """Remove every line whose normalized form occurs >= ``min_count``
     times corpus-wide.  ``keep_first=True`` (CCNet semantics) exempts
     the first occurrence in global (doc_id, line_idx) order — the
     surviving copy keeps its ORIGINAL bytes, normalization only decides
     identity.  Blank / whitespace-only lines are never counted or cut.
 
+    ``sep`` picks the dedup unit: ``"\\n"`` (default) is the CCNet
+    line/WET-paragraph grain; ``"\\n\\n"`` scrubs blank-line-separated
+    PARAGRAPHS instead (repeated multi-line boilerplate blocks).
+
     Returns every input doc with the input column set, ``text``
-    rewritten (surviving lines re-joined with \\n), plus
+    rewritten (surviving units re-joined with ``sep``), plus
     ``n_lines_cut``."""
     from .dedup import sorted_group_agg
     from .joins import bucketed_semi_join
@@ -111,7 +117,7 @@ def remove_frequent_lines(docs_ds, min_count: int = 2, keep_first: bool = True,
             })
         _, _, hs, _ = _line_rows(
             t["text"].to_pylist(), t["doc_id"].to_numpy(zero_copy_only=False),
-            normalize,
+            normalize, sep,
         )
         uniq, cnt = np.unique(hs, return_counts=True)
         return pa.table({
@@ -138,7 +144,7 @@ def remove_frequent_lines(docs_ds, min_count: int = 2, keep_first: bool = True,
             return occ_schema.empty_table()
         dids, lidx, hs, ords = _line_rows(
             t["text"].to_pylist(), t["doc_id"].to_numpy(zero_copy_only=False),
-            normalize,
+            normalize, sep,
         )
         return pa.table({
             "doc_id": pa.array(dids, pa.int64()),
@@ -241,11 +247,11 @@ def remove_frequent_lines(docs_ds, min_count: int = 2, keep_first: bool = True,
             cut_idx = idx_by_doc.get(int(did))
             if cut_idx is None:
                 continue
-            lines = texts[i].split("\n")
+            lines = texts[i].split(sep)
             mask = np.zeros(len(lines), bool)
             mask[cut_idx] = True
             n_cut[i] = int(mask.sum())
-            texts[i] = "\n".join(
+            texts[i] = sep.join(
                 ln for ln, c in zip(lines, mask) if not c
             )
         arrays = {c: dt[c] for c in doc_cols}

@@ -128,3 +128,20 @@ def test_random_corpus_matches_reference_and_partition_invariant(ray_session):
     assert list(a["text"]) == ref_t
     assert list(a["n_lines_cut"]) == ref_c
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_paragraph_mode(ray_session):
+    """sep="\\n\\n" scrubs blank-line-separated PARAGRAPHS: a repeated
+    two-line block keeps its first occurrence whole; single lines that
+    repeat across different paragraphs are NOT touched at this grain."""
+    boiler = "follow us on social media\nall rights reserved"
+    docs = [
+        f"intro one\n\n{boiler}",
+        f"body two here\n\n{boiler}\n\nmore text",
+        "standalone\n\nall rights reserved extra",  # not the same unit
+    ]
+    out = _run(docs, sep="\n\n")
+    assert out["text"][0] == docs[0]          # first occurrence survives
+    assert out["text"][1] == "body two here\n\nmore text"
+    assert out["n_lines_cut"][1] == 1
+    assert out["text"][2] == docs[2]
