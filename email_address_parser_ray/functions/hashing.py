@@ -56,8 +56,9 @@ def word_shingles_flat(texts: Sequence[str], k: int = 3):
     ``(flat, lens)`` — one uint64 hash per shingle occurrence,
     concatenated in doc order, plus per-doc shingle counts.
 
-    Token hashes are computed once per UNIQUE token (crc32 → mix64; the
-    vocab repeats heavily, same trick as ``simhash64_batch``), then
+    Token hashes are computed once per UNIQUE token (fixed-key
+    siphash → mix64, full 64-bit; the vocab repeats heavily, same
+    unique-token trick as ``simhash64_batch``), then
     each k-window's hash is a mix64 chain fold over its token hashes,
     computed for every window position in ONE shifted-numpy pass.
     Docs with < k tokens get a single fold over all their tokens
@@ -81,12 +82,17 @@ def word_shingles_flat(texts: Sequence[str], k: int = 3):
     if n_tok:
         flat_toks = np.array([w for r in tok_rows for w in r], dtype=object)
         uniq, inv = np.unique(flat_toks, return_inverse=True)
+        # full-64-bit token hash (pandas fixed-key siphash): the chain
+        # fold accumulates entropy across tokens, but a SUB-WINDOW doc
+        # folds as few as ONE token — with a crc32 seed that is 32
+        # bits of entropy, and corpus-wide window counts birthday-
+        # collide from ~10^5 distinct short docs (the lines.py lesson)
+        import pandas as pd
+
         uh = mix64(
-            np.fromiter(
-                (zlib.crc32(u.encode("utf-8")) for u in uniq),
-                np.uint64,
-                len(uniq),
-            )
+            pd.util.hash_pandas_object(
+                pd.Series(uniq, dtype=object), index=False
+            ).to_numpy().astype(np.uint64)
         )
         th = uh[inv]
     else:
