@@ -48,6 +48,19 @@ import pyarrow as pa
 # class split textstats' "bpeish" count uses, so n_bpeish is exactly
 # the pre-token count BPE starts from.
 PRETOK = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+
+# Opt-in GPT-2-SHAPE pre-tokenizer (Radford et al. 2019 released the
+# pattern publicly with the GPT-2 code): contraction suffixes, then
+# optionally-space-prefixed letter / digit / symbol runs — " world"
+# and "world" become DISTINCT words, carrying spacing information the
+# way GPT-2's vocabulary does.  Two documented deviations from the
+# original (Python re has no \p{L}/\p{N} and this is a word-grain
+# </w> model, not byte-level): Unicode letters are [^\W\d_] and
+# numbers \d, and pure-whitespace runs are not emitted as tokens.
+PRETOK_GPT2ISH = re.compile(
+    r"'(?:s|t|re|ve|m|ll|d)| ?[^\W\d_]+| ?\d+| ?(?:[^\w\s]|_)+"
+)
+PRETOKS = {"ascii": PRETOK, "gpt2ish": PRETOK_GPT2ISH}
 END = "</w>"  # end-of-word marker symbol (Sennrich §3.2)
 
 DEFAULT_MAX_WORDS = 100_000
@@ -77,6 +90,9 @@ class BpeModel:
 
     merges: Tuple[Tuple[str, str], ...]
     alphabet: Tuple[str, ...]
+    # which PRETOKS pattern produced the word stream — encode MUST
+    # split the same way training counted, so it ships with the model
+    pretok: str = "ascii"
 
     def token_ids(self) -> Dict[str, int]:
         ids = {"<unk>": 0}
@@ -94,7 +110,8 @@ class BpeModel:
 
         return json.dumps(
             {"merges": [list(p) for p in self.merges],
-             "alphabet": list(self.alphabet)}
+             "alphabet": list(self.alphabet),
+             "pretok": self.pretok}
         )
 
     @classmethod
@@ -105,6 +122,7 @@ class BpeModel:
         return cls(
             merges=tuple(tuple(p) for p in d["merges"]),
             alphabet=tuple(d["alphabet"]),
+            pretok=d.get("pretok", "ascii"),  # pre-pretok models
         )
 
     def save(self, path: str) -> None:
@@ -122,7 +140,8 @@ class BpeModel:
 
 
 def train_bpe_from_counts(
-    words: List[str], counts: List[int], num_merges: int, min_count: int = 2
+    words: List[str], counts: List[int], num_merges: int, min_count: int = 2,
+    pretok: str = "ascii",
 ) -> BpeModel:
     """Greedy merge learning over a (word, count) table — the driver
     half of training.  State is O(vocabulary), never O(corpus)."""
@@ -167,7 +186,9 @@ def train_bpe_from_counts(
                 pair_words.setdefault(p, set()).add(i)
 
     alphabet = sorted({ch for w in words for ch in w} | {END})
-    return BpeModel(merges=tuple(merges), alphabet=tuple(alphabet))
+    return BpeModel(
+        merges=tuple(merges), alphabet=tuple(alphabet), pretok=pretok
+    )
 
 
 class BpeTokenizer:
@@ -181,6 +202,7 @@ class BpeTokenizer:
         self.ranks = {p: r for r, p in enumerate(model.merges)}
         self.merges = model.merges
         self.ids = model.token_ids()
+        self.pretok = PRETOKS[model.pretok]
         self._cache: Dict[str, tuple] = {}
 
     def encode_word(self, w: str) -> tuple:
@@ -205,7 +227,7 @@ class BpeTokenizer:
     # --- batch kernels ------------------------------------------------------
 
     def _flat_words(self, texts: List[str]):
-        rows = [PRETOK.findall(t) for t in texts]
+        rows = [self.pretok.findall(t) for t in texts]
         lens = np.fromiter((len(r) for r in rows), np.int64, len(rows))
         flat = np.array([w for r in rows for w in r], dtype=object)
         return flat, lens
@@ -284,7 +306,8 @@ def capped_topk(folded, sort_keys, max_rows: int, key_col: str):
     return all_t.take(pc.sort_indices(all_t, sort_keys=sort_keys)[:max_rows])
 
 
-def bpe_word_counts(ds, col: str = "text", max_words: int = DEFAULT_MAX_WORDS):
+def bpe_word_counts(ds, col: str = "text", max_words: int = DEFAULT_MAX_WORDS,
+                    pretok: str = "ascii"):
     """Distributed exact word counting, capped for the driver: ONE
     pass of per-batch ``np.unique`` partials, folded with
     ``sorted_group_agg`` (high-cardinality key policy), then per-block
@@ -293,11 +316,13 @@ def bpe_word_counts(ds, col: str = "text", max_words: int = DEFAULT_MAX_WORDS):
     sorted desc, word asc."""
     from ..stages.dedup import sorted_group_agg
 
+    pat = PRETOKS[pretok]
+
     def partial(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return _WC_SCHEMA.empty_table()
         flat = np.array(
-            [w for t in batch[col].to_pylist() for w in PRETOK.findall(t)],
+            [w for t in batch[col].to_pylist() for w in pat.findall(t)],
             dtype=object,
         )
         if not len(flat):
@@ -333,11 +358,16 @@ def train_bpe(
     num_merges: int = 256,
     max_words: int = DEFAULT_MAX_WORDS,
     min_count: int = 2,
+    pretok: str = "ascii",
 ) -> BpeModel:
     """End-to-end distributed BPE training: distributed word counts →
-    driver-side greedy merges over ≤ max_words rows."""
-    words, counts, _ = bpe_word_counts(ds, col, max_words=max_words)
-    return train_bpe_from_counts(words, counts, num_merges, min_count=min_count)
+    driver-side greedy merges over ≤ max_words rows.  ``pretok``
+    picks the pre-tokenizer (``"ascii"`` default; ``"gpt2ish"`` for
+    the space-aware GPT-2-shape split) and ships with the model."""
+    words, counts, _ = bpe_word_counts(ds, col, max_words=max_words,
+                                       pretok=pretok)
+    return train_bpe_from_counts(words, counts, num_merges,
+                                 min_count=min_count, pretok=pretok)
 
 
 class BpeCountStage:
@@ -451,7 +481,7 @@ class BpeEncodeStage:
         rows = []
         for t in texts:
             ids: list = []
-            for w in PRETOK.findall(t):
+            for w in self.tok.pretok.findall(t):
                 ids.extend(self._ids(w))
             rows.append(ids)
         return pa.table(

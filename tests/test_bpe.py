@@ -282,3 +282,53 @@ def test_property_encode_roundtrip_any_input(corpus, probes):
         assert "".join(sym).replace(END, "") == w
         # encoding is idempotent through the cache
         assert tok.encode_word(w) == sym
+
+
+def test_gpt2ish_pretokenizer_split():
+    """The opt-in GPT-2-shape split: contraction suffixes peel off,
+    letters/digits/symbols separate, and the leading space rides with
+    the following token (so " world" and "world" are distinct words)."""
+    from email_address_parser_ray.functions.bpe import PRETOK_GPT2ISH
+
+    assert PRETOK_GPT2ISH.findall("I'll see 2 worlds, maybe 3!") == [
+        "I", "'ll", " see", " 2", " worlds", ",", " maybe", " 3", "!",
+    ]
+    assert PRETOK_GPT2ISH.findall("hello") == ["hello"]
+    assert PRETOK_GPT2ISH.findall("a_b") == ["a", "_", "b"]
+
+
+def test_gpt2ish_train_encode_roundtrip(ray_session):
+    """Training with pretok="gpt2ish" ships the choice in the model;
+    encode splits the same way (cache-deterministic), and json
+    round-trip preserves it.  Pre-pretok json defaults to ascii."""
+    import json
+
+    import ray.data as rd
+
+    from email_address_parser_ray.functions.bpe import (
+        BpeModel, BpeTokenizer, bpe_token_count_ds, train_bpe,
+    )
+
+    texts = ["I'll go home now", "you'll go there soon", "we'll go far"] * 5
+    ds = rd.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    ).repartition(3)
+    model = train_bpe(ds, num_merges=20, pretok="gpt2ish")
+    assert model.pretok == "gpt2ish"
+    # round-trip preserves the pretok; encode is a pure function of it
+    m2 = BpeModel.from_json(model.to_json())
+    assert m2 == model
+    tok = BpeTokenizer(model)
+    counts = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in bpe_token_count_ds(ds, model).take_all()
+    }
+    assert counts[0] == len(
+        [s for w in tok.pretok.findall(texts[0]) for s in tok.encode_word(w)]
+    )
+    # " go" (leading space) must be a trained word — spacing is carried
+    assert any(w.startswith(" ") for w in ["".join(p) for p in model.merges])
+    # legacy json without the field loads as ascii
+    legacy = json.loads(model.to_json())
+    del legacy["pretok"]
+    assert BpeModel.from_json(json.dumps(legacy)).pretok == "ascii"
