@@ -109,6 +109,7 @@ def pretrain_prep(
     cut_spans_window: int = 0,
     dsir_target_ds=None,
     dsir_k: int = 0,
+    bpe_pretok: str = "ascii",
 ):
     """Run the full prep over a (doc_id, text) dataset against an eval
     corpus.  Returns (manifests, counters, bpe_model): the resumable
@@ -260,7 +261,7 @@ def pretrain_prep(
     # 5-6. BPE training, id encoding, token-exact packing — the bin
     # scan runs directly over the encoded rows (token_ids ride along;
     # Acero joins cannot carry list columns, so no post-hoc join)
-    model = train_bpe(docs, num_merges=num_merges)
+    model = train_bpe(docs, num_merges=num_merges, pretok=bpe_pretok)
     encoded = bpe_encode_ds(docs, model).map_batches(
         lambda t: t.rename_columns(["doc_id", "token_ids", "n_tokens"]),
         batch_format="pyarrow",
@@ -295,6 +296,7 @@ def pretrain_prep(
             "line_dedup": line_dedup,
             "cut_spans_window": cut_spans_window or None,
             "dsir_k": dsir_k if dsir_target_ds is not None else None,
+            "bpe_pretok": bpe_pretok,
             "n_partitions": n_partitions,
         },
     }
