@@ -264,3 +264,35 @@ def test_pretrain_prep_dsir_stage(ray_session, tmp_path):
     assert all(d % 2 == 0 for d in t["doc_id"].to_pylist())
     lineage = json.load(open(os.path.join(out, "lineage.json")))
     assert lineage["params"]["dsir_k"] == 10
+
+
+def test_pretrain_prep_all_options_partition_invariant(ray_session, tmp_path):
+    """The FULL composition (line dedup + span cut + DSIR + gpt2ish
+    BPE) must be a pure function of corpus content: identical lineage
+    counters, BPE model, and packed rows under different partitionings."""
+    docs, ev = _corpus()
+    banner = "subscribe today for more updates please friends"
+    for i in range(2, 7):
+        docs[i] = docs[i] + "\n" + banner
+    passage = " ".join(f"boiler{j}" for j in range(12))
+    docs[20] = docs[20] + " " + passage
+    docs[21] = passage + " " + docs[21]
+    target = [" ".join(f"tok{i}" for i in range(10, 24)) for _ in range(4)]
+    outs = {}
+    for blocks in (1, 6):
+        out = str(tmp_path / f"expall{blocks}")
+        _, counters, model = pretrain_prep(
+            _ds(docs, blocks), _ds(ev, 1), out, num_merges=25, cap=64,
+            line_dedup=True, cut_spans_window=8,
+            dsir_target_ds=_ds(target, 2), dsir_k=30,
+            bpe_pretok="gpt2ish",
+        )
+        frags = glob.glob(os.path.join(out, "part=*", "*.parquet"))
+        t = pa.concat_tables([pq.read_table(f) for f in frags])
+        df = t.to_pandas().sort_values("doc_id").reset_index(drop=True)
+        outs[blocks] = (counters, model, df[["doc_id", "n_tokens", "bin"]])
+    assert outs[1][0] == outs[6][0]
+    assert outs[1][1] == outs[6][1]
+    assert outs[1][1].pretok == "gpt2ish"
+    assert outs[1][2].equals(outs[6][2])
+    assert outs[1][0]["after_dsir"] == 30
